@@ -1,0 +1,73 @@
+package graft.json
+
+/** Untyped JSON tree mirroring the reference's instance model
+  * (/root/reference/jsonschema.go:104-105: `map[string]interface{}`,
+  * `[]interface{}`, `string`, `bool`, `nil`, `json.Number`).
+  *
+  * Numbers keep their lexical text (the reference decodes with
+  * `UseNumber()` so `1.0` stays distinct from `1` — see
+  * /root/reference/val_all.go:146-153): a `JNum` whose text contains
+  * `"."` is JSON type `number`, otherwise `integer`.
+  *
+  * Objects keep insertion order (deterministic violation order; the
+  * reference's Go map iteration is nondeterministic in error *order*
+  * but not verdict — /root/reference/jsonschema.go:81-87).
+  */
+sealed trait JValue extends Serializable {
+  /** JSON type tag per /root/reference/val_all.go:133-154. */
+  def typeName: String = this match {
+    case JNull    => "null"
+    case _: JBool => "boolean"
+    case _: JStr  => "string"
+    case _: JArr  => "array"
+    case _: JObj  => "object"
+    case n: JNum  => if (n.isIntegral) "integer" else "number"
+  }
+}
+
+case object JNull extends JValue
+
+final case class JBool(value: Boolean) extends JValue
+
+final case class JStr(value: String) extends JValue
+
+/** Lexical number. `text` is the exact token text from the document. */
+final case class JNum(text: String) extends JValue {
+  /** Reference rule: `strings.Contains(n.String(), ".")` ⇒ number
+    * (/root/reference/val_all.go:147). We additionally treat exponent
+    * forms without '.' the same way the reference's int64 decode would
+    * succeed/fail: plain digits ⇒ integer.
+    */
+  def isIntegral: Boolean = !text.contains('.')
+  @transient lazy val decimal: BigDecimal = BigDecimal(text)
+}
+
+final case class JArr(items: Vector[JValue]) extends JValue
+
+final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
+  @transient lazy val map: Map[String, JValue] = fields.toMap
+  def get(key: String): Option[JValue] = map.get(key)
+  def keys: Vector[String] = fields.map(_._1)
+  def size: Int = fields.size
+}
+
+object JValue {
+  /** Structural equality with spec-correct numeric comparison:
+    * `1 == 1.0` by value (draft-04 spec; documented divergence from the
+    * reference's lexical DeepEqual, /root/reference/utils_deepequal.go:77-107
+    * — see SURVEY.md §2.1 #20).
+    */
+  def deepEqual(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JNull, JNull)         => true
+    case (JBool(x), JBool(y))   => x == y
+    case (JStr(x), JStr(y))     => x == y
+    case (x: JNum, y: JNum)     => x.decimal.compare(y.decimal) == 0
+    case (JArr(x), JArr(y)) =>
+      x.length == y.length && x.iterator.zip(y.iterator).forall { case (u, v) => deepEqual(u, v) }
+    case (x: JObj, y: JObj) =>
+      x.size == y.size && x.fields.forall { case (k, v) =>
+        y.get(k).exists(deepEqual(v, _))
+      }
+    case _ => false
+  }
+}

@@ -1,0 +1,98 @@
+package graft.json
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming JSON parser on Jackson (ships in /opt/spark/jars),
+  * preserving the lexical number text — the analogue of the
+  * reference's `decoder.UseNumber()` (/root/reference/jsonschema.go:105).
+  */
+object Json {
+  private val factory: JsonFactory = {
+    val f = new JsonFactory()
+    // Large synthetic documents: lift default length caps a bit.
+    f
+  }
+
+  /** Parse a JSON document. Throws JsonParseException on malformed input. */
+  def parse(text: String): JValue = {
+    val p = factory.createParser(text)
+    try {
+      p.nextToken()
+      val v = readValue(p)
+      v
+    } finally p.close()
+  }
+
+  def parseOpt(text: String): Option[JValue] =
+    try Some(parse(text))
+    catch { case _: Exception => None }
+
+  private def readValue(p: JsonParser): JValue = p.currentToken() match {
+    case JsonToken.VALUE_NULL         => JNull
+    case JsonToken.VALUE_TRUE         => JBool(true)
+    case JsonToken.VALUE_FALSE        => JBool(false)
+    case JsonToken.VALUE_STRING       => JStr(p.getText)
+    case JsonToken.VALUE_NUMBER_INT   => JNum(p.getText)
+    case JsonToken.VALUE_NUMBER_FLOAT => JNum(p.getText)
+    case JsonToken.START_ARRAY =>
+      val buf = new ArrayBuffer[JValue]()
+      while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p)
+      JArr(buf.toVector)
+    case JsonToken.START_OBJECT =>
+      val buf = new ArrayBuffer[(String, JValue)]()
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        buf += ((name, readValue(p)))
+      }
+      JObj(buf.toVector)
+    case t => throw new IllegalArgumentException(s"unexpected token $t")
+  }
+
+  /** Render a JValue back to compact JSON (deterministic: object field
+    * order preserved, numbers emitted with their lexical text).
+    */
+  def render(v: JValue): String = {
+    val sb = new StringBuilder
+    renderTo(v, sb)
+    sb.toString
+  }
+
+  private def renderTo(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull       => sb.append("null")
+    case JBool(b)    => sb.append(b)
+    case JNum(t)     => sb.append(t)
+    case JStr(s)     => renderString(s, sb)
+    case JArr(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { it =>
+        if (!first) sb.append(','); first = false
+        renderTo(it, sb)
+      }
+      sb.append(']')
+    case JObj(fields) =>
+      sb.append('{')
+      var first = true
+      fields.foreach { case (k, fv) =>
+        if (!first) sb.append(','); first = false
+        renderString(k, sb); sb.append(':'); renderTo(fv, sb)
+      }
+      sb.append('}')
+  }
+
+  private def renderString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"')
+  }
+}

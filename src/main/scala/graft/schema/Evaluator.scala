@@ -1,0 +1,324 @@
+package graft.schema
+
+import graft.json._
+
+/** One validation error — the reference's `ValidationError{Keypath,
+  * Description}` (/root/reference/jsonschema.go:172-183) plus the
+  * emitting keyword name (the north rule's Violation rows carry a
+  * `keyword` column).
+  */
+final case class Viol(keyword: String, path: List[String], message: String) {
+  /** Rendered exactly like `ValidationError.JSONPointer()`
+    * (/root/reference/jsonschema.go:177-179): `/` + tokens joined by
+    * `/` with `~`→`~0`, `/`→`~1` escaping.
+    */
+  def jsonPointer: String =
+    "/" + path.map(t => t.replace("~", "~0").replace("/", "~1")).mkString("/")
+}
+
+/** Recursive draft-04 evaluator over the compiled schema graph — the
+  * analogue of `Schema.Validate` (/root/reference/jsonschema.go:81-87):
+  * iterate keywords, concatenate errors, verdict = no errors. Runs on
+  * executors against the broadcast [[CompiledSchema]]; pure, no Spark
+  * dependency (also exercised directly by the suite-replay tests).
+  *
+  * Spec-correct where the reference diverges (SURVEY.md §2.1): strict
+  * draft-04 `minimum`/`maximum` exclusivity, numeric `enum` equality,
+  * `multipleOf` over floats, fused properties semantics, spec
+  * `additionalProperties:false`, `uniqueItems` implemented.
+  * Reference-faithful everywhere else: lexical integer/number split,
+  * `type:"any"`, required = key presence, code-point string lengths,
+  * unanchored regex, the 6-format list, unknown keywords dropped.
+  */
+object Evaluator {
+
+  def validate(schema: CompiledSchema, v: JValue): Vector[Viol] =
+    validateAt(schema, v, Nil)
+
+  def isValid(schema: CompiledSchema, v: JValue): Boolean =
+    validate(schema, v).isEmpty
+
+  def validateAt(schema: CompiledSchema, v: JValue, path: List[String]): Vector[Viol] = {
+    val out = Vector.newBuilder[Viol]
+    schema.keywords.foreach(k => evalKeyword(k, v, path, out))
+    out.result()
+  }
+
+  // Code-point count, matching Go's utf8.RuneCountInString and Spark's
+  // `length` on UTF8String (val_string.go:20).
+  private def runeCount(s: String): Int = s.codePointCount(0, s.length)
+
+  private def evalKeyword(k: Keyword, v: JValue, path: List[String],
+                          out: scala.collection.mutable.Builder[Viol, Vector[Viol]]): Unit = k match {
+
+    case RefK(target) =>
+      out ++= validateAt(target, v, path)
+
+    case TypeK(types) =>
+      if (!types.contains("any")) {
+        val t = v.typeName
+        val ok = types.contains(t) || (t == "integer" && types.contains("number"))
+        if (!ok)
+          out += Viol("type", path, s"Value must be one of these types: ${types.toList.sorted.mkString("[", " ", "]")}. Got $t")
+      }
+
+    case EnumK(values) =>
+      if (!values.exists(JValue.deepEqual(v, _)))
+        out += Viol("enum", path, "Enum error. The data must be equal to one of the allowed values.")
+
+    case MaximumK(bound, exclusive) => v match {
+      case n: JNum =>
+        val c = n.decimal.compare(bound)
+        if (if (exclusive) c >= 0 else c > 0)
+          out += Viol("maximum", path, s"Value must be ${if (exclusive) "smaller than" else "at most"} $bound.")
+      case _ => ()
+    }
+
+    case MinimumK(bound, exclusive) => v match {
+      case n: JNum =>
+        val c = n.decimal.compare(bound)
+        if (if (exclusive) c <= 0 else c < 0)
+          out += Viol("minimum", path, s"Value must be ${if (exclusive) "larger than" else "at least"} $bound.")
+      case _ => ()
+    }
+
+    case MultipleOfK(m) => v match {
+      case n: JNum =>
+        if (n.decimal.remainder(m).compare(BigDecimal(0)) != 0)
+          out += Viol("multipleOf", path, s"Value must be a multiple of $m.")
+      case _ => ()
+    }
+
+    case MaxLengthK(n) => v match {
+      case JStr(s) if runeCount(s) > n =>
+        out += Viol("maxLength", path, s"String length must be at most $n characters.")
+      case _ => ()
+    }
+
+    case MinLengthK(n) => v match {
+      case JStr(s) if runeCount(s) < n =>
+        out += Viol("minLength", path, s"String length must be at least $n characters.")
+      case _ => ()
+    }
+
+    case p: PatternK => v match {
+      case JStr(s) =>
+        // Unanchored find, like Go MatchString (val_string.go:63).
+        if (!p.pattern.matcher(s).find())
+          out += Viol("pattern", path, s"""String must match the pattern: "${p.regex}".""")
+      case _ => ()
+    }
+
+    case FormatK(name) => v match {
+      case JStr(s) =>
+        if (!Formats.check(name, s))
+          out += Viol("format", path, s"Value must conform to format '$name'.")
+      case _ => ()
+    }
+
+    case ItemsListK(sub) => v match {
+      case JArr(items) =>
+        var i = 0
+        items.foreach { it =>
+          out ++= validateAt(sub, it, path :+ i.toString)
+          i += 1
+        }
+      case _ => ()
+    }
+
+    case ItemsTupleK(schemas, additional) => v match {
+      case JArr(items) =>
+        var i = 0
+        items.foreach { it =>
+          if (i < schemas.length) out ++= validateAt(schemas(i), it, path :+ i.toString)
+          else additional match {
+            case Some(Left(_)) =>
+              if (i == schemas.length) // single wholesale error (val_array.go:116-118)
+                out += Viol("additionalItems", path, s"Array must have at most ${schemas.length} items.")
+            case Some(Right(s)) => out ++= validateAt(s, it, path :+ i.toString)
+            case None           => ()
+          }
+          i += 1
+        }
+      case _ => ()
+    }
+
+    case MaxItemsK(n) => v match {
+      case JArr(items) if items.length > n =>
+        out += Viol("maxItems", path, s"Array must have at most $n items.")
+      case _ => ()
+    }
+
+    case MinItemsK(n) => v match {
+      case JArr(items) if items.length < n =>
+        out += Viol("minItems", path, s"Array must have at least $n items.")
+      case _ => ()
+    }
+
+    case UniqueItemsK => v match {
+      case JArr(items) =>
+        var i = 0
+        var dup = false
+        while (i < items.length && !dup) {
+          var j = i + 1
+          while (j < items.length && !dup) {
+            if (JValue.deepEqual(items(i), items(j))) dup = true
+            j += 1
+          }
+          i += 1
+        }
+        if (dup) out += Viol("uniqueItems", path, "Array items must be unique.")
+      case _ => ()
+    }
+
+    case pk: PropsK => v match {
+      case obj: JObj =>
+        obj.fields.foreach { case (key, value) =>
+          var matched = false
+          pk.props.get(key).foreach { s =>
+            matched = true
+            out ++= validateAt(s, value, path :+ key)
+          }
+          pk.compiledPatterns.foreach { case (re, s) =>
+            if (re.matcher(key).find()) {
+              matched = true
+              out ++= validateAt(s, value, path :+ key)
+            }
+          }
+          if (!matched) pk.additional match {
+            case AllowAll         => ()
+            case ForbidAdditional =>
+              out += Viol("additionalProperties", path :+ key, s"Additional property '$key' is not allowed.")
+            case AdditionalSchema(s) =>
+              out ++= validateAt(s, value, path :+ key)
+          }
+        }
+      case _ => ()
+    }
+
+    case RequiredK(keys) => v match {
+      case obj: JObj =>
+        keys.foreach { k =>
+          // Presence, not non-nullness (val_object.go:318-330).
+          if (!obj.map.contains(k))
+            out += Viol("required", path, s"Required property '$k' is missing.")
+        }
+      case _ => ()
+    }
+
+    case DependenciesK(schemaDeps, propDeps) => v match {
+      case obj: JObj =>
+        schemaDeps.foreach { case (k, s) =>
+          if (obj.map.contains(k)) out ++= validateAt(s, v, path)
+        }
+        propDeps.foreach { case (k, needed) =>
+          if (obj.map.contains(k))
+            needed.foreach { n =>
+              if (!obj.map.contains(n))
+                out += Viol("dependencies", path, s"Property '$k' requires property '$n'.")
+            }
+        }
+      case _ => ()
+    }
+
+    case MaxPropertiesK(n) => v match {
+      case obj: JObj if obj.size > n =>
+        out += Viol("maxProperties", path, s"Object must have at most $n properties.")
+      case _ => ()
+    }
+
+    case MinPropertiesK(n) => v match {
+      case obj: JObj if obj.size < n =>
+        out += Viol("minProperties", path, s"Object must have at least $n properties.")
+      case _ => ()
+    }
+
+    case AllOfK(schemas) =>
+      schemas.foreach(s => out ++= validateAt(s, v, path))
+
+    case AnyOfK(schemas) =>
+      // Short-circuits on first success (val_all.go:31-35).
+      if (!schemas.exists(s => validateAt(s, v, path).isEmpty))
+        out += Viol("anyOf", path, "Validation failed for each schema in 'anyOf'.")
+
+    case OneOfK(schemas) =>
+      val succeeded = schemas.count(s => validateAt(s, v, path).isEmpty)
+      if (succeeded != 1)
+        out += Viol("oneOf", path, s"Validation passed for $succeeded schemas in 'oneOf'.")
+
+    case NotK(s) =>
+      if (validateAt(s, v, path).isEmpty)
+        out += Viol("not", path, "The 'not' schema didn't raise an error.")
+  }
+}
+
+/** The reference's 6 formats (/root/reference/val_string.go:70-115);
+  * unknown format names always pass (no default case).
+  */
+object Formats {
+  private val dateTime = java.util.regex.Pattern.compile(
+    """^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?""")
+  private val email = java.util.regex.Pattern.compile(".+@.+")
+  private val hostname = java.util.regex.Pattern.compile(
+    """^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""")
+  private val ipv4 = java.util.regex.Pattern.compile(
+    """^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$""")
+
+  def check(name: String, s: String): Boolean = name match {
+    case "date-time" => dateTime.matcher(s).find()
+    case "uri" =>
+      // Go url.ParseRequestURI: absolute URI or absolute path.
+      try {
+        val u = new java.net.URI(s)
+        u.isAbsolute || s.startsWith("/")
+      } catch { case _: Exception => false }
+    case "email" => email.matcher(s).find()
+    case "ipv4"  => ipv4.matcher(s).matches()
+    case "ipv6"  =>
+      // Pure literal parse (Go net.ParseIP accepts v4 or v6 text; no
+      // name resolution — must not touch the network).
+      isIpv6(s) || ipv4.matcher(s).matches()
+    case "hostname" =>
+      hostname.matcher(s).matches() &&
+        s.codePointCount(0, s.length) <= 255 &&
+        s.split("\\.", -1).forall(l => l.codePointCount(0, l.length) <= 63)
+    case _ => true
+  }
+
+  private val hexGroup = java.util.regex.Pattern.compile("^[0-9a-fA-F]{1,4}$")
+
+  /** Literal IPv6 validation: at most one `::`, 1-4 hex digit groups,
+    * ≤8 groups (exactly 8 without `::`), optional trailing dotted-quad
+    * counting as two groups.
+    */
+  private def isIpv6(s: String): Boolean = {
+    if (!s.contains(':')) return false
+    val dcCount = s.sliding(2).count(_ == "::")
+    if (dcCount > 1) return false
+    val hasDc = dcCount == 1
+    val body = s
+    def groupsOf(part: String): Option[Int] = {
+      if (part.isEmpty) return Some(0)
+      val toks = part.split(":", -1)
+      if (toks.exists(_.isEmpty)) return None
+      var n = 0
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (hexGroup.matcher(t).matches()) n += 1
+        else if (i == toks.length - 1 && ipv4.matcher(t).matches()) n += 2
+        else return None
+        i += 1
+      }
+      Some(n)
+    }
+    if (hasDc) {
+      val i = body.indexOf("::")
+      val (l, r) = (body.substring(0, i), body.substring(i + 2))
+      (groupsOf(l), groupsOf(r)) match {
+        case (Some(a), Some(b)) => a + b <= 7 || (a + b == 8 && (l.isEmpty || r.isEmpty))
+        case _                  => false
+      }
+    } else groupsOf(body).contains(8)
+  }
+}

@@ -1,0 +1,358 @@
+package graft.schema
+
+import graft.json._
+import java.net.URI
+import scala.collection.mutable
+
+final class SchemaCompileException(msg: String) extends RuntimeException(msg)
+
+/** Driver-side schema compiler — the analogue of the reference's
+  * `Parse` + `ResolveRefs` (/root/reference/jsonschema.go:54-79,
+  * /root/reference/reference.go:60-109), offline: external `$ref`s
+  * resolve against an in-memory registry (uri → schema JSON text)
+  * instead of `http.Get` (/root/reference/reference.go:143-155). The
+  * compiled graph is Serializable and meant to be `broadcast` once per
+  * job (the Spark analogue of the reference's shared schema cache,
+  * /root/reference/jsonschema.go:59-63).
+  *
+  * Cache keys are absolute URIs with fragment stripped and trailing
+  * '/' trimmed, like the reference (/root/reference/reference.go:199-206).
+  * Local JSON-pointer resolution is arbitrary-depth (superset of the
+  * reference's depth-2 limit, /root/reference/reference.go:174-197).
+  */
+final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
+
+  /** canon(base uri) → (raw doc/subschema JSON, its base uri). */
+  private val docCache = mutable.Map[String, (JValue, String)]()
+  /** canon(doc base) + "#" + fragment → compiled cell (cycle guard:
+    * the cell is registered before its body compiles, mirroring the
+    * reference's `resolved` flag, /root/reference/reference.go:99-109).
+    */
+  private val compiledCache = mutable.Map[String, CompiledSchema]()
+  private var anonCounter = 0
+
+  private val normalizedRegistry: Map[String, String] =
+    registry.map { case (k, v) => canon(k) -> v }
+
+  def compile(docText: String): CompiledSchema = compileDoc(Json.parse(docText))
+
+  def compileDoc(doc: JValue): CompiledSchema = {
+    val base = doc match {
+      case o: JObj => o.get("id") match {
+        case Some(JStr(id)) => id
+        case _              => freshAnonBase()
+      }
+      case _ => freshAnonBase()
+    }
+    val baseC = canon(base)
+    docCache(baseC) = (doc, base)
+    scanIds(doc, base)
+    compileAt(doc, base, baseC, "")
+  }
+
+  private def freshAnonBase(): String = {
+    anonCounter += 1
+    s"graft://anon$anonCounter"
+  }
+
+  /** Strip fragment, trim trailing '/' (reference.go:199-206). */
+  private def canon(uri: String): String = {
+    val noFrag = uri.indexOf('#') match {
+      case -1 => uri
+      case i  => uri.substring(0, i)
+    }
+    if (noFrag.length > 1 && noFrag.endsWith("/")) noFrag.dropRight(1) else noFrag
+  }
+
+  private def resolveUri(scope: String, ref: String): String =
+    try {
+      if (scope.isEmpty) ref
+      else new URI(scope).resolve(new URI(ref)).toString
+    } catch { case _: Exception => ref }
+
+  /** Pre-register every `id`-bearing object so refs can target schemas
+    * in not-yet-compiled subtrees (the reference parses ALL embedded
+    * schemas eagerly, /root/reference/jsonschema.go:99-103).
+    */
+  private def scanIds(v: JValue, scope: String): Unit = v match {
+    case obj: JObj =>
+      val newScope = obj.get("id") match {
+        case Some(JStr(id)) =>
+          val s = resolveUri(scope, id)
+          docCache.getOrElseUpdate(canon(s), (obj, s))
+          s
+        case _ => scope
+      }
+      obj.fields.foreach {
+        case ("enum", _) => () // enum members are data, not schemas
+        case (_, child)  => scanIds(child, newScope)
+      }
+    case JArr(items) => items.foreach(scanIds(_, scope))
+    case _           => ()
+  }
+
+  /** Compile the schema at `json`, addressed as `docCanon#ptr`. */
+  private def compileAt(json: JValue, scope: String, docCanon: String, ptr: String): CompiledSchema = {
+    val key = s"$docCanon#$ptr"
+    compiledCache.get(key) match {
+      case Some(c) => c
+      case None =>
+        val cell = new CompiledSchema
+        cell.uri = key
+        compiledCache(key) = cell
+        json match {
+          case obj: JObj =>
+            val newScope = obj.get("id") match {
+              case Some(JStr(id)) =>
+                val s = resolveUri(scope, id)
+                compiledCache.getOrElseUpdate(canon(s) + "#", cell)
+                s
+              case _ => scope
+            }
+            obj.get("$ref") match {
+              case Some(JStr(r)) =>
+                // draft-04: $ref replaces the schema wholesale
+                // (reference splices in place, reference.go:87-96).
+                cell.keywords = Vector(RefK(resolveRef(r, newScope)))
+              case _ =>
+                cell.keywords = buildKeywords(obj, newScope, docCanon, ptr)
+            }
+          case _ =>
+            // Non-object schema value: undecodable keyword ⇒ dropped ⇒
+            // always-pass (reference behavior, jsonschema.go:106-113).
+            cell.keywords = Vector.empty
+        }
+        cell
+    }
+  }
+
+  private def resolveRef(r: String, scope: String): CompiledSchema = {
+    val abs = resolveUri(scope, r)
+    val baseC = canon(abs)
+    val frag = abs.indexOf('#') match {
+      case -1 => ""
+      case i  => abs.substring(i + 1)
+    }
+    val (doc, docBase) = docCache.get(baseC) match {
+      case Some(d) => d
+      case None =>
+        normalizedRegistry.get(baseC) match {
+          case Some(text) =>
+            val d = Json.parse(text)
+            val rootBase = d match {
+              case o: JObj => o.get("id") match {
+                case Some(JStr(id)) => resolveUri(baseC, id)
+                case _              => baseC
+              }
+              case _ => baseC
+            }
+            docCache(baseC) = (d, rootBase)
+            scanIds(d, rootBase)
+            (d, rootBase)
+          case None =>
+            throw new SchemaCompileException(s"unresolvable $$ref '$r' (scope '$scope' → '$abs')")
+        }
+    }
+    if (frag.isEmpty) compileAt(doc, docBase, baseC, "")
+    else if (frag.startsWith("/")) {
+      // JSON-pointer walk with ~0/~1/%25 unescaping
+      // (reference.go:164-168) and `id` scope tracking along the path.
+      var cur: JValue = doc
+      var curScope = docBase
+      var atRoot = true // root's own id is already folded into docBase
+      val tokens = frag.split("/", -1).toList.drop(1).map(unescapeToken)
+      tokens.foreach { tok =>
+        cur match {
+          case o: JObj =>
+            if (!atRoot) o.get("id") match {
+              case Some(JStr(id)) => curScope = resolveUri(curScope, id)
+              case _              => ()
+            }
+            cur = o.get(tok).getOrElse(
+              throw new SchemaCompileException(s"$$ref pointer '$frag': key '$tok' not found"))
+          case JArr(items) =>
+            val i = try tok.toInt catch {
+              case _: NumberFormatException =>
+                throw new SchemaCompileException(s"$$ref pointer '$frag': bad index '$tok'")
+            }
+            if (i < 0 || i >= items.length)
+              throw new SchemaCompileException(s"$$ref pointer '$frag': index $i out of range")
+            cur = items(i)
+          case _ =>
+            throw new SchemaCompileException(s"$$ref pointer '$frag': cannot descend into scalar")
+        }
+        atRoot = false
+      }
+      compileAt(cur, curScope, baseC, frag)
+    } else {
+      // Plain-name fragment: only resolvable if some schema registered
+      // that exact uri via its `id`.
+      compiledCache.getOrElse(s"$baseC#$frag",
+        throw new SchemaCompileException(s"unresolvable plain-name fragment '#$frag'"))
+    }
+  }
+
+  private def unescapeToken(t: String): String =
+    t.replace("~1", "/").replace("~0", "~").replace("%25", "%")
+
+  // ---------------------------------------------------------------
+  // keyword construction (mirrors validatorMap, jsonschema.go:13-48)
+  // ---------------------------------------------------------------
+
+  private def buildKeywords(obj: JObj, scope: String, docCanon: String, ptr: String): Vector[Keyword] = {
+    val out = Vector.newBuilder[Keyword]
+    var propsEmitted = false
+
+    def sub(json: JValue, p: String): CompiledSchema = compileAt(json, scope, docCanon, p)
+
+    def subVector(json: JValue, p: String): Option[Vector[CompiledSchema]] = json match {
+      case JArr(items) => Some(items.zipWithIndex.map { case (s, i) => sub(s, s"$p/$i") })
+      case _           => None
+    }
+
+    def asLong(v: JValue): Option[Long] = v match {
+      case n: JNum if n.isIntegral =>
+        try Some(n.text.toLong) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+    def asNonNegLong(v: JValue): Option[Long] = asLong(v).filter(_ >= 0)
+
+    obj.fields.foreach { case (key, value) =>
+      key match {
+        case "type" =>
+          value match {
+            case JStr(s) => out += TypeK(Set(s))
+            case JArr(items) =>
+              val names = items.collect { case JStr(s) => s }
+              if (names.length == items.length) out += TypeK(names.toSet)
+            case _ => () // undecodable ⇒ dropped
+          }
+        case "enum" =>
+          value match {
+            case JArr(items) => out += EnumK(items)
+            case _           => ()
+          }
+        case "maximum" =>
+          value match {
+            case n: JNum =>
+              val excl = obj.get("exclusiveMaximum").contains(JBool(true))
+              out += MaximumK(n.decimal, excl)
+            case _ => ()
+          }
+        case "minimum" =>
+          value match {
+            case n: JNum =>
+              val excl = obj.get("exclusiveMinimum").contains(JBool(true))
+              out += MinimumK(n.decimal, excl)
+            case _ => ()
+          }
+        case "multipleOf" =>
+          value match {
+            case n: JNum if n.decimal > 0 => out += MultipleOfK(n.decimal)
+            case _                        => ()
+          }
+        case "maxLength" => asNonNegLong(value).foreach(out += MaxLengthK(_))
+        case "minLength" => asNonNegLong(value).foreach(out += MinLengthK(_))
+        case "pattern" =>
+          value match {
+            case JStr(r) =>
+              try { java.util.regex.Pattern.compile(r); out += PatternK(r) }
+              catch { case _: Exception => () } // invalid regex ⇒ dropped
+            case _ => ()
+          }
+        case "format" =>
+          value match {
+            case JStr(f) => out += FormatK(f)
+            case _       => ()
+          }
+        case "items" =>
+          value match {
+            case o: JObj => out += ItemsListK(sub(o, s"$ptr/items"))
+            case arr: JArr =>
+              val schemas = arr.items.zipWithIndex.map { case (s, i) => sub(s, s"$ptr/items/$i") }
+              val additional = obj.get("additionalItems") match {
+                case Some(JBool(false)) => Some(Left(false))
+                case Some(o: JObj)      => Some(Right(sub(o, s"$ptr/additionalItems")))
+                case _                  => None
+              }
+              out += ItemsTupleK(schemas, additional)
+            case _ => ()
+          }
+        case "additionalItems" => () // handled as neighbor of items
+        case "maxItems"        => asNonNegLong(value).foreach(out += MaxItemsK(_))
+        case "minItems"        => asNonNegLong(value).foreach(out += MinItemsK(_))
+        case "uniqueItems" =>
+          if (value == JBool(true)) out += UniqueItemsK
+        case "properties" | "patternProperties" | "additionalProperties" =>
+          if (!propsEmitted) {
+            propsEmitted = true
+            val props: Map[String, CompiledSchema] = obj.get("properties") match {
+              case Some(po: JObj) =>
+                po.fields.collect { case (name, s: JObj) =>
+                  name -> sub(s, s"$ptr/properties/${escapeToken(name)}")
+                }.toMap
+              case _ => Map.empty
+            }
+            val patterns: Vector[(String, CompiledSchema)] = obj.get("patternProperties") match {
+              case Some(po: JObj) =>
+                po.fields.collect { case (regex, s: JObj)
+                  if (try { java.util.regex.Pattern.compile(regex); true }
+                      catch { case _: Exception => false }) => // invalid regex skipped (val_object.go:191-194)
+                  regex -> sub(s, s"$ptr/patternProperties/${escapeToken(regex)}")
+                }
+              case _ => Vector.empty
+            }
+            val additional: AdditionalProps = obj.get("additionalProperties") match {
+              case Some(JBool(false)) => ForbidAdditional
+              case Some(s: JObj)      => AdditionalSchema(sub(s, s"$ptr/additionalProperties"))
+              case _                  => AllowAll
+            }
+            out += PropsK(props, patterns, additional)
+          }
+        case "required" =>
+          value match {
+            case JArr(items) =>
+              val names = items.collect { case JStr(s) => s }
+              if (names.length == items.length && names.nonEmpty) out += RequiredK(names)
+            case _ => ()
+          }
+        case "dependencies" =>
+          value match {
+            case o: JObj =>
+              val schemaDeps = Vector.newBuilder[(String, CompiledSchema)]
+              val propDeps = Vector.newBuilder[(String, Vector[String])]
+              o.fields.foreach {
+                case (k, s: JObj) =>
+                  schemaDeps += (k -> sub(s, s"$ptr/dependencies/${escapeToken(k)}"))
+                case (k, JArr(items)) =>
+                  val names = items.collect { case JStr(s) => s }
+                  if (names.length == items.length) propDeps += (k -> names)
+                case _ => ()
+              }
+              out += DependenciesK(schemaDeps.result(), propDeps.result())
+            case _ => ()
+          }
+        case "maxProperties" => asNonNegLong(value).foreach(out += MaxPropertiesK(_))
+        case "minProperties" => asNonNegLong(value).foreach(out += MinPropertiesK(_))
+        case "allOf" => subVector(value, s"$ptr/allOf").foreach(out += AllOfK(_))
+        case "anyOf" => subVector(value, s"$ptr/anyOf").foreach(out += AnyOfK(_))
+        case "oneOf" => subVector(value, s"$ptr/oneOf").foreach(out += OneOfK(_))
+        case "not" =>
+          value match {
+            case o: JObj => out += NotK(sub(o, s"$ptr/not"))
+            case _       => ()
+          }
+        case "id" | "exclusiveMaximum" | "exclusiveMinimum" | "$ref" => ()
+        case _ =>
+          // Unknown keyword (`other`, val_all.go:85-95): no validator, but
+          // ref targets inside resolve on demand via the pointer walk.
+          ()
+      }
+    }
+    out.result()
+  }
+
+  private def escapeToken(t: String): String =
+    t.replace("~", "~0").replace("/", "~1")
+}

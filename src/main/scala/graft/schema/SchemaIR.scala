@@ -1,0 +1,103 @@
+package graft.schema
+
+import graft.json.JValue
+import java.util.regex.Pattern
+
+/** Compiled draft-04 schema: one [[Keyword]] per recognized schema key,
+  * mirroring the reference's `validatorMap`
+  * (/root/reference/jsonschema.go:13-48). Neighbor-coupled keywords
+  * (maximum+exclusiveMaximum, items+additionalItems,
+  * properties+patternProperties+additionalProperties — wired via
+  * `SetSchema`/`CheckNeighbors` in /root/reference/jsonschema.go:119-127)
+  * are fused into single nodes at construction.
+  *
+  * `CompiledSchema` is a mutable cell so `$ref` cycles can be tied
+  * (the reference splices pointers with a `resolved` cycle guard,
+  * /root/reference/reference.go:99-109); after compilation the graph is
+  * effectively immutable and Java-serializable for broadcast.
+  */
+final class CompiledSchema extends Serializable {
+  var keywords: Vector[Keyword] = Vector.empty
+  /** Canonical URI this schema was registered under (diagnostics). */
+  var uri: String = ""
+}
+
+object CompiledSchema {
+  val empty: CompiledSchema = new CompiledSchema
+}
+
+sealed trait Keyword extends Serializable
+
+// ----- numeric (/root/reference/val_number.go) -----
+/** Spec-correct exclusivity (the reference's `minimum` has two bugs —
+  * lowercase neighbor lookup + inverted flag, val_number.go:77-133 —
+  * we implement draft-04 semantics; divergence documented in SURVEY.md §2.1 #2).
+  */
+final case class MaximumK(bound: BigDecimal, exclusive: Boolean) extends Keyword
+final case class MinimumK(bound: BigDecimal, exclusive: Boolean) extends Keyword
+/** Spec-correct: applies to all numbers, exact decimal remainder
+  * (reference is integer-only, val_number.go:135-163).
+  */
+final case class MultipleOfK(m: BigDecimal) extends Keyword
+
+// ----- string (/root/reference/val_string.go) -----
+final case class MaxLengthK(n: Long) extends Keyword
+final case class MinLengthK(n: Long) extends Keyword
+/** Unanchored regex find (Go `Regexp.MatchString`, val_string.go:58-68). */
+final case class PatternK(regex: String) extends Keyword {
+  @transient lazy val pattern: Pattern = Pattern.compile(regex)
+}
+/** Only the reference's 6 formats (val_string.go:70-115); unknown names pass. */
+final case class FormatK(name: String) extends Keyword
+
+// ----- array (/root/reference/val_array.go) -----
+final case class ItemsListK(schema: CompiledSchema) extends Keyword
+/** Tuple form; `additional` None = allow anything, Some(Left(false)) =
+  * reject extras, Some(Right(s)) = validate extras against s.
+  */
+final case class ItemsTupleK(schemas: Vector[CompiledSchema],
+                             additional: Option[Either[Boolean, CompiledSchema]]) extends Keyword
+final case class MaxItemsK(n: Long) extends Keyword
+final case class MinItemsK(n: Long) extends Keyword
+/** Not implemented by the reference (skip-listed, jsonschema_test.go:13);
+  * we implement the spec semantics as a superset.
+  */
+case object UniqueItemsK extends Keyword
+
+// ----- object (/root/reference/val_object.go) -----
+sealed trait AdditionalProps extends Serializable
+case object AllowAll extends AdditionalProps
+case object ForbidAdditional extends AdditionalProps
+final case class AdditionalSchema(schema: CompiledSchema) extends AdditionalProps
+
+/** Fused properties + patternProperties + additionalProperties
+  * (reference fuses via neighbor disable, val_object.go:231-302).
+  * Spec-correct: a key matching both `properties` and a pattern is
+  * validated by BOTH (the reference short-circuits; SURVEY.md §2.1 #13).
+  */
+final case class PropsK(props: Map[String, CompiledSchema],
+                        patterns: Vector[(String, CompiledSchema)],
+                        additional: AdditionalProps) extends Keyword {
+  @transient lazy val compiledPatterns: Vector[(Pattern, CompiledSchema)] =
+    patterns.map { case (r, s) => (Pattern.compile(r), s) }
+}
+
+/** Presence, not non-nullness (/root/reference/val_object.go:318-330). */
+final case class RequiredK(keys: Vector[String]) extends Keyword
+final case class DependenciesK(schemaDeps: Vector[(String, CompiledSchema)],
+                               propDeps: Vector[(String, Vector[String])]) extends Keyword
+final case class MaxPropertiesK(n: Long) extends Keyword
+final case class MinPropertiesK(n: Long) extends Keyword
+
+// ----- combinators (/root/reference/val_all.go) -----
+final case class EnumK(values: Vector[JValue]) extends Keyword
+final case class AllOfK(schemas: Vector[CompiledSchema]) extends Keyword
+final case class AnyOfK(schemas: Vector[CompiledSchema]) extends Keyword
+final case class OneOfK(schemas: Vector[CompiledSchema]) extends Keyword
+final case class NotK(schema: CompiledSchema) extends Keyword
+/** `"any"` passes everything (draft-03 leftover honored by the
+  * reference, val_all.go:127-129); `integer ⊂ number` (val_all.go:158-161).
+  */
+final case class TypeK(types: Set[String]) extends Keyword
+/** Delegation node used to tie `$ref` targets (incl. cycles). */
+final case class RefK(target: CompiledSchema) extends Keyword

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.json.Json
+import graft.schema.{Evaluator, SchemaCompiler}
+
+/** Tiny CLI surface over the core engine (no Spark): validate one JSON
+  * instance against a draft-04 schema, print violations one per line
+  * as `keyword <tab> jsonPointer <tab> message`, exit 0 iff valid.
+  *
+  * Usage: runMain graft.tools.ValidateCli '<schema json>' '<instance json>'
+  */
+object ValidateCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: ValidateCli <schema-json-or-@file> <instance-json-or-@file>")
+      sys.exit(2)
+    }
+    def arg(a: String): String =
+      if (a.startsWith("@")) new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.drop(1))))
+      else a
+    val schema = try Json.parse(arg(args(0))) catch {
+      case e: Exception => System.err.println(s"bad schema JSON: ${e.getMessage}"); sys.exit(2)
+    }
+    val instance = try Json.parse(arg(args(1))) catch {
+      case e: Exception => System.err.println(s"bad instance JSON: ${e.getMessage}"); sys.exit(2)
+    }
+    val compiled = try new SchemaCompiler().compileDoc(schema) catch {
+      case e: Exception => System.err.println(s"schema compile failed: ${e.getMessage}"); sys.exit(2)
+    }
+    val viols = Evaluator.validate(compiled, instance)
+    viols.foreach(v => println(s"${v.keyword}\t${v.jsonPointer}\t${v.message}"))
+    if (viols.isEmpty) println("VALID")
+    sys.exit(if (viols.isEmpty) 0 else 1)
+  }
+}
