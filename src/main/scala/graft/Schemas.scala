@@ -1,0 +1,66 @@
+package graft
+
+/** Draft-04 schemas used by the engine's standing queries.
+  * Planted-defect expectations are documented in FIXTURES.md.
+  */
+object Schemas {
+
+  /** Flagship schema for the synthesized source-code table
+    * (FIXTURES.md §1) — the north star's keyword subset incl. $ref.
+    */
+  val fileRow: String =
+    """{
+      |  "id": "http://graft.local/file-row",
+      |  "type": "object",
+      |  "required": ["repo", "path", "commit", "lang", "content"],
+      |  "properties": {
+      |    "repo":    {"type": "string", "pattern": "^[^/]+/[^/]+$"},
+      |    "path":    {"type": "string", "minLength": 1, "maxLength": 512},
+      |    "commit":  {"$ref": "#/definitions/sha1"},
+      |    "lang":    {"enum": ["scala","go","py","js","java","rs","c"]},
+      |    "content": {"type": "string", "maxLength": 10000}
+      |  },
+      |  "definitions": {
+      |    "sha1": {"type": "string", "pattern": "^[0-9a-f]{40}$"}
+      |  }
+      |}""".stripMargin
+
+  /** Validation schema for the driver `documents` table
+    * (doc_id, text, lang, source, n_chars) — exercises required, type,
+    * minimum/maximum, minLength/maxLength, enum, pattern, $ref.
+    * Planted violations at sf0.01: 75 enum (zh), 2 minLength,
+    * 20 maxLength, 250 pattern (src10..19), 37 maximum (n_chars>500).
+    */
+  val document: String =
+    """{
+      |  "id": "http://graft.local/document",
+      |  "type": "object",
+      |  "required": ["doc_id", "text", "lang", "source"],
+      |  "properties": {
+      |    "doc_id":  {"type": "integer", "minimum": 0},
+      |    "text":    {"type": "string", "minLength": 50, "maxLength": 520},
+      |    "lang":    {"enum": ["en", "de", "fr", "es"]},
+      |    "source":  {"$ref": "#/definitions/shortSource"},
+      |    "n_chars": {"type": "integer", "maximum": 500}
+      |  },
+      |  "definitions": {
+      |    "shortSource": {"type": "string", "pattern": "^src[0-9]$"}
+      |  }
+      |}""".stripMargin
+
+  /** Tree-path schema for `events.props` (a JSON-string column):
+    * nested object validation the fast path can't express.
+    */
+  val eventProps: String =
+    """{
+      |  "type": "object",
+      |  "required": ["props"],
+      |  "properties": {
+      |    "props": {
+      |      "type": "object",
+      |      "required": ["k"],
+      |      "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}
+      |    }
+      |  }
+      |}""".stripMargin
+}

@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.spark.{ColumnCompiler, Validate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry has a DuckDB-equivalent `oracleSql` over the
+  * same parquet tables (column names aligned — the driver's compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private lazy val documentSchema = Validate.compileSchema(Schemas.document)
+  private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Validate.violations(
+      table(spark, "/root/testdata/sf0.001", "documents"),
+      documentSchema, Seq("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- per-row keyword validation, Catalyst fast path -------------
+    // (type, required, enum, pattern, min/max, minLength/maxLength,
+    //  $ref via broadcast-free inlining — SURVEY.md §2.1)
+    "v_doc_violations" -> ((s, dir) =>
+      Validate.violations(table(s, dir, "documents"), documentSchema, Seq("doc_id"))),
+
+    // per-row verdict aggregated by lang (pass-rate summary)
+    "v_doc_summary" -> ((s, dir) => {
+      val df = table(s, dir, "documents")
+      val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      df.select(col("lang"), Validate.passColumn(checks).as("pass"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pass"), 0L).otherwise(1L)).as("n_invalid"))
+    }),
+
+    // --- tree-evaluator path over a JSON-string column ---------------
+    // (nested properties/required/min/max the fast path can't express)
+    "v_events_props" -> ((s, dir) =>
+      Validate.treeViolations(
+        table(s, dir, "events").select("event_id", "props"),
+        eventPropsSchema, Seq("event_id"), jsonCols = Set("props")))
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "v_doc_violations" ->
+      """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
+        |       'Enum error. The data must be equal to one of the allowed values.' AS message
+        |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL
+        |SELECT doc_id, 'minLength', '/text', 'String length must be at least 50 characters.'
+        |  FROM documents WHERE length(text) < 50
+        |UNION ALL
+        |SELECT doc_id, 'maxLength', '/text', 'String length must be at most 520 characters.'
+        |  FROM documents WHERE length(text) > 520
+        |UNION ALL
+        |SELECT doc_id, 'pattern', '/source', 'String must match the pattern: "^src[0-9]$".'
+        |  FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |UNION ALL
+        |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
+        |  FROM documents WHERE n_chars > 500""".stripMargin,
+
+    "v_doc_summary" ->
+      """SELECT lang,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es')
+        |                 AND length(text) BETWEEN 50 AND 520
+        |                 AND regexp_matches(source, '^src[0-9]$')
+        |                 AND n_chars <= 500
+        |                 AND doc_id >= 0
+        |            THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "v_events_props" ->
+      """SELECT event_id, 'maximum' AS keyword, '/props/k' AS json_pointer,
+        |       'Value must be at most 50.' AS message
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""".stripMargin
+  )
 }

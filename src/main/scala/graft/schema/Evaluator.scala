@@ -16,6 +16,29 @@ final case class Viol(keyword: String, path: List[String], message: String) {
     "/" + path.map(t => t.replace("~", "~0").replace("/", "~1")).mkString("/")
 }
 
+/** Violation message builders shared by the tree evaluator and the
+  * Catalyst fast path ([[graft.spark.ColumnCompiler]]) so both paths
+  * emit byte-identical rows (asserted by parity tests).
+  */
+object Msg {
+  def typeErr(types: Set[String], got: String): String =
+    s"Value must be one of these types: ${types.toList.sorted.mkString("[", " ", "]")}. Got $got"
+  def typeErrAnyGot(types: Set[String]): String =
+    s"Value must be one of these types: ${types.toList.sorted.mkString("[", " ", "]")}."
+  val enumErr = "Enum error. The data must be equal to one of the allowed values."
+  def maximum(bound: BigDecimal, exclusive: Boolean): String =
+    s"Value must be ${if (exclusive) "smaller than" else "at most"} $bound."
+  def minimum(bound: BigDecimal, exclusive: Boolean): String =
+    s"Value must be ${if (exclusive) "larger than" else "at least"} $bound."
+  def multipleOf(m: BigDecimal): String = s"Value must be a multiple of $m."
+  def maxLength(n: Long): String = s"String length must be at most $n characters."
+  def minLength(n: Long): String = s"String length must be at least $n characters."
+  def pattern(regex: String): String = s"""String must match the pattern: "$regex"."""
+  def format(name: String): String = s"Value must conform to format '$name'."
+  def required(key: String): String = s"Required property '$key' is missing."
+  def additionalProperty(key: String): String = s"Additional property '$key' is not allowed."
+}
+
 /** Recursive draft-04 evaluator over the compiled schema graph — the
   * analogue of `Schema.Validate` (/root/reference/jsonschema.go:81-87):
   * iterate keywords, concatenate errors, verdict = no errors. Runs on
@@ -59,18 +82,18 @@ object Evaluator {
         val t = v.typeName
         val ok = types.contains(t) || (t == "integer" && types.contains("number"))
         if (!ok)
-          out += Viol("type", path, s"Value must be one of these types: ${types.toList.sorted.mkString("[", " ", "]")}. Got $t")
+          out += Viol("type", path, Msg.typeErr(types, t))
       }
 
     case EnumK(values) =>
       if (!values.exists(JValue.deepEqual(v, _)))
-        out += Viol("enum", path, "Enum error. The data must be equal to one of the allowed values.")
+        out += Viol("enum", path, Msg.enumErr)
 
     case MaximumK(bound, exclusive) => v match {
       case n: JNum =>
         val c = n.decimal.compare(bound)
         if (if (exclusive) c >= 0 else c > 0)
-          out += Viol("maximum", path, s"Value must be ${if (exclusive) "smaller than" else "at most"} $bound.")
+          out += Viol("maximum", path, Msg.maximum(bound, exclusive))
       case _ => ()
     }
 
@@ -78,26 +101,26 @@ object Evaluator {
       case n: JNum =>
         val c = n.decimal.compare(bound)
         if (if (exclusive) c <= 0 else c < 0)
-          out += Viol("minimum", path, s"Value must be ${if (exclusive) "larger than" else "at least"} $bound.")
+          out += Viol("minimum", path, Msg.minimum(bound, exclusive))
       case _ => ()
     }
 
     case MultipleOfK(m) => v match {
       case n: JNum =>
         if (n.decimal.remainder(m).compare(BigDecimal(0)) != 0)
-          out += Viol("multipleOf", path, s"Value must be a multiple of $m.")
+          out += Viol("multipleOf", path, Msg.multipleOf(m))
       case _ => ()
     }
 
     case MaxLengthK(n) => v match {
       case JStr(s) if runeCount(s) > n =>
-        out += Viol("maxLength", path, s"String length must be at most $n characters.")
+        out += Viol("maxLength", path, Msg.maxLength(n))
       case _ => ()
     }
 
     case MinLengthK(n) => v match {
       case JStr(s) if runeCount(s) < n =>
-        out += Viol("minLength", path, s"String length must be at least $n characters.")
+        out += Viol("minLength", path, Msg.minLength(n))
       case _ => ()
     }
 
@@ -105,14 +128,14 @@ object Evaluator {
       case JStr(s) =>
         // Unanchored find, like Go MatchString (val_string.go:63).
         if (!p.pattern.matcher(s).find())
-          out += Viol("pattern", path, s"""String must match the pattern: "${p.regex}".""")
+          out += Viol("pattern", path, Msg.pattern(p.regex))
       case _ => ()
     }
 
     case FormatK(name) => v match {
       case JStr(s) =>
         if (!Formats.check(name, s))
-          out += Viol("format", path, s"Value must conform to format '$name'.")
+          out += Viol("format", path, Msg.format(name))
       case _ => ()
     }
 
@@ -188,7 +211,7 @@ object Evaluator {
           if (!matched) pk.additional match {
             case AllowAll         => ()
             case ForbidAdditional =>
-              out += Viol("additionalProperties", path :+ key, s"Additional property '$key' is not allowed.")
+              out += Viol("additionalProperties", path :+ key, Msg.additionalProperty(key))
             case AdditionalSchema(s) =>
               out ++= validateAt(s, value, path :+ key)
           }
@@ -201,7 +224,7 @@ object Evaluator {
         keys.foreach { k =>
           // Presence, not non-nullness (val_object.go:318-330).
           if (!obj.map.contains(k))
-            out += Viol("required", path, s"Required property '$k' is missing.")
+            out += Viol("required", path, Msg.required(k))
         }
       case _ => ()
     }

@@ -1,0 +1,207 @@
+package graft.spark
+
+import graft.schema._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One fast-path check: a Catalyst boolean `pass` predicate plus the
+  * violation row it emits when false. All predicates are built from
+  * codegen'd built-ins (`rlike`, `length`, comparisons, `isin`) so the
+  * whole per-row pass stays inside WholeStageCodegen and string/enum
+  * predicates are eligible for parquet pushdown when used as filters.
+  */
+final case class Check(keyword: String, pointer: String, message: String, pass: Column)
+
+/** Compiles a flat object schema (the north star's keyword subset over
+  * typed columns: type, required, enum, pattern, min/max,
+  * minLength/maxLength, format, $ref-to-scalar) into [[Check]]s against
+  * a DataFrame's `StructType`. Returns None when the schema needs the
+  * tree evaluator (nested containers over string JSON, combinators the
+  * column mapping can't express) — the caller then falls back to
+  * [[Validate.treeViolations]]; both paths emit identical rows.
+  *
+  * Row→JSON convention: a NULL column value means the key is ABSENT
+  * from the JSON object (parquet optional-field semantics); `required`
+  * therefore fails on null. Every per-value check is presence-guarded
+  * (`isNull || pred`) to match draft-04 "skip when inapplicable".
+  */
+object ColumnCompiler {
+
+  def compile(schema: CompiledSchema, struct: StructType): Option[Vector[Check]] = {
+    val root = deref(schema, 0).getOrElse(return None)
+    val out = Vector.newBuilder[Check]
+    val colNames = struct.fields.map(_.name).toVector
+
+    root.keywords.foreach {
+      case TypeK(types) =>
+        // The row itself is always a JSON object.
+        if (!types.contains("any") && !types.contains("object"))
+          out += Check("type", "/", Msg.typeErr(types, "object"), lit(false))
+
+      case RequiredK(keys) =>
+        keys.foreach { k =>
+          val pass = if (colNames.contains(k)) col(k).isNotNull else lit(false)
+          out += Check("required", "/", Msg.required(k), pass)
+        }
+
+      case pk: PropsK =>
+        // Column set is static ⇒ properties/patternProperties/
+        // additionalProperties routing is resolved at compile time.
+        colNames.foreach { name =>
+          val field = struct(name)
+          var matched = false
+          pk.props.get(name).foreach { sub =>
+            matched = true
+            compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+          }
+          pk.patterns.foreach { case (regex, sub) =>
+            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+              matched = true
+              compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+            }
+          }
+          if (!matched) pk.additional match {
+            case AllowAll => ()
+            case ForbidAdditional =>
+              out += Check("additionalProperties", s"/$name", Msg.additionalProperty(name), col(name).isNull)
+            case AdditionalSchema(sub) =>
+              compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+          }
+        }
+
+      case MaxPropertiesK(n) =>
+        // Present keys = non-null columns.
+        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+        out += Check("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
+
+      case MinPropertiesK(n) =>
+        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+        out += Check("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
+
+      case EnumK(_) | _: DependenciesK | _: AllOfK | _: AnyOfK | _: OneOfK | _: NotK |
+           _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK =>
+        return None // row-level combinators/array keywords → tree path
+
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK =>
+        () // scalar keyword against an object instance: skips (draft-04)
+
+      case RefK(_) => return None // nested ref at root not pre-deref'd — tree path
+    }
+    Some(out.result())
+  }
+
+  /** Follow RefK delegation chains (bail on cycles — tree path handles those). */
+  private def deref(s: CompiledSchema, depth: Int): Option[CompiledSchema] =
+    if (depth > 32) None
+    else s.keywords match {
+      case Vector(RefK(t)) => deref(t, depth + 1)
+      case _               => Some(s)
+    }
+
+  /** Checks for one property value bound to column `name` of type `dt`.
+    * Returns None ⇒ unsupported ⇒ caller falls back to the tree path.
+    */
+  private def compileValueChecks(schema0: CompiledSchema, name: String, dt: DataType,
+                                 out: scala.collection.mutable.Builder[Check, Vector[Check]]): Option[Unit] = {
+    val schema = deref(schema0, 0).getOrElse(return None)
+    val c = col(name)
+    def guarded(pred: Column): Column = c.isNull || pred
+    val ptr = s"/$name"
+
+    // JSON type of a present value, statically known from the column type.
+    val jsonType: String = dt match {
+      case StringType                                     => "string"
+      case LongType | IntegerType | ShortType | ByteType  => "integer"
+      case DoubleType | FloatType | _: DecimalType        => "number"
+      case BooleanType                                    => "boolean"
+      case _                                              => return None // arrays/structs/timestamps → tree path
+    }
+    val isNumeric = jsonType == "integer" || jsonType == "number"
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        val ok = types.contains("any") || types.contains(jsonType) ||
+          (jsonType == "integer" && types.contains("number"))
+        if (!ok)
+          out += Check("type", ptr, Msg.typeErr(types, jsonType), c.isNull)
+
+      case EnumK(values) =>
+        val members: Seq[Any] = jsonType match {
+          case "string"  => values.collect { case graft.json.JStr(s) => s }
+          case "boolean" => values.collect { case graft.json.JBool(b) => b }
+          case _ => values.collect { case n: graft.json.JNum => n.decimal.toDouble }
+        }
+        val pred =
+          if (members.isEmpty) lit(false)
+          else if (isNumeric) c.cast(DoubleType).isin(members: _*)
+          else c.isin(members: _*)
+        out += Check("enum", ptr, Msg.enumErr, guarded(pred))
+
+      case MaximumK(bound, exclusive) if isNumeric =>
+        val b = lit(bound.toDouble)
+        val pred = if (exclusive) c < b else c <= b
+        out += Check("maximum", ptr, Msg.maximum(bound, exclusive), guarded(pred))
+      case _: MaximumK => () // non-numeric column: skips
+
+      case MinimumK(bound, exclusive) if isNumeric =>
+        val b = lit(bound.toDouble)
+        val pred = if (exclusive) c > b else c >= b
+        out += Check("minimum", ptr, Msg.minimum(bound, exclusive), guarded(pred))
+      case _: MinimumK => ()
+
+      case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
+        out += Check("multipleOf", ptr, Msg.multipleOf(m), guarded(pmod(c, lit(m.toLong)) === 0))
+      case MultipleOfK(_) if isNumeric => return None // float modulo: exact-decimal tree path only
+      case _: MultipleOfK => ()
+
+      case MaxLengthK(n) if jsonType == "string" =>
+        out += Check("maxLength", ptr, Msg.maxLength(n), guarded(length(c) <= n))
+      case _: MaxLengthK => ()
+
+      case MinLengthK(n) if jsonType == "string" =>
+        out += Check("minLength", ptr, Msg.minLength(n), guarded(length(c) >= n))
+      case _: MinLengthK => ()
+
+      case p: PatternK if jsonType == "string" =>
+        // Spark RLike = java.util.regex unanchored find — same semantics
+        // as the tree path and Go MatchString (val_string.go:63).
+        out += Check("pattern", ptr, Msg.pattern(p.regex), guarded(c.rlike(p.regex)))
+      case _: PatternK => ()
+
+      case FormatK(fmt) if jsonType == "string" =>
+        formatPredicate(fmt, c) match {
+          case Some(pred) => out += Check("format", ptr, Msg.format(fmt), guarded(pred))
+          case None       => return None // uri/ipv6 need the tree path
+        }
+      case _: FormatK => ()
+
+      // Container keywords against a scalar column: skip (draft-04).
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case _: PropsK | _: RequiredK | _: DependenciesK | _: MaxPropertiesK | _: MinPropertiesK => ()
+
+      // Value-level combinators: supportable in principle (verdict-only
+      // composition) — deferred to the tree path for now.
+      case _: AllOfK | _: AnyOfK | _: OneOfK | _: NotK | _: RefK => return None
+    }
+    Some(())
+  }
+
+  /** Format checks expressible as pure Catalyst predicates (regex-based
+    * subset of /root/reference/val_string.go:70-115). `uri`/`ipv6` need
+    * real parsing → handled only by the tree path.
+    */
+  private def formatPredicate(fmt: String, c: Column): Option[Column] = fmt match {
+    case "date-time" =>
+      Some(c.rlike("""^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?"""))
+    case "email" => Some(c.rlike(".+@.+"))
+    case "ipv4" =>
+      Some(c.rlike("""^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"""))
+    case "hostname" =>
+      Some(c.rlike("""^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""") &&
+        length(c) <= 255 && forall(split(c, "\\."), l => length(l) <= 63))
+    case "uri" | "ipv6" => None
+    case _              => Some(lit(true)) // unknown formats pass
+  }
+}

@@ -1,0 +1,152 @@
+package graft.spark
+
+import graft.json._
+import graft.schema._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-row validation over DataFrames — the engine's EP2 analogue
+  * (/root/reference/jsonschema.go:81-87) lifted to table scale.
+  *
+  * Two evaluation paths with identical output (parity-tested):
+  *
+  *  1. Catalyst fast path ([[ColumnCompiler]]): scalar keywords over
+  *     typed columns as codegen'd predicates — no shuffle, no UDF; the
+  *     scan prunes to only the validated + key columns.
+  *  2. Tree path: broadcast compiled schema + `mapPartitions` over rows
+  *     bridged to [[JValue]] — full recursive draft-04 semantics
+  *     (nested containers, combinators, recursive $ref, JSON-string
+  *     columns).
+  *
+  * Violations carry the caller's key columns plus
+  * (keyword, json_pointer, message) — the Dataset[Violation] shape of
+  * the north rule, generalized over key schema. At 100 TB both paths
+  * are embarrassingly parallel: per-row work, zero shuffles; only the
+  * caller's downstream aggregations shuffle.
+  */
+object Validate {
+
+  /** Compile a schema on the driver against an offline registry. */
+  def compileSchema(schemaJson: String, registry: Map[String, String] = Map.empty): CompiledSchema =
+    new SchemaCompiler(registry).compile(schemaJson)
+
+  /** Violations via the fast path when the schema allows, else tree path. */
+  def violations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String]): DataFrame =
+    ColumnCompiler.compile(schema, df.schema) match {
+      case Some(checks) => fastViolations(df, checks, keyCols)
+      case None         => treeViolations(df, schema, keyCols)
+    }
+
+  /** Assemble violation rows from fast-path checks: explode an array of
+    * (keyword, pointer, message, pass) structs, keep the failing ones.
+    * explode + where (rather than a higher-order `filter` lambda) keeps
+    * the whole pipeline inside whole-stage codegen.
+    */
+  def fastViolations(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
+    require(checks.nonEmpty, "no checks compiled")
+    val arr = array(checks.map { ch =>
+      struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+        lit(ch.message).as("message"), ch.pass.as("pass"))
+    }: _*)
+    df.select(keyCols.map(col) :+ explode(arr).as("v"): _*)
+      .where(!col("v.pass"))
+      .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
+        col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+  }
+
+  /** One boolean verdict column from fast-path checks. */
+  def passColumn(checks: Seq[Check]): Column =
+    checks.map(_.pass).reduce(_ && _)
+
+  /** Tree-path violations: rows bridged to JObj (null column ⇒ absent
+    * key), validated against the broadcast schema. `jsonCols` columns
+    * hold JSON *text* to be parsed into a subtree (e.g. `events.props`);
+    * unparsable text yields a synthetic `malformed` violation.
+    */
+  def treeViolations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
+                     jsonCols: Set[String] = Set.empty): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(schema)
+    val inSchema = df.schema
+    val outSchema = StructType(
+      keyCols.map(k => inSchema(k)) ++ Seq(
+        StructField("keyword", StringType, nullable = false),
+        StructField("json_pointer", StringType, nullable = false),
+        StructField("message", StringType, nullable = false)))
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val fields = inSchema.fields
+
+    df.mapPartitions { rows =>
+      val compiled = bc.value
+      rows.flatMap { row =>
+        val jv = SparkBridge.rowToJObj(row, fields, jsonCols)
+        val viols = jv match {
+          case Right(obj) => Evaluator.validate(compiled, obj)
+          case Left(badCol) =>
+            Vector(Viol("malformed", List(badCol), s"Column '$badCol' does not contain valid JSON."))
+        }
+        val keys = keyIdx.map(row.get)
+        viols.map(v => Row.fromSeq(keys ++ Seq(v.keyword, v.jsonPointer, v.message)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Per-partition pass/fail summary — the north rule's per-partition
+    * lineage unit. Partition identity is the caller's responsibility
+    * (stamp after `repartitionByRange` for stable ids).
+    */
+  def partitionSummary(df: DataFrame, pass: Column): DataFrame =
+    df.select(pass.as("pass"))
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows_seen"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("rows_failed"))
+}
+
+/** Spark Row → JValue bridge. NULL column ⇒ key absent (a flat
+  * DataFrame cannot distinguish present-null from absent; parquet
+  * optional-field semantics chosen, applied identically on both
+  * evaluation paths).
+  */
+object SparkBridge {
+
+  /** Left(colName) if a jsonCol fails to parse. */
+  def rowToJObj(row: Row, fields: Array[StructField], jsonCols: Set[String]): Either[String, JObj] = {
+    val buf = Vector.newBuilder[(String, JValue)]
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = fields(i)
+        if (jsonCols.contains(f.name)) {
+          Json.parseOpt(row.getString(i)) match {
+            case Some(v) => buf += ((f.name, v))
+            case None    => return Left(f.name)
+          }
+        } else buf += ((f.name, anyToJValue(row.get(i))))
+      }
+      i += 1
+    }
+    Right(JObj(buf.result()))
+  }
+
+  def anyToJValue(v: Any): JValue = v match {
+    case null                => JNull
+    case s: String           => JStr(s)
+    case b: Boolean          => JBool(b)
+    case n: Long             => JNum(n.toString)
+    case n: Int              => JNum(n.toString)
+    case n: Short            => JNum(n.toString)
+    case n: Byte             => JNum(n.toString)
+    case n: Double           => JNum(n.toString)
+    case n: Float            => JNum(n.toString)
+    case n: java.math.BigDecimal => JNum(n.toPlainString)
+    case seq: scala.collection.Seq[_] => JArr(seq.iterator.map(anyToJValue).toVector)
+    case m: scala.collection.Map[_, _] =>
+      JObj(m.iterator.map { case (k, mv) => (String.valueOf(k), anyToJValue(mv)) }.toVector)
+    case r: Row =>
+      JObj(r.schema.fields.iterator.zipWithIndex.collect {
+        case (f, i) if !r.isNullAt(i) => (f.name, anyToJValue(r.get(i)))
+      }.toVector)
+    case other => JStr(other.toString) // timestamps etc. — lexical fallback
+  }
+}

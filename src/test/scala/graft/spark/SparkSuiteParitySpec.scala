@@ -1,0 +1,69 @@
+package graft.spark
+
+import graft.json._
+import graft.schema._
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Replays the entire draft-04 corpus THROUGH Spark (SURVEY.md §5
+  * engine-plan item 2): every (schema, instance) pair becomes a row,
+  * all compiled schemas are broadcast as one registry (the Spark
+  * analogue of the reference's shared cache, jsonschema.go:59-63), a
+  * single executor-side pass computes verdicts, and they must equal
+  * the expected suite verdicts — i.e. the distributed engine agrees
+  * with the pure evaluator on every official-suite case.
+  */
+class SparkSuiteParitySpec extends AnyFunSuite {
+
+  test("all draft-04 suite verdicts reproduced through a Spark pass") {
+    val spark = SparkTestSession.spark
+    val dir = Seq("src/test/resources/draft4", "/root/repo/src/test/resources/draft4")
+      .map(Paths.get(_)).find(Files.isDirectory(_)).get
+
+    // (caseId, schemaIdx, instance json, expected)
+    val schemas = Vector.newBuilder[CompiledSchema]
+    val rows = Vector.newBuilder[(String, Int, String, Boolean)]
+    var idx = 0
+    Files.list(dir).iterator().asScala.toList.filter(_.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString).foreach { file =>
+        val JArr(cases) = (Json.parse(Files.readString(file)): @unchecked)
+        cases.foreach { c =>
+          val obj = c.asInstanceOf[JObj]
+          val compiler = new SchemaCompiler(graft.schema.Remotes.registry)
+          schemas += compiler.compileDoc(obj.map("schema"))
+          val JArr(tests) = (obj.map("tests"): @unchecked)
+          tests.foreach { t =>
+            val to = t.asInstanceOf[JObj]
+            rows += ((s"${file.getFileName}:${to.map("description").asInstanceOf[JStr].value}",
+              idx, Json.render(to.map("data")), to.map("valid").asInstanceOf[JBool].value))
+          }
+          idx += 1
+        }
+      }
+
+    val registry = spark.sparkContext.broadcast(schemas.result())
+    val inSchema = StructType(Seq(
+      StructField("id", StringType), StructField("schema_idx", IntegerType),
+      StructField("data", StringType), StructField("expected", BooleanType)))
+    val df = spark.createDataFrame(
+      rows.result().map { case (a, b, c, d) => Row(a, b, c, d) }.asJava, inSchema)
+
+    val verdicts = df.mapPartitions { it =>
+      val reg = registry.value
+      it.map { r =>
+        val ok = Evaluator.isValid(reg(r.getInt(1)), Json.parse(r.getString(2)))
+        Row(r.getString(0), ok, r.getBoolean(3))
+      }
+    }(Encoders.row(StructType(Seq(
+      StructField("id", StringType), StructField("got", BooleanType),
+      StructField("expected", BooleanType))))).collect()
+
+    val mismatches = verdicts.filter(r => r.getBoolean(1) != r.getBoolean(2))
+    assert(mismatches.isEmpty,
+      s"${mismatches.length} verdict mismatches:\n${mismatches.take(10).mkString("\n")}")
+    assert(verdicts.length > 250)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.spark
+
+import graft.Schemas
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}
+
+/** End-to-end Spark validation over the driver testdata at sf0.001,
+  * asserting (a) planted-violation counts, (b) fast-path ≡ tree-path
+  * row-level parity, (c) plan shape (no shuffle in the per-row pass).
+  */
+class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val schema = Validate.compileSchema(Schemas.document)
+
+  test("fast path compiles for the document schema") {
+    assert(ColumnCompiler.compile(schema, docs.schema).isDefined)
+  }
+
+  test("planted violation counts at sf0.001") {
+    val v = Validate.violations(docs, schema, Seq("doc_id")).cache()
+    val byKeyword = v.groupBy("keyword").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKeyword == Map(
+      "enum" -> 74L, "minLength" -> 1L, "maxLength" -> 25L,
+      "pattern" -> 250L, "maximum" -> 48L))
+    v.unpersist()
+  }
+
+  test("fast path and tree path emit identical violation rows") {
+    val fast = Validate.violations(docs, schema, Seq("doc_id"))
+    val tree = Validate.treeViolations(docs, schema, Seq("doc_id"))
+    assert(fast.exceptAll(tree).count() == 0)
+    assert(tree.exceptAll(fast).count() == 0)
+  }
+
+  test("tree path over a JSON-string column (events.props)") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet").select("event_id", "props")
+    val v = Validate.treeViolations(events, Validate.compileSchema(Schemas.eventProps),
+      Seq("event_id"), jsonCols = Set("props"))
+    assert(v.count() == 484)
+    assert(v.select("json_pointer").distinct().collect().map(_.getString(0)).toSet == Set("/props/k"))
+  }
+
+  test("partition summary accounts for every row") {
+    val checks = ColumnCompiler.compile(schema, docs.schema).get
+    val s = Validate.partitionSummary(docs, Validate.passColumn(checks))
+    val totals = s.agg(sum("rows_seen"), sum("rows_failed")).collect()(0)
+    assert(totals.getLong(0) == 500)
+    // 398 violations across 5 keywords but fewer distinct failing rows
+    assert(totals.getLong(1) > 0 && totals.getLong(1) <= 398)
+  }
+
+  test("fast-path plan has no shuffle and stays in whole-stage codegen") {
+    val v = Validate.violations(docs, schema, Seq("doc_id"))
+    val plan = v.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // whole-stage codegen spans render as "*(n)" in the plan string
+    assert(plan.contains("*("), s"no codegen:\n$plan")
+  }
+
+  test("fast-path scan prunes to validated + key columns only") {
+    val v = Validate.violations(docs.select("doc_id", "lang"),
+      Validate.compileSchema("""{"properties":{"lang":{"enum":["en"]}}}"""), Seq("doc_id"))
+    val scan = v.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") || scan.contains("doc_id"))
+  }
+
+  override def afterAll(): Unit = () // session shared across suites
+}
