@@ -47,7 +47,55 @@ object SparkEntry {
     "v_events_props" -> ((s, dir) =>
       Validate.treeViolations(
         table(s, dir, "events").select("event_id", "props"),
-        eventPropsSchema, Seq("event_id"), jsonCols = Set("props")))
+        eventPropsSchema, Seq("event_id"), jsonCols = Set("props"))),
+
+    // --- table-level constraints (SURVEY.md §2.3) --------------------
+
+    // single-pass exact column stats (count/nulls/min/max/distinct)
+    "c_stats_lineitem" -> ((s, dir) =>
+      graft.operators.Stats.columnStats(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // salted two-stage hash-agg uniqueness (duplicate key groups)
+    "c_uniq_documents" -> ((s, dir) =>
+      graft.operators.Uniqueness.duplicates(table(s, dir, "documents"), Seq("lang", "source"))),
+
+    // broadcast anti-join referential check (lang → allowed-langs dim)
+    "c_ref_lang" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq("en", "de", "fr", "es").toDF("lang")
+      graft.operators.Referential
+        .broadcastOrphans(table(s, dir, "documents"), Seq("lang"), dim, Seq("lang"))
+        .select("doc_id", "lang")
+    }),
+
+    // sort-merge anti-join referential check (orders → customer)
+    "c_ref_orders" -> ((s, dir) =>
+      graft.operators.Referential
+        .shuffleOrphans(table(s, dir, "orders"), Seq("o_custkey"),
+          table(s, dir, "customer"), Seq("c_custkey"))
+        .select("o_orderkey", "o_custkey")),
+
+    // distribution drift: exact per-bucket histogram, 1995-97 vs 98-01
+    "c_drift_hist" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val split = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      graft.operators.Drift.histogramCompare(
+        orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20)
+    }),
+
+    // PSI/KS scalar drift scores (derived doubles — rows-only check)
+    "c_drift_psi" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val split = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      graft.operators.Drift.psiKs(graft.operators.Drift.histogramCompare(
+        orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20))
+    }),
+
+    // sketch stats: HLL++ distinct + approx quantiles (rows-only check)
+    "c_stats_sketch" -> ((s, dir) =>
+      graft.operators.Stats.sketchStats(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice")))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
@@ -84,6 +132,31 @@ object SparkEntry {
       """SELECT event_id, 'maximum' AS keyword, '/props/k' AS json_pointer,
         |       'Value must be at most 50.' AS message
         |FROM events
-        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""".stripMargin
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""".stripMargin,
+
+    "c_stats_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n_present,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val,
+         |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
+    "c_uniq_documents" ->
+      """SELECT lang, source, count(*) AS n_rows
+        |FROM documents GROUP BY lang, source HAVING count(*) > 1""".stripMargin,
+
+    "c_ref_lang" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang NOT IN ('en','de','fr','es')""".stripMargin,
+
+    "c_ref_orders" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+
+    "c_drift_hist" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 25000), 0), 19) AS BIGINT) AS bucket,
+        |  CAST(sum(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

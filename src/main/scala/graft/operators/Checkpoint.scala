@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition lineage + resumable stages (north rule: "every stage
+  * writes per-partition lineage and metrics to a checkpoint table keyed
+  * by partition id, so a killed run resumes by anti-joining completed
+  * partitions and skipping them").
+  *
+  * Partition identity must be stable across runs: callers stamp ids
+  * with [[stampPartitions]], which `repartitionByRange`s on the given
+  * key columns first (RangePartitioner samples with a deterministic
+  * seed, so the same input + key + partition count yields the same
+  * layout) and then freezes `spark_partition_id()` into a column.
+  *
+  * The checkpoint table is an append-only Parquet directory (Iceberg
+  * stand-in) with rows (run_id, stage, partition_id, status, rows_seen,
+  * violations, wall_ms).
+  */
+object Checkpoint {
+
+  val schemaDDL = "run_id string, stage string, partition_id int, status string, rows_seen long, violations long, wall_ms long"
+
+  def stampPartitions(df: DataFrame, rangeCols: Seq[String], numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, rangeCols.map(col): _*)
+      .withColumn("partition_id", spark_partition_id())
+
+  /** Partition ids already completed for `stage` (any run). */
+  def completedPartitions(spark: SparkSession, checkpointDir: String, stage: String): DataFrame = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("partition_id int"))
+    try {
+      spark.read.parquet(checkpointDir)
+        .where(col("stage") === stage && col("status") === "done")
+        .select("partition_id").distinct()
+    } catch { case _: Exception => empty } // no checkpoint yet
+  }
+
+  /** Drop the already-completed partitions of a stamped input —
+    * a broadcast anti-join on partition_id (the completed set is tiny).
+    */
+  def pending(stamped: DataFrame, completed: DataFrame): DataFrame =
+    stamped.join(broadcast(completed), Seq("partition_id"), "left_anti")
+
+  /** Run one resumable stage: process only pending partitions, then
+    * append per-partition (rows_seen, violations, wall_ms) lineage.
+    * `violationsOf` maps the pending input to violation rows that still
+    * carry `partition_id`. Returns the violations of THIS run's share.
+    */
+  def runStage(spark: SparkSession, checkpointDir: String, runId: String, stage: String,
+               stamped: DataFrame)(violationsOf: DataFrame => DataFrame): DataFrame = {
+    val todo = pending(stamped, completedPartitions(spark, checkpointDir, stage)).cache()
+    val t0 = System.nanoTime()
+    val viols = violationsOf(todo).cache()
+
+    val perPartViols = viols.groupBy("partition_id").agg(count(lit(1)).as("violations"))
+    val wallMs = lit((System.nanoTime() - t0) / 1000000L)
+    val lineage = todo.groupBy("partition_id").agg(count(lit(1)).as("rows_seen"))
+      .join(perPartViols, Seq("partition_id"), "left_outer")
+      .select(lit(runId).as("run_id"), lit(stage).as("stage"), col("partition_id"),
+        lit("done").as("status"), col("rows_seen"),
+        coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("wall_ms"))
+    lineage.write.mode("append").parquet(checkpointDir)
+    todo.unpersist()
+    viols
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection via PSI/KS on equi-width histograms
+  * compared against a (checkpointed) baseline — north rule §drift.
+  *
+  * All plain DataFrame arithmetic: one groupBy per side to histogram
+  * (two-phase hash agg; `buckets` rows out regardless of input size),
+  * then a `buckets`-row full outer join + window cumsum. At 100 TB the
+  * only data-sized operation is the two histogram aggregations.
+  */
+object Drift {
+
+  /** Clamping equi-width bucket index: values outside [lo,hi) land in
+    * the edge buckets, so the histogram is total over non-null input.
+    */
+  def bucketCol(value: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    val w = (hi - lo) / buckets
+    least(greatest(floor((value - lit(lo)) / lit(w)), lit(0.0)), lit((buckets - 1).toDouble))
+      .cast("long")
+  }
+
+  /** (bucket, n) histogram of `valueCol`; non-null rows only. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, buckets: Int): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Joined per-bucket counts of baseline vs current (exact longs —
+    * the oracle-friendly artifact; PSI/KS are derived from this).
+    */
+  def histogramCompare(base: DataFrame, curr: DataFrame, valueCol: String,
+                       lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val b = histogram(base, valueCol, lo, hi, buckets).withColumnRenamed("n", "n_base")
+    val c = histogram(curr, valueCol, lo, hi, buckets).withColumnRenamed("n", "n_curr")
+    b.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+  }
+
+  /** Population Stability Index Σ(p−q)·ln(p/q) and Kolmogorov–Smirnov
+    * max|CDF_p−CDF_q| over the joined histogram. `eps` regularizes
+    * empty buckets. Single row out.
+    */
+  def psiKs(hist: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("p", (col("n_base") + lit(eps)) / (sum("n_base").over(Window.partitionBy()) + lit(eps)))
+      .withColumn("q", (col("n_curr") + lit(eps)) / (sum("n_curr").over(Window.partitionBy()) + lit(eps)))
+      .withColumn("cdf_p", sum("p").over(w))
+      .withColumn("cdf_q", sum("q").over(w))
+      .agg(
+        sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        max(abs(col("cdf_p") - col("cdf_q"))).as("ks"))
+  }
+}

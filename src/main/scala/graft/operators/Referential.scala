@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity checks (north rule: "lang against a broadcast
+  * allowed-langs dimension, commit-to-repo via sort-merge anti-join").
+  *
+  * Orphan rows = fact rows whose foreign key has no match in the
+  * dimension. Two physical strategies, chosen by dimension size:
+  *
+  *  - [[broadcastOrphans]]: dimension fits on every executor →
+  *    `broadcast()` hint → BroadcastHashJoin(LeftAnti). Zero shuffle of
+  *    the fact side — the only sane plan when the fact is 100 TB and
+  *    the dim is a list of languages.
+  *  - [[shuffleOrphans]]: both sides large (commit→repo at 10^12 rows)
+  *    → `SHUFFLE_MERGE` hint → SortMergeJoin(LeftAnti), with AQE
+  *    skew-join splitting hot fact partitions at runtime.
+  */
+object Referential {
+
+  def broadcastOrphans(fact: DataFrame, fkCols: Seq[String],
+                       dim: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val d = renameDim(dim, pkCols)
+    fact.join(broadcast(d), joinCond(fact, fkCols, d, pkCols), "left_anti")
+  }
+
+  def shuffleOrphans(fact: DataFrame, fkCols: Seq[String],
+                     dim: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val d = renameDim(dim, pkCols)
+    fact.hint("SHUFFLE_MERGE").join(d, joinCond(fact, fkCols, d, pkCols), "left_anti")
+  }
+
+  private def renameDim(dim: DataFrame, pkCols: Seq[String]): DataFrame =
+    pkCols.foldLeft(dim.select(pkCols.map(col): _*)) { (d, c) => d.withColumnRenamed(c, s"__pk_$c") }
+
+  private def joinCond(fact: DataFrame, fkCols: Seq[String], dim: DataFrame, pkCols: Seq[String]) =
+    fkCols.zip(pkCols).map { case (fk, pk) => fact(fk) === dim(s"__pk_$pk") }.reduce(_ && _)
+}

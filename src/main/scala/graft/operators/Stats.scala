@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-level column statistics (north rule: "column stats via
+  * single-pass aggregators"). Two tiers:
+  *
+  *  - [[columnStats]]: exact count / null-count / min / max /
+  *    distinct-count in ONE aggregation job (DuckDB-oracle-able).
+  *    `count(distinct)` over several columns uses Catalyst's Expand —
+  *    still a single pass over the input, two-phase partial+final
+  *    hash aggregation, no row explosion proportional to data width.
+  *  - [[sketchStats]]: the 100 TB path — HyperLogLog++
+  *    (`approx_count_distinct`) and Gretzel-Khanna quantile sketches
+  *    (`percentile_approx`), both mergeable partial aggregates with
+  *    constant memory per executor, no exact-distinct shuffle.
+  *
+  * Output is long format: one row per column.
+  */
+object Stats {
+
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"),
+        countDistinct(col(c)).as(s"__dst_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__cnt_$c").as("n_present"),
+        col(s"__nul_$c").as("n_nulls"), col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"), col(s"__dst_$c").as("n_distinct"))
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
+  }
+
+  /** Approximate stats for web scale: HLL++ distinct (rsd 1.5%) +
+    * approximate quantiles. Constant-size sketches merge across
+    * partitions — the only shuffle is the final single-row reduce.
+    */
+  def sketchStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(col(c)).as(s"__adst_$c"),
+        percentile_approx(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000)).as(s"__q_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__adst_$c").as("approx_distinct"),
+        col(s"__q_$c").getItem(0).as("p25"), col(s"__q_$c").getItem(1).as("p50"),
+        col(s"__q_$c").getItem(2).as("p75"), col(s"__q_$c").getItem(3).as("p99"))
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
+  }
+}

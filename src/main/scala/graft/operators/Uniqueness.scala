@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Uniqueness constraint via SALTED two-stage hash aggregation (north
+  * rule: "uniqueness on (repo,path,commit) via salted hash-aggregate to
+  * defeat hot-repo skew").
+  *
+  * Why two stages at 100 TB: a single `groupBy(key).count` hash-
+  * partitions by key, so a hot key (one repo owning 50% of rows) lands
+  * on one reducer. Stage 1 groups by (key, salt) — the hot key's rows
+  * spread over `saltBuckets` reducers; stage 2 re-aggregates the (at
+  * most `saltBuckets`) partial counts per key, which is tiny. Partial
+  * (map-side) aggregation applies in both stages.
+  *
+  * The salt is derived from `monotonically_increasing_id()` — per-row,
+  * deterministic within a run, and irrelevant to the result (counts are
+  * summed across salts).
+  */
+object Uniqueness {
+
+  /** Keys occurring more than once, with their multiplicities. */
+  def duplicates(df: DataFrame, keys: Seq[String], saltBuckets: Int = 64): DataFrame =
+    df.select(keys.map(col) :+ pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).as("__salt"): _*)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__partial").as("n_rows"))
+      .where(col("n_rows") > 1)
+
+  /** Boolean check + counts: total keys, duplicated keys, surplus rows. */
+  def report(df: DataFrame, keys: Seq[String], saltBuckets: Int = 64): DataFrame =
+    duplicates(df, keys, saltBuckets)
+      .agg(count(lit(1)).as("n_dup_keys"),
+        coalesce(sum(col("n_rows") - 1), lit(0L)).as("n_surplus_rows"))
+}

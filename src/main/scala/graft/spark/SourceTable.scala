@@ -1,0 +1,88 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthesized source-code table (FIXTURES.md §1; the
+  * BASELINE.json input_hint shape: repo, path, commit, lang, content,
+  * + content_sha256 for the per-row invariant).
+  *
+  * Generation is PURE column expressions of `spark.range` ids
+  * (xxhash64-based, seed folded into the hash) — no RNG state, no
+  * driver loops, stable under any partitioning, and it scales linearly:
+  * the same expressions generate 10^12 rows on a real cluster.
+  *
+  * Planted defects (all exact, row-id-derived — expected counts are
+  * closed-form):
+  *  - duplicate (repo,path,commit) triples: ids ≡ 99 (mod 100) clone id-1
+  *  - invalid lang "klingon": hash bucket < 20/1000 (~2%)
+  *  - pattern-violating repo "badrepo" (no slash): hash ≡ 0 (mod 199)
+  *  - uppercase commit (fails ^[0-9a-f]{40}$): hash ≡ 0 (mod 173)
+  *  - over-length content (10500 chars > maxLength 10000): hash ≡ 0 (mod 211)
+  *  - Zipf-ish repo skew: repoIdx = floor(u^4·nRepos) — top 1% of repos
+  *    own ~32% of rows (exercises salted agg + AQE skew join)
+  */
+object SourceTable {
+
+  val langs = Seq("scala", "go", "py", "js", "java", "rs", "c")
+  private val exts = Map("scala" -> "scala", "go" -> "go", "py" -> "py", "js" -> "js",
+    "java" -> "java", "rs" -> "rs", "c" -> "c", "klingon" -> "tlh")
+
+  def synthesize(spark: SparkSession, rows: Long, nRepos: Int = 10000): DataFrame = {
+    val base = spark.range(rows)
+    // duplicate plant: every 100th id clones its predecessor's identity
+    val key = when(pmod(col("id"), lit(100L)) === 99L, col("id") - 1L).otherwise(col("id"))
+
+    def h(seed: Int) = abs(xxhash64(key, lit(seed)))
+
+    val u = (h(1) % 1000000L).cast("double") / 1000000.0
+    val repoIdx = floor(pow(u, 4.0) * nRepos).cast("long")
+    val repo = when(h(7) % 199L === 0L, lit("badrepo"))
+      .otherwise(concat(lit("org"), pmod(repoIdx, lit(97L)), lit("/repo"), repoIdx))
+
+    val langArr = array((langs :+ "klingon").map(lit): _*)
+    val langIdx = when(h(4) % 1000L < 20L, lit(7L)).otherwise(pmod(h(4), lit(7L)))
+    val lang = element_at(langArr, (langIdx + 1).cast("int"))
+    val extArr = array((langs.map(exts) :+ "tlh").map(lit): _*)
+    val ext = element_at(extArr, (langIdx + 1).cast("int"))
+
+    val path = concat(lit("src/dir"), h(2) % 50L, lit("/file"), h(3) % 5000L, lit("."), ext)
+
+    val commitHex = substring(sha2(concat(lit("c"), key.cast("string")), 256), 1, 40)
+    val commit = when(h(8) % 173L === 0L, upper(commitHex)).otherwise(commitHex)
+
+    val baseLen = (lit(10L) + h(5) % 9990L)
+    val len = when(h(5) % 211L === 0L, lit(10500L)).otherwise(baseLen).cast("int")
+    // ~30-char unit repeated 400x ≈ 12k chars, cut to exact length
+    val unit = concat(lit("fn f"), pmod(key, lit(100L)), lit("() { return "),
+      pmod(key, lit(1000L)), lit("; } // pad\n"))
+    val content = repeat(unit, 400).substr(lit(1), len)
+
+    base.select(
+      col("id"),
+      repo.as("repo"),
+      path.as("path"),
+      commit.as("commit"),
+      lang.as("lang"),
+      content.as("content")
+    ).withColumn("content_sha256", sha2(col("content"), 256))
+  }
+
+  /** Known-commits dimension for the sort-merge referential check:
+    * ~1% of fact commits are deliberately absent.
+    */
+  def knownCommits(df: DataFrame): DataFrame =
+    df.select("commit").distinct()
+      .where(abs(xxhash64(col("commit"), lit(99))) % 100L =!= 0L)
+
+  /** Write-once Parquet materialization (kept out of timed regions). */
+  def ensure(spark: SparkSession, dir: String, rows: Long): DataFrame = {
+    val path = new java.io.File(dir)
+    if (!path.exists()) {
+      synthesize(spark, rows)
+        .repartitionByRange(spark.sparkContext.defaultParallelism, col("repo"), col("path"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.spark.{SourceTable, SparkTestSession, Validate}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("uniqueness finds exactly the planted duplicate triples") {
+    val src = SourceTable.synthesize(spark, 10000)
+    val dups = Uniqueness.duplicates(src, Seq("repo", "path", "commit"), saltBuckets = 8)
+    // ids ≡99 (mod 100) clone id-1 ⇒ 100 planted pairs in 10k rows.
+    // (hash collisions across distinct keys are possible but absent here)
+    val rep = Uniqueness.report(src, Seq("repo", "path", "commit"), saltBuckets = 8).collect()(0)
+    assert(rep.getLong(0) == 100, s"dup keys: ${rep.getLong(0)}")
+    assert(rep.getLong(1) == 100, s"surplus: ${rep.getLong(1)}")
+    assert(dups.agg(max("n_rows")).collect()(0).getLong(0) == 2)
+  }
+
+  test("uniqueness is salt-invariant") {
+    val src = SourceTable.synthesize(spark, 5000)
+    val a = Uniqueness.duplicates(src, Seq("repo", "path", "commit"), saltBuckets = 2).count()
+    val b = Uniqueness.duplicates(src, Seq("repo", "path", "commit"), saltBuckets = 64).count()
+    assert(a == b)
+  }
+
+  test("referential: broadcast and shuffle anti-joins agree on planted unknown commits") {
+    val src = SourceTable.synthesize(spark, 10000).cache()
+    val dim = SourceTable.knownCommits(src)
+    val viaBroadcast = Referential.broadcastOrphans(src, Seq("commit"), dim, Seq("commit"))
+    val viaShuffle = Referential.shuffleOrphans(src, Seq("commit"), dim, Seq("commit"))
+    val nb = viaBroadcast.count()
+    val ns = viaShuffle.count()
+    assert(nb == ns)
+    assert(nb > 0, "expected planted unknown commits")
+    // physical strategies actually differ
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(viaShuffle.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    src.unpersist()
+  }
+
+  test("drift: identical distributions give PSI≈0 and KS≈0") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val hist = Drift.histogramCompare(orders, orders, "o_totalprice", 0.0, 500000.0, 20)
+    val r = Drift.psiKs(hist).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9, s"psi=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1)) < 1e-9, s"ks=${r.getDouble(1)}")
+  }
+
+  test("drift: disjoint distributions give large PSI and KS=1") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lo = orders.where(col("o_totalprice") < 100000)
+    val hi = orders.where(col("o_totalprice") >= 400000)
+    val r = Drift.psiKs(Drift.histogramCompare(lo, hi, "o_totalprice", 0.0, 500000.0, 20)).collect()(0)
+    assert(r.getDouble(0) > 1.0)
+    assert(r.getDouble(1) > 0.99)
+  }
+
+  test("histogram buckets account for every non-null row") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val total = Drift.histogram(orders, "o_totalprice", 0.0, 500000.0, 20)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total == orders.where(col("o_totalprice").isNotNull).count())
+  }
+
+  test("stats: exact column stats match direct aggregation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val stats = Stats.columnStats(li, Seq("l_quantity", "l_discount")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val q = stats("l_quantity")
+    val direct = li.agg(count("l_quantity"), countDistinct("l_quantity"),
+      min(col("l_quantity").cast("double")), max(col("l_quantity").cast("double"))).collect()(0)
+    assert(q.getLong(1) == direct.getLong(0))
+    assert(q.getLong(5) == direct.getLong(1))
+    assert(q.getDouble(3) == direct.getDouble(2))
+    assert(q.getDouble(4) == direct.getDouble(3))
+  }
+
+  test("checkpoint: resumed run processes only pending partitions") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString + "/ckpt"
+    val schema = Validate.compileSchema(graft.Schemas.fileRow)
+    val src = SourceTable.synthesize(spark, 4000)
+    val stamped = Checkpoint.stampPartitions(src, Seq("repo", "path"), 8).cache()
+
+    def validatePass(in: org.apache.spark.sql.DataFrame) =
+      Validate.violations(in, schema, Seq("partition_id", "repo", "path", "commit"))
+
+    // First run: pretend it died after checkpointing partitions 0-3.
+    val firstHalf = stamped.where(col("partition_id") < 4)
+    Checkpoint.runStage(spark, dir, "run1", "validate", firstHalf)(validatePass).count()
+
+    val completed = Checkpoint.completedPartitions(spark, dir, "validate")
+    assert(completed.count() == 4)
+
+    // Resume: only partitions 4-7 are pending.
+    val pending = Checkpoint.pending(stamped, completed)
+    assert(pending.select("partition_id").distinct().count() == 4)
+    assert(pending.agg(min("partition_id")).collect()(0).getInt(0) == 4)
+
+    val v2 = Checkpoint.runStage(spark, dir, "run2", "validate", stamped)(validatePass)
+    v2.count()
+    // After resume everything is checkpointed; a third run has nothing to do.
+    val v3 = Checkpoint.runStage(spark, dir, "run3", "validate", stamped)(validatePass)
+    assert(v3.count() == 0)
+    assert(Checkpoint.completedPartitions(spark, dir, "validate").count() == 8)
+
+    // Lineage accounts for every row exactly once across run1+run2.
+    val lineage = spark.read.parquet(dir)
+      .where(col("run_id").isin("run1", "run2") && col("stage") === "validate")
+    assert(lineage.agg(sum("rows_seen")).collect()(0).getLong(0) == 4000)
+    stamped.unpersist()
+  }
+
+  test("flagship schema over the synthesized table: planted defects found, invariant holds") {
+    val src = SourceTable.synthesize(spark, 10000).cache()
+    val schema = Validate.compileSchema(graft.Schemas.fileRow)
+    val v = Validate.violations(src, schema, Seq("id")).cache()
+    val byKeyword = v.groupBy("keyword").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKeyword.contains("enum"), s"got $byKeyword")      // klingon
+    assert(byKeyword.contains("pattern"), s"got $byKeyword")   // badrepo + uppercase commits
+    assert(byKeyword.contains("maxLength"), s"got $byKeyword") // 10500-char content
+    // per-row sha256 invariant: recomputed digest equals the stored one
+    val bad = src.where(sha2(col("content"), 256) =!= col("content_sha256")).count()
+    assert(bad == 0)
+    v.unpersist(); src.unpersist()
+  }
+}
