@@ -84,18 +84,108 @@ object SparkEntry {
         orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20)
     }),
 
-    // PSI/KS scalar drift scores (derived doubles — rows-only check)
+    // PSI/KS scalar drift scores (rounded to 6dp for cross-engine parity)
     "c_drift_psi" -> ((s, dir) => {
       val orders = table(s, dir, "orders")
       val split = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
       graft.operators.Drift.psiKs(graft.operators.Drift.histogramCompare(
         orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20))
+        .select(round(col("psi"), 6).as("psi"), round(col("ks"), 6).as("ks"))
     }),
 
     // sketch stats: HLL++ distinct + approx quantiles (rows-only check)
     "c_stats_sketch" -> ((s, dir) =>
       graft.operators.Stats.sketchStats(table(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice")))
+        Seq("l_quantity", "l_extendedprice"))),
+
+    // t-digest quantiles via the custom mergeable Aggregator (rows-only)
+    "c_stats_tdigest" -> ((s, dir) =>
+      graft.operators.Stats.tdigestStats(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))),
+
+    // checkpoint/resume lineage: fresh run over documents validation,
+    // per-partition metrics aggregated (deterministic; rows-only)
+    "x_checkpoint_stage" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").toString + "/checkpoint"
+      val stamped = graft.operators.Checkpoint.stampPartitions(
+        table(s, dir, "documents"), Seq("lang", "doc_id"), 8)
+      graft.operators.Checkpoint.runStage(s, ckpt, "r1", "validate", stamped) { todo =>
+        Validate.violations(todo, documentSchema, Seq("doc_id", "partition_id"))
+      }.groupBy("keyword").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- training-data pipeline ops (dedup / similarity / text) ------
+
+    // exact dedup: duplicate groups by content key (30-char prefix —
+    // the sf documents have no full-text dups; same groupBy shape)
+    "d_exact_dups" -> ((s, dir) =>
+      graft.operators.Uniqueness.duplicates(
+        table(s, dir, "documents").withColumn("text_prefix", substring(col("text"), 1, 30)),
+        Seq("text_prefix"))),
+
+    // MinHash+LSH near-dup candidate pairs with exact Jaccard verify
+    "d_minhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.nearDuplicatePairs(
+        table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)),
+
+    // SimHash (native codegen expression) near-dup pairs by hamming
+    "d_simhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
+
+    // embedding-cosine near-dup pairs via SRP-LSH buckets
+    "d_embed_dups" -> ((s, dir) =>
+      graft.operators.Similarity.embeddingNearDupPairs(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.35, bits = 3, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 3).as("cos_sim"))),
+
+    // brute-force cosine top-k (exact ANN baseline; query = vec 0)
+    "s_cosine_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.operators.Similarity.cosineTopK(e, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only — bucket membership is
+    // hash-specific)
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.operators.Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
+        bits = 12, probeHamming = 6)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
+    // token counting: chars / whitespace tokens / BPE-ish subwords
+    "t_token_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
+
+    // quality scoring (ratios rounded to 6dp for cross-engine parity)
+    "t_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")),
+
+    // stopword-heuristic language ID
+    "t_lang_id" -> ((s, dir) =>
+      graft.operators.TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")),
+
+    // document fingerprint: content hash + bottom-k shingle sketch
+    "t_fingerprint" -> ((s, dir) =>
+      graft.operators.TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
+
+    // multimodal: binary columns + batched stub decode + frame sampling
+    "m_media_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text"))),
+    "m_frame_sample" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.decodeFeatures(
+          graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text")),
+        everyN = 30))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
@@ -157,6 +247,85 @@ object SparkEntry {
       """SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 25000), 0), 19) AS BIGINT) AS bucket,
         |  CAST(sum(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
         |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "c_drift_psi" ->
+      """WITH h AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 25000), 0), 19) AS BIGINT) AS bucket,
+        |    sum(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS n_curr
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_base) AS sb, sum(n_curr) AS sc FROM h),
+        |p AS (SELECT bucket, (n_base + 1e-6) / (sb + 1e-6) AS p,
+        |             (n_curr + 1e-6) / (sc + 1e-6) AS q FROM h, t),
+        |c AS (SELECT p, q,
+        |  sum(p) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |  sum(q) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq FROM p)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |       round(max(abs(cp - cq)), 6) AS ks FROM c""".stripMargin,
+
+    "d_exact_dups" ->
+      """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "s_cosine_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "t_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "t_quality" -> {
+      val stops = graft.operators.TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x IN ($stops))) AS DOUBLE) AS n_stops
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+         |  round(n_digits / greatest(n_chars, 1.0), 6) AS digit_ratio,
+         |  round(n_stops / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
+         |  round(n_chars / greatest(n_tokens, 1.0), 6) AS avg_token_len,
+         |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         |      (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+         |    * (CASE WHEN n_punct / greatest(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+         |    * (CASE WHEN n_digits / greatest(n_chars, 1.0) <= 0.3 THEN 1.0 ELSE 0.5 END)
+         |    * LEAST(1.0, 0.5 + (n_stops / greatest(n_tokens, 1.0)) * 2.0) END, 6) AS quality
+         |FROM t""".stripMargin
+    },
+
+    "t_lang_id" -> {
+      val hitCols = graft.operators.TextAnalysis.stopwords.map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x IN ($list))) AS h_$lang"
+      }.mkString(",\n    ")
+      val langs = graft.operators.TextAnalysis.stopwords.map(_._1)
+      val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN h_$l > 0 AND h_$l = $best THEN '$l'").mkString("\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    $hitCols
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'und' END AS lang_guess
+         |FROM t""".stripMargin
+    }
   )
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `simhash64(array<string>) → long`: 64-bit SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms" —
+  * public algorithm) of a token array. Per bit b: sum +1/−1 over
+  * tokens according to bit b of xxhash64(token); fingerprint bit b =
+  * sign. Near-identical token multisets → small Hamming distance.
+  *
+  * A NATIVE codegen'd Catalyst expression (doGenCode emits a static
+  * call — stays inside whole-stage codegen, no UDF serialization, null
+  * handling generated). No reference counterpart: /root/reference has
+  * no hashing operators; this is engine-level dedup infrastructure.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Hot loop — called from generated code; keep it static + branch-light. */
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  def simhash64(tokens: Column): Column =
+    toColumn(SimHash64(toExpression(tokens)))
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
+  * Quantiles Using t-Digests" — public algorithm; independent
+  * implementation, no reference-repo counterpart: the reference
+  * (/root/reference) has no aggregations at all; the north star names
+  * t-digest for the column-stats stage).
+  *
+  * Mergeable constant-size sketch: each executor folds its partition's
+  * doubles into a local digest (map-side partial aggregation), digests
+  * merge associatively in the reduce — the shuffle carries only
+  * O(compression) centroids per partition, never rows. That is the
+  * 100 TB property: quantiles of 10^12 values cost one pass + a
+  * few-KB-per-partition shuffle.
+  *
+  * Scale function k1(q) = (δ/2π)·asin(2q−1): centroid capacity ∝
+  * q(1−q), so tails are near-exact and the middle is compressed.
+  */
+final class TDigest(val compression: Double) extends Serializable {
+  // merged, sorted-by-mean centroids
+  private[functions] var mean = new Array[Double](0)
+  private[functions] var weight = new Array[Double](0)
+  private[functions] var total = 0.0
+  // unmerged insertion buffer (amortizes sort cost)
+  private val bufCap = math.max(32, (4 * compression).toInt)
+  private var bufMean = new Array[Double](bufCap)
+  private var bufWeight = new Array[Double](bufCap)
+  private var bufN = 0
+
+  def add(x: Double, w: Double = 1.0): Unit = {
+    if (x.isNaN) return
+    if (bufN == bufCap) compress()
+    bufMean(bufN) = x; bufWeight(bufN) = w; bufN += 1
+  }
+
+  def merge(other: TDigest): TDigest = {
+    other.compress()
+    var i = 0
+    while (i < other.mean.length) { add(other.mean(i), other.weight(i)); i += 1 }
+    this
+  }
+
+  private def k(q: Double): Double =
+    compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+  private def kInv(kk: Double): Double =
+    (math.sin(kk * 2.0 * math.Pi / compression) + 1.0) / 2.0
+
+  /** Sort pending + merged centroids, greedily re-merge under the k1
+    * size bound. O(n log n) in centroid count, called O(1/δ) amortized.
+    */
+  def compress(): Unit = {
+    if (bufN == 0) return
+    val n = mean.length + bufN
+    val ms = new Array[Double](n); val ws = new Array[Double](n)
+    System.arraycopy(mean, 0, ms, 0, mean.length)
+    System.arraycopy(weight, 0, ws, 0, mean.length)
+    System.arraycopy(bufMean, 0, ms, mean.length, bufN)
+    System.arraycopy(bufWeight, 0, ws, mean.length, bufN)
+    bufN = 0
+    // sort (mean, weight) pairs by mean
+    val idx = Array.range(0, n).sortBy(ms)
+    val sm = idx.map(ms); val sw = idx.map(ws)
+    total = sw.sum
+    val om = new Array[Double](n); val ow = new Array[Double](n)
+    var out = 0
+    om(0) = sm(0); ow(0) = sw(0)
+    var wSoFar = 0.0 // weight strictly before the open centroid
+    var qLimit = kInv(k(0.0) + 1.0)
+    var i = 1
+    while (i < n) {
+      val proposed = ow(out) + sw(i)
+      if ((wSoFar + proposed) / total <= qLimit) {
+        // absorb into the open centroid (weighted mean)
+        om(out) = om(out) + (sm(i) - om(out)) * sw(i) / proposed
+        ow(out) = proposed
+      } else {
+        wSoFar += ow(out)
+        qLimit = kInv(k(wSoFar / total) + 1.0)
+        out += 1; om(out) = sm(i); ow(out) = sw(i)
+      }
+      i += 1
+    }
+    mean = java.util.Arrays.copyOf(om, out + 1)
+    weight = java.util.Arrays.copyOf(ow, out + 1)
+  }
+
+  /** Quantile estimate by linear interpolation between centroid means,
+    * treating each centroid as centered at its cumulative midpoint.
+    */
+  def quantile(q: Double): Double = {
+    compress()
+    val n = mean.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return mean(0)
+    val target = q * total
+    var cum = 0.0
+    var i = 0
+    while (i < n) {
+      val mid = cum + weight(i) / 2.0
+      if (target <= mid) {
+        if (i == 0) return mean(0)
+        val prevMid = cum - weight(i - 1) / 2.0
+        val f = (target - prevMid) / (mid - prevMid)
+        return mean(i - 1) + f * (mean(i) - mean(i - 1))
+      }
+      cum += weight(i)
+      i += 1
+    }
+    mean(n - 1)
+  }
+
+  def centroidCount: Int = { compress(); mean.length }
+  def totalWeight: Double = { compress(); total }
+}
+
+/** Spark typed UDAF: Aggregator[Double, TDigest, Array[Double]] —
+  * partial digests per partition, associative merge, quantile vector
+  * out. Buffer rides the shuffle via the Kryo binary encoder.
+  */
+class TDigestQuantiles(probs: Seq[Double], compression: Double = 100.0)
+    extends Aggregator[Double, TDigest, Array[Double]] {
+  def zero: TDigest = new TDigest(compression)
+  def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+  def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
+  def finish(r: TDigest): Array[Double] = probs.map(r.quantile).toArray
+  def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+  def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+object TDigest {
+  /** `tdigest_quantiles(col)` aggregate Column. */
+  def quantilesAgg(c: Column, probs: Seq[Double], compression: Double = 100.0): Column =
+    udaf(new TDigestQuantiles(probs, compression)).apply(c)
+}

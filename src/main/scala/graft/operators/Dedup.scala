@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for web-scale training-data pipelines. No reference
+  * counterpart (/root/reference validates single JSON values); these
+  * are the table-level "uniqueness of content" analogue of the north
+  * rule's identity-key uniqueness, as first-class engine operators.
+  *
+  * Everything below is pure Catalyst expressions (higher-order array
+  * functions + xxhash64) — whole-stage codegen, no UDFs, no driver
+  * loops. Scale shape:
+  *
+  *  - exact dedup: two-phase hash agg on a 64-bit content hash —
+  *    shuffles (hash, id) pairs only, never content.
+  *  - MinHash+LSH: per-row signature (map-side only), explode to
+  *    `bands` rows/doc, one shuffle on (band, sig) to bucket, pair-join
+  *    inside buckets, exact Jaccard verify on the (tiny) candidate set.
+  *    All-pairs O(n²) never materializes.
+  *  - SimHash: 64-bit fingerprint per doc (map-side), pigeonhole
+  *    banding (k identical 16-bit chunks ⇒ candidates), verify with
+  *    bit_count(xor) ≤ maxHamming.
+  */
+object Dedup {
+
+  /** Lowercased alnum tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Word n-gram shingles; docs shorter than n words yield one shingle
+    * of the whole text (so every doc has a non-empty shingle set).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact duplicate groups by full-content hash: (content_hash,
+    * n_rows, doc_ids). 64-bit xxhash64 stands in for the sha-256 used
+    * at production scale — the group-by shape is identical.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_rows"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("n_rows") > 1)
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** k-permutation MinHash signature (array<long>, length k) over word
+    * shingles: sig[s] = min over shingles of xxhash64(shingle, s).
+    */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
+    transform(sequence(lit(1), lit(k)),
+      s => array_min(transform(shingles(text, shingleN), sh => xxhash64(sh, s))))
+
+  /** LSH banding: (id, band, sig) — one row per band, sig = hash of the
+    * band's r signature slots. Docs agreeing on any band are candidates.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    // materialize the signature once, then band it (bands are a static
+    // unroll — each band hashes its own r-slot slice)
+    val withSig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("__sig"))
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), x => x.cast("string"))))
+    }: _*)
+    withSig.select(col("id"), posexplode(bandHashes))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from shared LSH buckets.
+    * The self-join is bucket-local: both sides are the banded table,
+    * equi-joined on (band, sig) — a shuffle join whose matching groups
+    * are bucket-sized, never the full table.
+    */
+  def candidatePairs(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs with EXACT n-gram Jaccard verify:
+    * (id_a, id_b, jaccard ≥ minJaccard). The verify join ships shingle
+    * sets only for candidate ids (semi-joined), not the corpus.
+    */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
+                         shingleN: Int = 3): DataFrame = {
+    val cands = candidatePairs(lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN))
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    jaccardVerify(cands, sets, minJaccard)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */
+  def jaccardVerify(pairs: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame =
+    pairs
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint of the token multiset — the native
+    * codegen'd Catalyst expression [[graft.functions.SimHash64]].
+    */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(tokens(text))
+
+  /** Near-dup pairs by SimHash: pigeonhole banding on 16-bit chunks
+    * (hamming ≤ 3 over 4 chunks ⇒ ≥1 identical chunk), then exact
+    * `bit_count(a^b) ≤ maxHamming` verify inside buckets.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partitioning, batched per-partition
+  * decode loop, output shape) is real and tested; the codec itself is a
+  * STUB — no image/audio libraries ship in this container, so
+  * [[StubCodec]] produces a deterministic fake derived from the bytes.
+  * Swapping in a real decoder changes ONE function, nothing about the
+  * dataflow. At 100 TB: decode is per-row map-side work (no shuffle);
+  * binary columns stay columnar in Parquet, and the batch loop
+  * amortizes per-call codec setup exactly like an Arrow-batched
+  * (mapInPandas-style) UDF would.
+  */
+object Multimodal {
+
+  /** media table schema: (media_id, modality, bytes, meta{format, n_bytes}). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = true))), nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Deterministic media table derived from any (id, text) input —
+    * text bytes stand in for encoded media payloads.
+    */
+  def mediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col(idCol), lit(3L)) + 1).cast("int"))
+    val format = element_at(array(lit("png"), lit("wav"), lit("mkv")),
+      (pmod(col(idCol), lit(3L)) + 1).cast("int"))
+    val bytes = encode(col(textCol), "UTF-8")
+    df.select(col(idCol).cast("long").as("media_id"), modality.as("modality"),
+      bytes.as("bytes"),
+      struct(format.as("format"), length(bytes).cast("int").as("n_bytes")).as("meta"))
+  }
+
+  /** Batched per-partition decode + feature extraction. The iterator is
+    * consumed in `batchSize` groups so a real codec could reuse native
+    * buffers / sessions per batch (the mapInPandas batch shape).
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val moIdx = media.schema.fieldIndex("modality")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real implementation opens the codec once per batch here
+        batch.iterator.map { r =>
+          val f = StubCodec.decode(r.getString(moIdx), r.getAs[Array[Byte]](byIdx))
+          Row(r.getLong(idIdx), r.getString(moIdx), f.width, f.height, f.nFrames, f.features)
+        }
+      }
+    }(Encoders.row(featureSchema))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * index (0, everyN, 2·everyN, …) — a generator (`explode`) over the
+    * decoded frame count; non-video rows pass through with frame −1.
+    */
+  def frameSample(features: DataFrame, everyN: Int): DataFrame = {
+    val frames = when(col("modality") === "video",
+        sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN)))
+      .otherwise(array(lit(-1)))
+    features.select(col("media_id"), col("modality"),
+      explode(frames).as("frame_idx"))
+  }
+}
+
+/** STUB codec — deterministic fake decode (see Multimodal scaladoc).
+  * Real decode would parse the container format; everything it returns
+  * here is a pure function of the payload bytes, so tests are exact.
+  */
+object StubCodec {
+  final case class Decoded(width: Int, height: Int, nFrames: Int, features: Array[Float])
+
+  def decode(modality: String, bytes: Array[Byte]): Decoded = {
+    val h = java.util.Arrays.hashCode(bytes) // deterministic over content
+    val w = 16 + math.floorMod(h, 1920)
+    val ht = 16 + math.floorMod(h >> 8, 1080)
+    val frames = modality match {
+      case "video" => 1 + math.floorMod(h >> 16, 300)
+      case _       => 1
+    }
+    val feat = Array.tabulate(8)(i => math.floorMod(h >> i, 1000) / 1000.0f)
+    Decoded(w, ht, frames, feat)
+  }
+}

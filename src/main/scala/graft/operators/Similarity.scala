@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Engine-level training-data operator; no reference
+  * counterpart (/root/reference validates JSON — it has no vectors).
+  *
+  * Two tiers, same contract (top-k by cosine):
+  *
+  *  - [[cosineTopK]] — brute force, the exactness baseline. One scan;
+  *    per-partition top-k then a k-row driver merge
+  *    (`TakeOrderedAndProject`) — no shuffle of the corpus. At 100 TB
+  *    this is the fallback when recall must be 1.0.
+  *  - [[lshTopK]] — the scale path: random-hyperplane (SRP) LSH. Each
+  *    vector gets a `bits`-bit signature (sign of dot with `bits`
+  *    fixed hyperplanes); candidates = vectors whose signature lies
+  *    within `probeHamming` of the query's (multi-probe), scored
+  *    exactly, top-k. The scan prunes on a LONG equality/IN predicate
+  *    over a precomputable signature column — at scale the signature
+  *    is materialized + partition-bucketed, so a probe touches only
+  *    matching buckets.
+  *
+  * Dot products ride `aggregate`/`zip_with` higher-order expressions —
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Σ a·b over two equal-length float arrays, in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def queryLit(q: Array[Float]): Column = array(q.map(lit): _*)
+
+  /** Exact top-k rows by cosine similarity to `query`. */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+                 query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed —
+    * the signature function must be identical across runs/queries).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** SRP signature: bit b = (v · plane_b) >= 0, packed into a long. */
+  def srpSignature(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, queryLit(p)) >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN: score only vectors whose SRP signature is
+    * within `probeHamming` bits of the query's signature.
+    */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float],
+              k: Int, bits: Int = 16, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, bits, seed)
+    // query signature computed on the driver with the same planes
+    val qSig = planes.zipWithIndex.map { case (p, b) =>
+      val d = p.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      if (d >= 0.0) 1L << b else 0L
+    }.reduce(_ | _)
+    df.select(col(idCol), col(vecCol),
+        srpSignature(col(vecCol), planes).as("sig"))
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket
+    * (exact-signature match on a `bits`-bit SRP bucket), verified with
+    * exact cosine ≥ minCosine. The corpus-sized self-join is bucket-
+    * local — the equi-join key IS the bucket id.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            minCosine: Double, bits: Int = 8, seed: Long = 42L,
+                            dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else
+      df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(d, bits, seed)
+    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpSignature(col(vecCol), planes).as("sig"))
+    val a = sigd.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sigd.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+}

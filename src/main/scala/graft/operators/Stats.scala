@@ -57,4 +57,23 @@ object Stats {
     }: _*)
     one.select(explode(rows).as("s")).select("s.*")
   }
+
+  /** t-digest quantiles (custom mergeable Aggregator,
+    * [[graft.functions.TDigestQuantiles]]) — the north star's named
+    * sketch; same single-pass partial-aggregate shape as [[sketchStats]]
+    * with tail-accurate error bounds instead of rank-error ones.
+    */
+  def tdigestStats(df: DataFrame, cols: Seq[String],
+                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99)): DataFrame = {
+    val aggs = cols.map { c =>
+      graft.functions.TDigest.quantilesAgg(col(c).cast("double"), probs).as(s"__td_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name") +: probs.zipWithIndex.map { case (p, i) =>
+        col(s"__td_$c").getItem(i).as(s"q${(p * 100).round}")
+      }: _*)
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
+  }
 }

@@ -1,0 +1,30 @@
+package graft.spark
+
+import graft.functions.SimHash64
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native Catalyst
+  * expressions with the session FunctionRegistry, so they're callable
+  * from SQL text as well as the Scala API. Activate with
+  * `.config("spark.sql.extensions", "graft.spark.GraftExtensions")`
+  * or post-hoc via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

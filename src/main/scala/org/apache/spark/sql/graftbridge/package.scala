@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` classic Column↔Expression
+  * converters, for graft's native Catalyst expressions. Lives under
+  * `org.apache.spark.sql` solely to satisfy the access qualifier — the
+  * standard pattern for third-party Catalyst extensions on Spark 4's
+  * ColumnNode API.
+  */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.functions.{SimHash64, TDigest, TDigestQuantiles}
+import graft.spark.{GraftExtensions, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup (exact / MinHash+LSH /
+  * SimHash / embedding-cosine), ANN similarity search, text analysis,
+  * multimodal plumbing, t-digest quantiles, native simhash64.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val loremA = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val loremB = "the quick brown fox jumps over the lazy dog and runs far away into the green forest today" // 1-word edit of A
+  private val other = "completely different content about database engines and distributed query processing systems"
+
+  private lazy val docs = Seq(
+    (1L, loremA), (2L, loremA), (3L, loremB), (4L, other),
+    (5L, "der hund ist nicht da und die katze ist mit dem ball"),
+    (6L, "le chat est dans la maison et les oiseaux sont dans le jardin pour une heure"))
+    .toDF("id", "text")
+
+  // ---- t-digest --------------------------------------------------------
+
+  test("t-digest quantiles track exact quantiles within 1%") {
+    val td = new TDigest(100.0)
+    val xs = new scala.util.Random(7).shuffle((0 until 10000).toVector)
+    xs.foreach(x => td.add(x.toDouble))
+    assert(math.abs(td.quantile(0.5) - 4999.5) < 100)
+    assert(math.abs(td.quantile(0.99) - 9900) < 100)
+    assert(td.quantile(0.0) <= 10 && td.quantile(1.0) >= 9990)
+    assert(td.centroidCount < 200, s"centroids: ${td.centroidCount}")
+  }
+
+  test("t-digest merge of halves ≈ digest of whole") {
+    val a = new TDigest(100.0); val b = new TDigest(100.0)
+    (0 until 5000).foreach(x => a.add(x.toDouble))
+    (5000 until 10000).foreach(x => b.add(x.toDouble))
+    val merged = a.merge(b)
+    assert(math.abs(merged.quantile(0.5) - 4999.5) < 100)
+    assert(math.abs(merged.totalWeight - 10000.0) < 1e-9)
+  }
+
+  test("t-digest as Spark UDAF matches exact percentiles within 1%") {
+    val df = spark.range(100000).select((col("id") % 1000).cast("double").as("x"))
+    val q = df.select(TDigest.quantilesAgg(col("x"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .head().getSeq[Double](0)
+    assert(math.abs(q(0) - 249.5) < 10, s"p25=${q(0)}")
+    assert(math.abs(q(1) - 499.5) < 10, s"p50=${q(1)}")
+    assert(math.abs(q(2) - 749.5) < 10, s"p75=${q(2)}")
+  }
+
+  // ---- simhash64 native expression ------------------------------------
+
+  test("simhash64: identical token arrays hash identically, SQL == Scala API") {
+    GraftExtensions.register(spark)
+    val df = docs.select(col("id"), Dedup.simhash(col("text")).as("fp"))
+    val viaSql = docs.createOrReplaceTempView("simdocs")
+    val sql = spark.sql(
+      "SELECT id, simhash64(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS fp FROM simdocs")
+    assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      sql.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L)) // identical text
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 12) // near-dup
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 12) // unrelated
+  }
+
+  test("simhash64 interpreted eval matches codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Array("the", "quick", "fox").map(UTF8String.fromString)
+    val lit = Literal.create(new GenericArrayData(toks.asInstanceOf[Array[Any]]), ArrayType(StringType))
+    val interpreted = SimHash64(lit).eval(null).asInstanceOf[Long]
+    val viaDf = spark.sql("SELECT simhash64(array('the','quick','fox'))").head().getLong(0)
+    assert(interpreted == viaDf)
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  test("exact dedup finds exactly the planted duplicate group") {
+    val groups = Dedup.exactDuplicates(docs, "id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toList == List(1L, 2L))
+  }
+
+  test("minhash LSH near-dup pairs: dup + near-dup found, unrelated not") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    // the 1-word edit shares most shingles with A — found with j >= 0.5
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature approximates jaccard") {
+    val k = 128
+    val sig = docs.select(col("id"), Dedup.minhashSignature(col("text"), k).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2).toDouble / k
+    assert(est(sig(1L), sig(2L)) == 1.0)
+    assert(est(sig(1L), sig(3L)) > 0.5) // true jaccard ≈ 0.78
+    assert(est(sig(1L), sig(4L)) < 0.2)
+  }
+
+  test("simhash banding finds near-dup pairs by hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force cosine top-k: self is rank 1 with cos 1.0") {
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Similarity.cosineTopK(embs, "embedding", "vec_id", q, 5).collect()
+    assert(top(0).getLong(0) == 0L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-6)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("LSH ANN with full probe ≡ brute force; tight probe ⊆ corpus") {
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.cosineTopK(embs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.lshTopK(embs, "embedding", "vec_id", q, 5,
+      bits = 12, probeHamming = 12).collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // probe radius = all bits ⇒ exact
+    val tight = Similarity.lshTopK(embs, "embedding", "vec_id", q, 5,
+      bits = 12, probeHamming = 4).collect().map(_.getLong(0))
+    assert(tight.headOption.contains(0L)) // self always lands in the query bucket
+  }
+
+  test("embedding near-dup pairs find planted identical vectors") {
+    val v = Array.tabulate(8)(i => i.toFloat / 10f)
+    val w = Array.tabulate(8)(i => (7 - i).toFloat / 10f)
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "embedding", "vec_id",
+      minCosine = 0.99, bits = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(math.abs(pairs(0).getDouble(2) - 1.0) < 1e-9)
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  test("token counts: whitespace and BPE-ish subwords") {
+    val df = Seq((1L, "Hello, world! x2"), (2L, "  a  b  ")).toDF("id", "text")
+    val r = TextAnalysis.tokenStats(df, "id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2).toInt, x.getLong(3).toInt))).toMap
+    assert(r(1L) == ((3, 6))) // [Hello , world ! x 2] = 6 subwords, 3 ws tokens
+    assert(r(2L) == ((2, 2)))
+  }
+
+  test("language id picks the right stopword language") {
+    val r = TextAnalysis.languageId(docs, "id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(5L) == "de" && r(6L) == "fr")
+    val und = Seq((9L, "zzz qqq")).toDF("id", "text")
+    assert(TextAnalysis.languageId(und, "id", "text").head().getString(1) == "und")
+  }
+
+  test("quality score: empty/short docs score 0, clean prose scores high") {
+    val df = Seq((1L, loremA), (2L, "x y"), (3L, "1 2 3 4 5 6 7 8 9 10 11 12")).toDF("id", "text")
+    val r = TextAnalysis.qualityScore(df, "id", "text").collect()
+      .map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(r(1L) >= 0.9, s"clean prose: ${r(1L)}")
+    assert(r(2L) == 0.0)
+    assert(r(3L) < 0.5, s"digit soup: ${r(3L)}")
+  }
+
+  test("fingerprint: equal docs equal, edits overlap in bottom-k") {
+    val fp = TextAnalysis.fingerprint(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L)._1 != fp(3L)._1) // different full-content hash
+    val overlap = fp(1L)._2.toSet.intersect(fp(3L)._2.toSet).size
+    assert(overlap >= 4, s"bottom-k overlap after 1-word edit: $overlap")
+  }
+
+  // ---- multimodal ------------------------------------------------------
+
+  test("multimodal: schema, deterministic stub decode, frame sampling") {
+    val media = Multimodal.mediaTable(docs, "id", "text")
+    assert(media.schema == Multimodal.mediaSchema)
+    val f1 = Multimodal.decodeFeatures(media, batchSize = 2)
+    assert(f1.schema == Multimodal.featureSchema)
+    val rows = f1.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getSeq[Float](5).length == 8))
+    // deterministic: same input ⇒ same features
+    val again = Multimodal.decodeFeatures(media, batchSize = 3).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // frame sampling: video rows explode, others pass through once
+    val sampled = Multimodal.frameSample(f1, everyN = 30)
+    val byModality = sampled.groupBy("modality").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byModality("image") == rows.count(_.getString(1) == "image"))
+    assert(byModality("audio") == rows.count(_.getString(1) == "audio"))
+    assert(byModality("video") >= rows.count(_.getString(1) == "video"))
+    assert(sampled.where(col("modality") =!= "video" && col("frame_idx") =!= -1).count() == 0)
+  }
+}
