@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Let-binding for Column expressions: evaluate `value` ONCE per row
+    * and reference it cheaply in `body` via a lambda variable. Without
+    * this, Catalyst's CollapseProject inlines a subexpression into
+    * every use site, and higher-order-function lambdas re-evaluate
+    * their body per element — a minhash signature referenced by 16
+    * band hashes would tokenize the document 16×64 times.
+    */
+  def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Lowercased alnum tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
@@ -53,26 +63,31 @@ object Dedup {
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** k-permutation MinHash signature (array<long>, length k) over word
-    * shingles: sig[s] = min over shingles of xxhash64(shingle, s).
+    * shingles: sig[s] = min over shingles of xxhash64(shingle, s). The
+    * shingle array is let-bound so it is built once per row, not once
+    * per permutation.
     */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
-    transform(sequence(lit(1), lit(k)),
-      s => array_min(transform(shingles(text, shingleN), sh => xxhash64(sh, s))))
+    let(shingles(text, shingleN)) { sh =>
+      transform(sequence(lit(1), lit(k)),
+        s => array_min(transform(sh, g => xxhash64(g, s))))
+    }
 
   /** LSH banding: (id, band, sig) — one row per band, sig = hash of the
     * band's r signature slots. Docs agreeing on any band are candidates.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
                bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
-    // materialize the signature once, then band it (bands are a static
-    // unroll — each band hashes its own r-slot slice)
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("__sig"))
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), x => x.cast("string"))))
-    }: _*)
-    withSig.select(col("id"), posexplode(bandHashes))
+    // the signature is let-bound so all `bands` band hashes read the
+    // SAME per-row evaluation (CollapseProject would otherwise inline
+    // the signature expression into every band)
+    val bandHashes =
+      let(minhashSignature(col(textCol), bands * rowsPerBand, shingleN)) { sig =>
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
+      }
+    df.select(col(idCol).as("id"), posexplode(bandHashes))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
   }
 
@@ -138,7 +153,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: the Hamming filter runs map-side inside
+      // the join's codegen stage, so only true near-dups reach the
+      // distinct's shuffle (candidate pairs can be 1000× the result)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

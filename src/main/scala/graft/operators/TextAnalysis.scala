@@ -84,13 +84,16 @@ object TextAnalysis {
     * list order. One scan, no shuffle.
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = alnumTokens(col(textCol))
-    val hits = stopwords.map { case (lang, ws) =>
-      lang -> size(filter(toks, t => t.isInCollection(ws)))
-    }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val guess = hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
-      when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    // token array let-bound: the argmax fold references each hit count
+    // several times, and each would otherwise re-tokenize the document
+    val guess = Dedup.let(alnumTokens(col(textCol))) { toks =>
+      val hits = stopwords.map { case (lang, ws) =>
+        lang -> size(filter(toks, t => t.isInCollection(ws)))
+      }
+      val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+      hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+        when(h > 0 && h === best, lit(lang)).otherwise(acc)
+      }
     }
     df.select(col(idCol), guess.as("lang_guess"))
   }

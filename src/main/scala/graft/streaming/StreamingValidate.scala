@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.schema.CompiledSchema
+import graft.spark.{ColumnCompiler, Validate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming lift of the per-row validation pass.
+  *
+  * The reference (/root/reference) is strictly batch — one JSON value
+  * per call — so nothing here ports; this is the engine-level stream
+  * surface a continuously-ingesting source-code table needs. Because
+  * the per-row pass is STATELESS (pure select/explode/filter — no
+  * shuffle, SURVEY.md §3 EP2), the exact same compiled checks run
+  * unchanged on a streaming DataFrame: `readStream` → [[violations]] →
+  * `writeStream` in append mode, one micro-batch at a time, scaling by
+  * partition count exactly like the batch pass.
+  *
+  * [[windowedViolationCounts]] adds the stateful monitoring feed:
+  * event-time windowed counts per keyword with a watermark bounding
+  * state (late rows beyond the watermark are dropped — state size is
+  * windows × keywords, independent of input rate).
+  */
+object StreamingValidate {
+
+  /** Violation rows for a streaming (or static) DataFrame — append-mode
+    * safe (stateless). Keys carried through as in the batch pass.
+    */
+  def violations(stream: DataFrame, schema: CompiledSchema, keyCols: Seq[String]): DataFrame = {
+    val checks = ColumnCompiler.compile(schema, stream.schema)
+      .getOrElse(sys.error("streaming validation requires the fast path; " +
+        "tree-path schemas need foreachBatch"))
+    Validate.fastViolations(stream, checks, keyCols)
+  }
+
+  /** Per-window, per-keyword violation counts with event-time
+    * watermarking. `tsCol` must be a timestamp column present in the
+    * input; it rides along as a key column into the violation rows.
+    */
+  def windowedViolationCounts(stream: DataFrame, schema: CompiledSchema,
+                              tsCol: String, windowDuration: String,
+                              watermarkDelay: String): DataFrame =
+    violations(stream, schema, Seq(tsCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("keyword"))
+      .agg(count(lit(1)).as("n_violations"))
+}

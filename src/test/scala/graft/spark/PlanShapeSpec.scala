@@ -1,0 +1,68 @@
+package graft.spark
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the scale-critical operators:
+  * the plan each op is DESIGNED to produce (SURVEY.md §2.3/§2.4) is
+  * pinned here, so a regression to a worse strategy (e.g. a broadcast
+  * silently becoming a shuffle, or top-k becoming a global sort) fails
+  * CI rather than a 100 TB run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private lazy val src = SourceTable.synthesize(spark, 2000)
+
+  test("broadcast referential check plans a BroadcastHashJoin LeftAnti (no fact shuffle)") {
+    val dim = SourceTable.langs.toDF("lang")
+    val p = plan(Referential.broadcastOrphans(src, Seq("lang"), dim, Seq("lang")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("large-dim referential check plans a SortMergeJoin LeftAnti") {
+    val p = plan(Referential.shuffleOrphans(src, Seq("commit"),
+      SourceTable.knownCommits(src), Seq("commit")))
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("salted uniqueness plans two-stage partial+final hash aggregation") {
+    val p = plan(Uniqueness.duplicates(src, Seq("repo", "path", "commit")))
+    assert(p.contains("HashAggregate"), p)
+    // two logical groupBys -> four HashAggregate operators (partial+final each)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("cosine top-k plans TakeOrderedAndProject, not a global sort") {
+    // a parquet scan (unknown maxRows) — a tiny LocalRelation would let
+    // EliminateLimits drop the limit and degrade to a global sort
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(Similarity.cosineTopK(e, "embedding", "vec_id", Array.fill(64)(0.1f), 5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("column stats aggregate in a single pass over the input") {
+    val df = src.select(length(col("content")).cast("double").as("n"))
+    val p = plan(Stats.sketchStats(df, Seq("n")))
+    // one scan feeding partial+final agg — no join, no repeated scans
+    assert("Scan|FileScan|LocalTableScan".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
+    val p = plan(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2))
+    assert(!p.contains("Exchange"), p) // banding itself is pure per-row work
+    assert(p.contains("Generate"), p) // posexplode generator
+  }
+}

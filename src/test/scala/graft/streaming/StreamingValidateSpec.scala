@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.{Schemas}
+import graft.spark.{SparkTestSession, Validate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class DocEvent(doc_id: Long, ts: Timestamp, text: String, lang: String,
+                    source: String, n_chars: Long)
+
+/** Streaming pass ≡ batch pass on the same rows; windowed watermarked
+  * aggregation produces per-window keyword counts.
+  */
+class StreamingValidateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val schema = Validate.compileSchema(Schemas.document)
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    DocEvent(1L, ts(0), "x" * 100, "en", "src1", 100L),   // clean
+    DocEvent(2L, ts(1), "x" * 10, "en", "src2", 10L),     // minLength
+    DocEvent(3L, ts(2), "x" * 100, "zz", "src3", 100L),   // enum
+    DocEvent(4L, ts(31), "x" * 100, "en", "badsource", 100L), // pattern, window 2
+    DocEvent(5L, ts(32), "x" * 600, "zz", "src4", 600L))  // maxLength+enum+maximum, window 2
+
+  test("streaming violations equal the batch pass on the same rows") {
+    val mem = MemoryStream[DocEvent]
+    mem.addData(rows: _*)
+    val q = StreamingValidate.violations(mem.toDF(), schema, Seq("doc_id"))
+      .writeStream.format("memory").queryName("stream_viols")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_viols")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && !streamed.exists(_._1 == 1L))
+  }
+
+  test("watermarked windowed violation counts per keyword") {
+    val mem = MemoryStream[DocEvent]
+    mem.addData(rows: _*)
+    val q = StreamingValidate.windowedViolationCounts(
+        mem.toDF(), schema, "ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("stream_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val counts = spark.table("stream_counts")
+      .select(col("window.start").cast("string"), col("keyword"), col("n_violations"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w1 = "2026-01-01 10:00:00"; val w2 = "2026-01-01 10:30:00"
+    assert(counts((w1, "minLength")) == 1L)
+    assert(counts((w1, "enum")) == 1L)
+    assert(counts((w2, "pattern")) == 1L)
+    assert(counts((w2, "enum")) == 1L)
+    assert(counts((w2, "maxLength")) == 1L)
+    assert(counts((w2, "maximum")) == 1L)
+  }
+}
