@@ -49,6 +49,18 @@ object SparkEntry {
         table(s, dir, "events").select("event_id", "props"),
         eventPropsSchema, Seq("event_id"), jsonCols = Set("props"))),
 
+    // pure-SQL surface: the tree evaluator as the `validate_json`
+    // Catalyst expression (GraftExtensions), LATERAL VIEW exploded
+    "v_props_sql" -> ((s, dir) => {
+      graft.spark.GraftExtensions.register(s)
+      table(s, dir, "events").createOrReplaceTempView("graft_events")
+      val schema = """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}"""
+      s.sql(
+        s"""SELECT event_id, v.keyword, v.json_pointer, v.message
+           |FROM graft_events
+           |LATERAL VIEW explode(validate_json('$schema', props)) AS v""".stripMargin)
+    }),
+
     // --- table-level constraints (SURVEY.md §2.3) --------------------
 
     // single-pass exact column stats (count/nulls/min/max/distinct)
@@ -220,6 +232,12 @@ object SparkEntry {
 
     "v_events_props" ->
       """SELECT event_id, 'maximum' AS keyword, '/props/k' AS json_pointer,
+        |       'Value must be at most 50.' AS message
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""".stripMargin,
+
+    "v_props_sql" ->
+      """SELECT event_id, 'maximum' AS keyword, '/k' AS json_pointer,
         |       'Value must be at most 50.' AS message
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""".stripMargin,

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.json.Json
+import graft.schema.{Evaluator, SchemaCompiler}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `validate_json(schemaJson, instanceJson) →
+  * array<struct<keyword string, json_pointer string, message string>>`
+  *
+  * The full recursive draft-04 tree evaluator (EP2 of the reference,
+  * /root/reference/jsonschema.go:81-87) exposed as a Catalyst
+  * expression, so the engine's core is callable from SQL text:
+  *
+  * {{{ SELECT id, v.* FROM t LATERAL VIEW
+  *     explode(validate_json('{"type":"object",...}', payload)) AS v }}}
+  *
+  * Empty array ⇔ valid. Unparsable instance JSON yields one synthetic
+  * `malformed` violation (mirroring [[graft.spark.Validate.treeViolations]]).
+  *
+  * The schema argument must be a foldable string: it is compiled ONCE
+  * per executor (transient lazy) — the expression ships only the schema
+  * text, the compile-once/validate-many shape of the reference's
+  * `ParseWithCache`. Evaluation is `CodegenFallback` (a recursive
+  * interpreter can't be inlined into generated code); the surrounding
+  * projection still codegens.
+  */
+case class ValidateJson(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("validate_json requires (string, string)")
+    else if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure("validate_json schema must be a constant string")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ValidateJson.outputType
+  override def prettyName: String = "validate_json"
+
+  @transient private lazy val compiled = {
+    val schemaJson = left.eval(InternalRow.empty).asInstanceOf[UTF8String].toString
+    new SchemaCompiler(Map.empty).compile(schemaJson)
+  }
+
+  override def nullSafeEval(schemaAny: Any, jsonAny: Any): Any = {
+    val viols = Json.parseOpt(jsonAny.asInstanceOf[UTF8String].toString) match {
+      case Some(v) => Evaluator.validate(compiled, v)
+      case None => Vector(graft.schema.Viol("malformed", Nil,
+        "Value is not valid JSON."))
+    }
+    new GenericArrayData(viols.map { v =>
+      InternalRow(UTF8String.fromString(v.keyword),
+        UTF8String.fromString(v.jsonPointer),
+        UTF8String.fromString(v.message))
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ValidateJson =
+    copy(left = l, right = r)
+}
+
+object ValidateJson {
+  val outputType: ArrayType = ArrayType(StructType(Seq(
+    StructField("keyword", StringType, nullable = false),
+    StructField("json_pointer", StringType, nullable = false),
+    StructField("message", StringType, nullable = false))), containsNull = false)
+
+  def validate_json(schemaJson: String, json: Column): Column =
+    toColumn(ValidateJson(Literal(UTF8String.fromString(schemaJson), StringType),
+      toExpression(json)))
+}

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.SimHash64
+import graft.functions.{SimHash64, ValidateJson}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,7 +20,10 @@ object GraftExtensions {
   val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (new FunctionIdentifier("validate_json"),
+      new ExpressionInfo(classOf[ValidateJson].getName, "validate_json"),
+      (children: Seq[Expression]) => ValidateJson(children(0), children(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.json.Json
+import graft.schema.{Evaluator, SchemaCompiler}
+import graft.spark.{GraftExtensions, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `validate_json` SQL expression: full tree-evaluator semantics from
+  * SQL text, parity with the direct evaluator over real data.
+  */
+class ValidateJsonSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val propsSchema =
+    """{"type":"object","required":["k"],
+      |"properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""".stripMargin
+
+  test("validate_json from SQL matches the evaluator on every events.props row") {
+    GraftExtensions.register(spark)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.createOrReplaceTempView("vj_events")
+    val viaSql = spark.sql(
+      s"""SELECT event_id, v.keyword, v.json_pointer, v.message
+         |FROM vj_events LATERAL VIEW explode(validate_json('${propsSchema.replace("'", "''")}', props)) AS v""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+    val compiled = new SchemaCompiler(Map.empty).compile(propsSchema)
+    val direct = events.select("event_id", "props").collect().flatMap { r =>
+      Evaluator.validate(compiled, Json.parse(r.getString(1)))
+        .map(v => (r.getLong(0), v.keyword, v.jsonPointer, v.message))
+    }.toSet
+    assert(viaSql == direct)
+    assert(viaSql.nonEmpty) // sf0.001 events plant out-of-range k values
+  }
+
+  test("validate_json: empty array on valid, malformed marker on broken JSON") {
+    GraftExtensions.register(spark)
+    val df = spark.sql(
+      s"""SELECT size(validate_json('$propsSchema', '{"k": 7}')) AS ok,
+         |       validate_json('$propsSchema', '{oops')[0].keyword AS bad""".stripMargin)
+    val r = df.head()
+    assert(r.getInt(0) == 0)
+    assert(r.getString(1) == "malformed")
+  }
+
+  test("validate_json via the Scala Column helper with nested $ref schema") {
+    val schema =
+      """{"definitions":{"pos":{"type":"integer","minimum":1}},
+        |"type":"object","properties":{"a":{"$ref":"#/definitions/pos"}}}""".stripMargin
+    import spark.implicits._
+    val df = Seq("""{"a": 3}""", """{"a": 0}""", """{"a": "x"}""").toDF("j")
+      .select(col("j"), ValidateJson.validate_json(schema, col("j")).as("v"))
+    val sizes = df.select(size(col("v"))).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 1, 1))
+  }
+}
