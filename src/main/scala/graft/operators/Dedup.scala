@@ -40,14 +40,15 @@ object Dedup {
 
   /** Word n-gram shingles; docs shorter than n words yield one shingle
     * of the whole text (so every doc has a non-empty shingle set).
+    * Tokens are let-bound — they are referenced three times below.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    let(tokens(text)) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
 
   // ---- exact -----------------------------------------------------------
 

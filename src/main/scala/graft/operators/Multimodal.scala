@@ -70,6 +70,20 @@ object Multimodal {
     }(Encoders.row(featureSchema))
   }
 
+  /** Resize stage: scale (width, height) down so the longer edge is at
+    * most `maxDim`, preserving aspect ratio; already-small media pass
+    * through. Pure column arithmetic over the decoded metadata — the
+    * actual pixel resample belongs to the same stubbed codec boundary
+    * as decode.
+    */
+  def resize(features: DataFrame, maxDim: Int): DataFrame = {
+    val longEdge = greatest(col("width"), col("height"))
+    val scale = when(longEdge > maxDim, lit(maxDim.toDouble) / longEdge).otherwise(lit(1.0))
+    features
+      .withColumn("resized_width", greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("resized_height", greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * index (0, everyN, 2·everyN, …) — a generator (`explode`) over the
     * decoded frame count; non-video rows pass through with frame −1.

@@ -75,10 +75,12 @@ object SourceTable {
     df.select("commit").distinct()
       .where(abs(xxhash64(col("commit"), lit(99))) % 100L =!= 0L)
 
-  /** Write-once Parquet materialization (kept out of timed regions). */
+  /** Write-once Parquet materialization (kept out of timed regions).
+    * `_SUCCESS` gates completeness — a run killed mid-write leaves a
+    * partial directory that must be rewritten, not trusted.
+    */
   def ensure(spark: SparkSession, dir: String, rows: Long): DataFrame = {
-    val path = new java.io.File(dir)
-    if (!path.exists()) {
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
       synthesize(spark, rows)
         .repartitionByRange(spark.sparkContext.defaultParallelism, col("repo"), col("path"))
         .write.mode("overwrite").parquet(dir)

@@ -211,5 +211,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byModality("audio") == rows.count(_.getString(1) == "audio"))
     assert(byModality("video") >= rows.count(_.getString(1) == "video"))
     assert(sampled.where(col("modality") =!= "video" && col("frame_idx") =!= -1).count() == 0)
+    // resize: longer edge clamped to maxDim, aspect preserved, no upscaling
+    val resized = Multimodal.resize(f1, maxDim = 64).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
+      assert(math.max(rw, rh) <= 64)
+      if (math.max(w, h) <= 64) assert((rw, rh) == ((w, h))) // no upscale
+      else { // aspect ratio within integer-floor tolerance
+        val expect = 64.0 / math.max(w, h)
+        assert(math.abs(rw - w * expect) <= 1 && math.abs(rh - h * expect) <= 1)
+      }
+    }
   }
 }
