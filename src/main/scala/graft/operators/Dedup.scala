@@ -64,15 +64,13 @@ object Dedup {
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** k-permutation MinHash signature (array<long>, length k) over word
-    * shingles: sig[s] = min over shingles of xxhash64(shingle, s). The
-    * shingle array is let-bound so it is built once per row, not once
-    * per permutation.
+    * shingles — the native codegen'd [[graft.functions.MinHashSig]]
+    * expression (one byte-hash per shingle + k long-mixes; the
+    * higher-order-function formulation pays k×n interpreted lambda
+    * dispatches and byte hashes).
     */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
-    let(shingles(text, shingleN)) { sh =>
-      transform(sequence(lit(1), lit(k)),
-        s => array_min(transform(sh, g => xxhash64(g, s))))
-    }
+    graft.functions.MinHashSig.minhashSig(shingles(text, shingleN), k)
 
   /** LSH banding: (id, band, sig) — one row per band, sig = hash of the
     * band's r signature slots. Docs agreeing on any band are candidates.
@@ -113,8 +111,12 @@ object Dedup {
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
                          shingleN: Int = 3): DataFrame = {
     val cands = candidatePairs(lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN))
+    // verify on 64-bit shingle hashes, not shingle strings: the pair
+    // join then ships/intersects long arrays (8 B/element, cheap
+    // equality) instead of text n-grams; Jaccard is unchanged up to
+    // hash collisions (~n²/2⁶⁴, negligible)
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
     jaccardVerify(cands, sets, minJaccard)
   }
 

@@ -89,13 +89,17 @@ object Similarity {
     val d = if (dim > 0) dim else
       df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
+    // norms computed once per VECTOR before the pair join — inside the
+    // join each pair would recompute both norms (3× the flops)
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("n"),
       srpSignature(col(vecCol), planes).as("sig"))
-    val a = sigd.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sigd.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = sigd.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = sigd.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 }

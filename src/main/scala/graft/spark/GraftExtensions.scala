@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{SimHash64, ValidateJson}
+import graft.functions.{MinHashSig, SimHash64, ValidateJson}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,7 +23,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHash64(children.head)),
     (new FunctionIdentifier("validate_json"),
       new ExpressionInfo(classOf[ValidateJson].getName, "validate_json"),
-      (children: Seq[Expression]) => ValidateJson(children(0), children(1))))
+      (children: Seq[Expression]) => ValidateJson(children(0), children(1))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0), {
+        val k = children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        k.asInstanceOf[Number].intValue()
+      })))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

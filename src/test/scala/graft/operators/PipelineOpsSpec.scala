@@ -101,6 +101,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash_sig native expression: SQL == Scala API, k respected") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT minhash_sig(array('a','b','c'), 8)")
+      .head().getSeq[Long](0)
+    val viaApi = spark.range(1)
+      .select(graft.functions.MinHashSig.minhashSig(array(lit("a"), lit("b"), lit("c")), 8))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 8)
+    assert(viaSql.toSet.size > 1) // distinct per-seed values
+  }
+
   test("minhash signature approximates jaccard") {
     val k = 128
     val sig = docs.select(col("id"), Dedup.minhashSignature(col("text"), k).as("s"))
