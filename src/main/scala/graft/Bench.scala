@@ -137,7 +137,7 @@ object Bench {
     // the engine. The full-machine level still runs, as the headline
     // throughput.
     val nCpus = math.max(1, cpus / 8)
-    val n4Cpus = math.max(2, cpus / 2)
+    val n4Cpus = math.min(cpus, 4 * nCpus) // keep the pair an exact 4× (eff divides by 4)
     val srcDir = s"target/bench_srctable_$srcRows"
 
     // ---- per-query timings at local[cpus] --------------------------------

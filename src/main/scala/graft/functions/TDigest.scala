@@ -117,14 +117,20 @@ final class TDigest(val compression: Double) extends Serializable {
   def totalWeight: Double = { compress(); total }
 }
 
-/** Spark typed UDAF: Aggregator[Double, TDigest, Array[Double]] —
-  * partial digests per partition, associative merge, quantile vector
-  * out. Buffer rides the shuffle via the Kryo binary encoder.
+/** Spark typed UDAF: Aggregator[java.lang.Double, TDigest,
+  * Array[Double]] — partial digests per partition, associative merge,
+  * quantile vector out. Buffer rides the shuffle via the Kryo binary
+  * encoder. IN is boxed so NULL inputs are SKIPPED (a primitive-Double
+  * aggregator would silently receive them as 0.0 and corrupt the
+  * quantiles).
   */
 class TDigestQuantiles(probs: Seq[Double], compression: Double = 100.0)
-    extends Aggregator[Double, TDigest, Array[Double]] {
+    extends Aggregator[java.lang.Double, TDigest, Array[Double]] {
   def zero: TDigest = new TDigest(compression)
-  def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+  def reduce(b: TDigest, a: java.lang.Double): TDigest = {
+    if (a != null) b.add(a.doubleValue)
+    b
+  }
   def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
   def finish(r: TDigest): Array[Double] = probs.map(r.quantile).toArray
   def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]

@@ -33,13 +33,25 @@ final case class JStr(value: String) extends JValue
 
 /** Lexical number. `text` is the exact token text from the document. */
 final case class JNum(text: String) extends JValue {
-  /** Reference rule: `strings.Contains(n.String(), ".")` ⇒ number
-    * (/root/reference/val_all.go:147). We additionally treat exponent
-    * forms without '.' the same way the reference's int64 decode would
-    * succeed/fail: plain digits ⇒ integer.
+  /** Draft-04 `integer` = a JSON number without fraction OR exponent
+    * part. The reference only tests for `.` (/root/reference/
+    * val_all.go:147), so `1e-2` would be "integer" there — documented
+    * divergence, spec behavior chosen (SURVEY.md §2.1 #25).
     */
-  def isIntegral: Boolean = !text.contains('.')
-  @transient lazy val decimal: BigDecimal = BigDecimal(text)
+  def isIntegral: Boolean =
+    text.indexOf('.') < 0 && text.indexOf('e') < 0 && text.indexOf('E') < 0
+  /** None for the non-finite tokens a Spark float/double column can
+    * inject through the row bridge (`NaN`, `Infinity`) — JSON text
+    * itself cannot produce them.
+    */
+  @transient lazy val decimalOpt: Option[BigDecimal] =
+    try Some(BigDecimal(text)) catch { case _: NumberFormatException => None }
+  @transient lazy val decimal: BigDecimal = decimalOpt.get
+  /** IEEE-754 fallback for non-finite tokens (`parseDouble` accepts
+    * NaN/Infinity); comparisons on it mirror SQL semantics so the tree
+    * path agrees with the Catalyst fast path on such rows.
+    */
+  @transient lazy val doubleValue: Double = java.lang.Double.parseDouble(text)
 }
 
 final case class JArr(items: Vector[JValue]) extends JValue
@@ -61,7 +73,11 @@ object JValue {
     case (JNull, JNull)         => true
     case (JBool(x), JBool(y))   => x == y
     case (JStr(x), JStr(y))     => x == y
-    case (x: JNum, y: JNum)     => x.decimal.compare(y.decimal) == 0
+    case (x: JNum, y: JNum)     => (x.decimalOpt, y.decimalOpt) match {
+      case (Some(a), Some(b)) => a.compare(b) == 0
+      case (None, None)       => x.text == y.text // non-finite tokens
+      case _                  => false
+    }
     case (JArr(x), JArr(y)) =>
       x.length == y.length && x.iterator.zip(y.iterator).forall { case (u, v) => deepEqual(u, v) }
     case (x: JObj, y: JObj) =>

@@ -14,12 +14,18 @@ object Json {
     f
   }
 
-  /** Parse a JSON document. Throws JsonParseException on malformed input. */
+  /** Parse a JSON document. Throws JsonParseException on malformed
+    * input, including trailing content after the first value (`{} junk`
+    * must not silently validate as `{}`).
+    */
   def parse(text: String): JValue = {
     val p = factory.createParser(text)
     try {
       p.nextToken()
       val v = readValue(p)
+      val trailing = p.nextToken()
+      if (trailing != null)
+        throw new IllegalArgumentException(s"trailing content after JSON value: $trailing")
       v
     } finally p.close()
   }

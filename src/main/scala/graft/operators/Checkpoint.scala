@@ -65,6 +65,10 @@ object Checkpoint {
         coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("wall_ms"))
     lineage.write.mode("append").parquet(checkpointDir)
     todo.unpersist()
+    // release the stage's cached partitions — the returned DataFrame
+    // recomputes deterministically if the caller consumes it later;
+    // keeping it pinned would accumulate executor memory across stages
+    viols.unpersist()
     viols
   }
 }

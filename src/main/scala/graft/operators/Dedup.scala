@@ -115,8 +115,13 @@ object Dedup {
     // join then ships/intersects long arrays (8 B/element, cheap
     // equality) instead of text n-grams; Jaccard is unchanged up to
     // hash collisions (~n²/2⁶⁴, negligible)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    // semi-join first: only candidate documents' shingle sets are built
+    // and shuffled — candidates are typically a sliver of the corpus
+    val sets = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
     jaccardVerify(cands, sets, minJaccard)
   }
 

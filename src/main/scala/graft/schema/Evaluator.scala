@@ -91,24 +91,36 @@ object Evaluator {
 
     case MaximumK(bound, exclusive) => v match {
       case n: JNum =>
-        val c = n.decimal.compare(bound)
-        if (if (exclusive) c >= 0 else c > 0)
-          out += Viol("maximum", path, Msg.maximum(bound, exclusive))
+        // pass = (v < bound) / (v ≤ bound); for non-finite tokens use
+        // IEEE comparisons (NaN fails every bound) — matching the SQL
+        // fast-path semantics on the same rows
+        val pass = n.decimalOpt match {
+          case Some(d) => if (exclusive) d < bound else d <= bound
+          case None => if (exclusive) n.doubleValue < bound.toDouble
+                       else n.doubleValue <= bound.toDouble
+        }
+        if (!pass) out += Viol("maximum", path, Msg.maximum(bound, exclusive))
       case _ => ()
     }
 
     case MinimumK(bound, exclusive) => v match {
       case n: JNum =>
-        val c = n.decimal.compare(bound)
-        if (if (exclusive) c <= 0 else c < 0)
-          out += Viol("minimum", path, Msg.minimum(bound, exclusive))
+        val pass = n.decimalOpt match {
+          case Some(d) => if (exclusive) d > bound else d >= bound
+          case None => if (exclusive) n.doubleValue > bound.toDouble
+                       else n.doubleValue >= bound.toDouble
+        }
+        if (!pass) out += Viol("minimum", path, Msg.minimum(bound, exclusive))
       case _ => ()
     }
 
     case MultipleOfK(m) => v match {
       case n: JNum =>
-        if (n.decimal.remainder(m).compare(BigDecimal(0)) != 0)
-          out += Viol("multipleOf", path, Msg.multipleOf(m))
+        val isMultiple = n.decimalOpt match {
+          case Some(d) => d.remainder(m).compare(BigDecimal(0)) == 0
+          case None    => n.doubleValue % m.toDouble == 0.0 // NaN ⇒ false
+        }
+        if (!isMultiple) out += Viol("multipleOf", path, Msg.multipleOf(m))
       case _ => ()
     }
 

@@ -29,6 +29,13 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
     * reference's `resolved` flag, /root/reference/reference.go:99-109).
     */
   private val compiledCache = mutable.Map[String, CompiledSchema]()
+  /** canon(base) + "#" + plainName → (raw schema, its scope) for every
+    * object whose `id` carries a plain-name fragment (e.g.
+    * `"id": "#foo"`), recorded during [[scanIds]] so `$ref: "#foo"`
+    * resolves even into subtrees (like `definitions`) that are never
+    * compiled on their own.
+    */
+  private val idTargets = mutable.Map[String, (JValue, String)]()
   private var anonCounter = 0
 
   private val normalizedRegistry: Map[String, String] =
@@ -79,7 +86,12 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
       val newScope = obj.get("id") match {
         case Some(JStr(id)) =>
           val s = resolveUri(scope, id)
-          docCache.getOrElseUpdate(canon(s), (obj, s))
+          val hash = s.indexOf('#')
+          if (hash >= 0 && hash < s.length - 1)
+            // plain-name fragment id: addressable only via idTargets
+            idTargets.getOrElseUpdate(canon(s) + "#" + s.substring(hash + 1), (obj, s))
+          else
+            docCache.getOrElseUpdate(canon(s), (obj, s))
           s
         case _ => scope
       }
@@ -105,7 +117,11 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
             val newScope = obj.get("id") match {
               case Some(JStr(id)) =>
                 val s = resolveUri(scope, id)
-                compiledCache.getOrElseUpdate(canon(s) + "#", cell)
+                val hash = s.indexOf('#')
+                val regKey = if (hash >= 0 && hash < s.length - 1)
+                  canon(s) + "#" + s.substring(hash + 1) // plain-name fragment
+                else canon(s) + "#"
+                compiledCache.getOrElseUpdate(regKey, cell)
                 s
               case _ => scope
             }
@@ -185,10 +201,14 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
       }
       compileAt(cur, curScope, baseC, frag)
     } else {
-      // Plain-name fragment: only resolvable if some schema registered
-      // that exact uri via its `id`.
-      compiledCache.getOrElse(s"$baseC#$frag",
-        throw new SchemaCompileException(s"unresolvable plain-name fragment '#$frag'"))
+      // Plain-name fragment: resolvable when some object declared that
+      // uri via its `id` — already compiled, or recorded by scanIds
+      // (e.g. inside `definitions`) and compiled here on first use.
+      val key = s"$baseC#$frag"
+      compiledCache.get(key)
+        .orElse(idTargets.get(key).map { case (json, sc) => compileAt(json, sc, baseC, frag) })
+        .getOrElse(
+          throw new SchemaCompileException(s"unresolvable plain-name fragment '#$frag'"))
     }
   }
 

@@ -120,6 +120,32 @@ object ColumnCompiler {
     }
     val isNumeric = jsonType == "integer" || jsonType == "number"
 
+    // ---- exact numeric comparison plumbing (parity with the tree
+    // path's BigDecimal semantics — SURVEY.md §2.1 #1/#2/#20) ----------
+    def fitsLong(d: BigDecimal): Boolean =
+      d.isWhole && d >= BigDecimal(Long.MinValue) && d <= BigDecimal(Long.MaxValue)
+    // bound is exactly representable as the double its text parses to
+    // (i.e. it IS the shortest decimal repr of that double)
+    def doubleExact(d: BigDecimal): Boolean =
+      try BigDecimal(d.toDouble.toString).compare(d) == 0
+      catch { case _: NumberFormatException => false }
+    // float columns widen via their shortest string repr — the same
+    // lexical bridge the tree path uses (0.1f must compare as 0.1, not
+    // as the widened 0.10000000149...)
+    def numValue: Column = if (dt == FloatType) c.cast(StringType).cast(DoubleType) else c
+    // exact literal for a bound against this column type; None ⇒ the
+    // fast path cannot compare exactly ⇒ whole schema → tree path
+    def boundLit(b: BigDecimal): Option[Column] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        if (fitsLong(b)) Some(lit(b.toLongExact)) // exact long-long compare
+        else if (b.precision <= 38) Some(lit(b.underlying)) // exact decimal compare
+        else None
+      case _: DecimalType =>
+        if (b.precision <= 38) Some(lit(b.underlying)) else None
+      case _ =>
+        if (doubleExact(b)) Some(lit(b.toDouble)) else None
+    }
+
     schema.keywords.foreach {
       case TypeK(types) =>
         val ok = types.contains("any") || types.contains(jsonType) ||
@@ -128,26 +154,40 @@ object ColumnCompiler {
           out += Check("type", ptr, Msg.typeErr(types, jsonType), c.isNull)
 
       case EnumK(values) =>
+        // numeric members are filtered to those representable exactly in
+        // the column's comparison domain; the dropped ones cannot equal
+        // any value of this column under the tree path's decimal
+        // equality either, so drop ≡ no-match (1 == 1.0 still holds)
         val members: Seq[Any] = jsonType match {
           case "string"  => values.collect { case graft.json.JStr(s) => s }
           case "boolean" => values.collect { case graft.json.JBool(b) => b }
-          case _ => values.collect { case n: graft.json.JNum => n.decimal.toDouble }
+          case "integer" => values.collect {
+            case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
+          }
+          case _ => dt match {
+            case _: DecimalType => values.collect {
+              case n: graft.json.JNum if n.decimalOpt.exists(_.precision <= 38) => n.decimal.underlying
+            }
+            case _ => values.collect {
+              case n: graft.json.JNum if n.decimalOpt.exists(doubleExact) => n.decimal.toDouble
+            }
+          }
         }
         val pred =
           if (members.isEmpty) lit(false)
-          else if (isNumeric) c.cast(DoubleType).isin(members: _*)
+          else if (isNumeric) numValue.isin(members: _*)
           else c.isin(members: _*)
         out += Check("enum", ptr, Msg.enumErr, guarded(pred))
 
       case MaximumK(bound, exclusive) if isNumeric =>
-        val b = lit(bound.toDouble)
-        val pred = if (exclusive) c < b else c <= b
+        val b = boundLit(bound).getOrElse(return None)
+        val pred = if (exclusive) numValue < b else numValue <= b
         out += Check("maximum", ptr, Msg.maximum(bound, exclusive), guarded(pred))
       case _: MaximumK => () // non-numeric column: skips
 
       case MinimumK(bound, exclusive) if isNumeric =>
-        val b = lit(bound.toDouble)
-        val pred = if (exclusive) c > b else c >= b
+        val b = boundLit(bound).getOrElse(return None)
+        val pred = if (exclusive) numValue > b else numValue >= b
         out += Check("minimum", ptr, Msg.minimum(bound, exclusive), guarded(pred))
       case _: MinimumK => ()
 

@@ -27,8 +27,14 @@ object GraftExtensions {
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children(0), {
-        val k = children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        k.asInstanceOf[Number].intValue()
+        val kExpr = children(1)
+        if (!kExpr.foldable)
+          throw new IllegalArgumentException("minhash_sig: k must be a constant integer")
+        kExpr.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: k must be a non-null integer, got $other")
+        }
       })))
 
   /** Register on an already-built session. */

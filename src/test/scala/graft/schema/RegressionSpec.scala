@@ -1,0 +1,54 @@
+package graft.schema
+
+import graft.json._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regressions from the adversarial review pass — core (no Spark). */
+class RegressionSpec extends AnyFunSuite {
+
+  private def compile(s: String) = new SchemaCompiler(Map.empty).compile(s)
+
+  test("exponent-form numbers are not draft-04 integers") {
+    assert(JNum("1e-2").typeName == "number")
+    assert(JNum("1E2").typeName == "number")
+    assert(JNum("12").typeName == "integer")
+    assert(JNum("-3").typeName == "integer")
+    val s = compile("""{"type":"integer"}""")
+    assert(Evaluator.validate(s, Json.parse("1e-2")).nonEmpty)
+    assert(Evaluator.validate(s, Json.parse("100")).isEmpty)
+  }
+
+  test("trailing garbage after a JSON value is malformed") {
+    assert(Json.parseOpt("""{"a":1} } junk""").isEmpty)
+    assert(Json.parseOpt("""[1,2] garbage""").isEmpty)
+    assert(Json.parseOpt("""{"a":1}""").isDefined)
+    assert(Json.parseOpt("""  {"a":1}  """).isDefined) // whitespace ok
+  }
+
+  test("plain-name fragment $ref resolves into definitions") {
+    val s = compile(
+      """{"definitions":{"a":{"id":"#foo","type":"string"}},"$ref":"#foo"}""")
+    assert(Evaluator.validate(s, JStr("ok")).isEmpty)
+    assert(Evaluator.validate(s, JNum("3")).nonEmpty)
+  }
+
+  test("plain-name fragment $ref under an absolute base id") {
+    val s = compile(
+      """{"id":"http://x.test/root",
+        |"definitions":{"a":{"id":"#leaf","minimum":5}},
+        |"properties":{"v":{"$ref":"#leaf"}}}""".stripMargin)
+    assert(Evaluator.validate(s, Json.parse("""{"v": 7}""")).isEmpty)
+    assert(Evaluator.validate(s, Json.parse("""{"v": 3}""")).nonEmpty)
+  }
+
+  test("non-finite numeric tokens fail bounds instead of crashing") {
+    val s = compile("""{"properties":{"x":{"maximum":100}}}""")
+    val v = JObj(Vector("x" -> JNum("NaN")))
+    assert(Evaluator.validate(s, v).exists(_.keyword == "maximum"))
+    val inf = JObj(Vector("x" -> JNum("Infinity")))
+    assert(Evaluator.validate(s, inf).exists(_.keyword == "maximum"))
+    val minS = compile("""{"properties":{"x":{"minimum":0}}}""")
+    assert(Evaluator.validate(minS, inf).isEmpty) // +Inf >= 0
+    assert(Evaluator.validate(minS, v).nonEmpty)  // NaN fails every bound
+  }
+}

@@ -1,0 +1,55 @@
+package graft.spark
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regressions from the adversarial review pass — Spark paths. */
+class SparkRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fast path and tree path agree on long bounds beyond 2^53") {
+    val big = 9007199254740993L // 2^53 + 1, not representable as double
+    val df = Seq(big).toDF("x")
+    val schema = Validate.compileSchema(
+      """{"properties":{"x":{"maximum":9007199254740992}}}""")
+    val fast = Validate.violations(df, schema, Seq("x")).count()
+    val tree = Validate.treeViolations(df, schema, Seq("x")).count()
+    assert(fast == 1L, "2^53+1 must violate maximum 2^53")
+    assert(fast == tree)
+  }
+
+  test("fast path and tree path agree on float columns vs decimal bounds") {
+    val df = Seq(0.1f, 0.2f, 0.25f).toDF("x")
+    val schema = Validate.compileSchema("""{"properties":{"x":{"maximum":0.2}}}""")
+    val fast = Validate.violations(df, schema, Seq("x")).collect().map(_.getFloat(0)).toSet
+    val tree = Validate.treeViolations(df, schema, Seq("x")).collect().map(_.getFloat(0)).toSet
+    assert(fast == Set(0.25f), s"0.1f and 0.2f satisfy maximum 0.2 lexically: $fast")
+    assert(fast == tree)
+  }
+
+  test("t-digest UDAF skips NULLs instead of counting them as 0.0") {
+    val df = Seq[Option[Double]](Some(100), Some(100), Some(100), None, None, None)
+      .toDF("x")
+    val q = Stats.tdigestStats(df, Seq("x"), Seq(0.5)).head()
+    assert(q.getDouble(1) == 100.0, s"median with nulls skipped: ${q.getDouble(1)}")
+  }
+
+  test("NaN in a double column yields violations, not a crashed task") {
+    val df = Seq(Double.NaN, 50.0).toDF("x")
+    val schema = Validate.compileSchema("""{"properties":{"x":{"maximum":100}}}""")
+    val tree = Validate.treeViolations(df, schema, Seq("x")).count()
+    val fast = Validate.violations(df, schema, Seq("x")).count()
+    assert(tree == 1L && fast == 1L) // NaN fails the bound on both paths
+  }
+
+  test("enum on integral column: 1 matches [1.0] (spec), no match drops exactly") {
+    val df = Seq(1L, 3L).toDF("x")
+    val schema = Validate.compileSchema("""{"properties":{"x":{"enum":[1.0, 2]}}}""")
+    val fast = Validate.violations(df, schema, Seq("x")).collect().map(_.getLong(0)).toSet
+    val tree = Validate.treeViolations(df, schema, Seq("x")).collect().map(_.getLong(0)).toSet
+    assert(fast == Set(3L) && tree == Set(3L))
+  }
+}
