@@ -1,0 +1,85 @@
+package graft
+
+import graft.json._
+import graft.schema.{Evaluator, SchemaCompiler}
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the core engine (SURVEY.md §5 item 3).
+  * Pure-JVM (no Spark) — the Spark parity property lives in
+  * [[graft.spark.SparkParityPropertySpec]].
+  */
+object CoreProperties extends Properties("graft.core") {
+
+  // ---- generators ------------------------------------------------------
+
+  private val genNumText: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString),
+    Gen.chooseNum(-1e9, 1e9).map(d => BigDecimal(d).toString),
+    Gen.oneOf("0", "1", "1.0", "-2.5", "9007199254740993", "1e3", "2E-2"))
+
+  private def genJValue(depth: Int): Gen[JValue] =
+    if (depth <= 0)
+      Gen.oneOf(
+        Gen.const(JNull),
+        Arbitrary.arbitrary[Boolean].map(JBool),
+        Gen.alphaNumStr.map(JStr),
+        genNumText.map(JNum))
+    else Gen.frequency(
+      3 -> genJValue(0),
+      1 -> Gen.listOfN(3, genJValue(depth - 1)).map(l => JArr(l.toVector)),
+      1 -> Gen.listOfN(3, Gen.zip(Gen.alphaStr.map(_.take(5)), genJValue(depth - 1)))
+        .map(l => JObj(l.distinctBy(_._1).toVector)))
+
+  private val jvalues: Gen[JValue] = Gen.sized(s => genJValue(math.min(s / 30, 3)))
+
+  // ---- properties ------------------------------------------------------
+
+  property("render ∘ parse = identity (values round-trip lexically)") =
+    forAll(jvalues) { v =>
+      Json.parse(Json.render(v)) == v
+    }
+
+  property("deepEqual is reflexive") = forAll(jvalues) { v =>
+    JValue.deepEqual(v, v)
+  }
+
+  property("deepEqual is symmetric") = forAll(jvalues, jvalues) { (a, b) =>
+    JValue.deepEqual(a, b) == JValue.deepEqual(b, a)
+  }
+
+  property("verdicts are stable under object key reordering") = {
+    val schema = new SchemaCompiler(Map.empty).compile(
+      """{"type":"object","required":["a"],
+        |"properties":{"a":{"type":"integer","minimum":0},
+        |              "b":{"type":"string","minLength":2},
+        |              "c":{"enum":[1,"x",true]}}}""".stripMargin)
+    forAll(Gen.listOfN(4, Gen.zip(Gen.oneOf("a", "b", "c", "d"), jvalues)),
+      Arbitrary.arbitrary[Long]) { (fields, seed) =>
+      val obj = JObj(fields.distinctBy(_._1).toVector)
+      val shuffled = JObj(new scala.util.Random(seed).shuffle(obj.fields))
+      Evaluator.isValid(schema, obj) == Evaluator.isValid(schema, shuffled)
+    }
+  }
+
+  property("t-digest median lies between the exact p45 and p55 values") =
+    forAll(Gen.listOfN(2000, Gen.chooseNum(-1e6, 1e6)), Arbitrary.arbitrary[Long]) {
+      (xs0, seed) =>
+        val xs = new scala.util.Random(seed).shuffle(xs0)
+        val td = new graft.functions.TDigest(100.0)
+        xs.foreach(td.add(_))
+        val sorted = xs.sorted.toIndexedSeq
+        val est = td.quantile(0.5)
+        // value-interval check: rank-based assertions are ill-posed for
+        // atomic distributions (interpolating across a mass gap between
+        // two atoms is correct yet lands at an in-between rank); the
+        // estimate sitting within the exact [p45, p55] VALUE window is
+        // the guarantee that matters at δ=100
+        val p45 = sorted((0.45 * (xs.size - 1)).toInt)
+        val p55 = sorted(math.ceil(0.55 * (xs.size - 1)).toInt)
+        Prop(est >= p45 && est <= p55) :| s"median est $est outside [p45=$p45, p55=$p55]"
+    }
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+}

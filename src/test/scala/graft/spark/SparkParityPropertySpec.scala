@@ -1,0 +1,56 @@
+package graft.spark
+
+import graft.Schemas
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property: the Catalyst fast path and the tree evaluator emit the
+  * SAME violation rows for arbitrary typed rows (nulls included)
+  * against the document schema. Each case batches many generated rows
+  * into one DataFrame so a property evaluation is one Spark job, not
+  * hundreds.
+  */
+object SparkParityPropertySpec extends Properties("graft.spark.parity") {
+
+  private lazy val spark = SparkTestSession.spark
+  private lazy val schema = Validate.compileSchema(Schemas.document)
+
+  private val rowSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  private val genRow: Gen[Row] = for {
+    id <- Gen.oneOf(Gen.chooseNum(-5L, 5L).map(Long.box), Gen.const(null))
+    text <- Gen.oneOf(
+      Gen.chooseNum(0, 600).map("x" * _),
+      Gen.const(null))
+    lang <- Gen.oneOf("en", "de", "zz", "fr", null)
+    source <- Gen.oneOf("src1", "src77", "bad", "", null)
+    n <- Gen.oneOf(Gen.chooseNum(-10L, 600L).map(Long.box), Gen.const(null))
+  } yield Row(id, text, lang, source, n)
+
+  property("fast path ≡ tree path on generated typed rows") =
+    forAll(Gen.listOfN(150, genRow)) { rows =>
+      // tag rows so violations key uniquely even for duplicate payloads
+      val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tagged, 4),
+        StructType(StructField("row_tag", LongType, nullable = false) +: rowSchema.fields))
+      def collect(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      val checks = ColumnCompiler.compile(schema, df.schema)
+      checks.isDefined && {
+        val fast = collect(Validate.fastViolations(df, checks.get, Seq("row_tag")))
+        val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
+        fast == tree
+      }
+    }
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5) // each case = one full Spark job over 150 rows
+}
