@@ -197,7 +197,13 @@ object SparkEntry {
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.decodeFeatures(
           graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text")),
-        everyN = 30))
+        everyN = 30)),
+    "m_resize" -> ((s, dir) =>
+      graft.operators.Multimodal.resize(
+        graft.operators.Multimodal.decodeFeatures(
+          graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text")),
+        maxDim = 256)
+        .select("media_id", "width", "height", "resized_width", "resized_height"))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
