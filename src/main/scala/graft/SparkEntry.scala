@@ -173,6 +173,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
+    // IVF ANN (k-means coarse quantizer, probe nearest clusters)
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8)
+      graft.operators.Similarity.ivfTopK(e, "embedding", "vec_id", q, 10, cents, nprobe = 3)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
     // token counting: chars / whitespace tokens / BPE-ish subwords
     "t_token_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")),

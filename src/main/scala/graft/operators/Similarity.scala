@@ -78,6 +78,70 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN: coarse k-means quantizer ---------------
+
+  /** Driver-side spherical Lloyd's k-means over a deterministic sample
+    * — the coarse quantizer. Sampling + a handful of iterations is the
+    * standard IVF training recipe; at 100 TB the sample (≤ `sampleN`
+    * rows) is all that ever reaches the driver.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+                     iters: Int = 5, sampleN: Int = 2000, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = df.select(vecCol).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
+    def norm(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    val xs = sample.map(norm)
+    var cents = new scala.util.Random(seed).shuffle(xs.toVector).take(k).map(_.clone).toArray
+    def dotf(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](xs.head.length))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        val c = cents.indices.maxBy(i => dotf(x, cents(i)))
+        counts(c) += 1
+        x.indices.foreach(i => sums(c)(i) += x(i))
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else norm(sums(c).map(_.toFloat))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid (max-dot) cluster id per vector — the IVF
+    * assignment, pure column expressions (let-bound dot list).
+    */
+  def ivfClusterId(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val dots = array(centroids.map(c => dot(vec, queryLit(c))): _*)
+    graft.operators.Dedup.let(dots) { d =>
+      (array_position(d, array_max(d)) - 1).cast("int")
+    }
+  }
+
+  /** IVF ANN top-k: score only vectors whose cluster is among the
+    * query's `nprobe` nearest centroids. The cluster-id predicate is a
+    * small IN-list — at scale the table is written partitioned by
+    * cluster_id, so the probe prunes partitions at the source.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float],
+              k: Int, centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    val qd = centroids.indices.map { i =>
+      i -> centroids(i).zip(query).map { case (a, b) => a.toDouble * b }.sum
+    }
+    val probe = qd.sortBy(-_._2).take(nprobe).map(_._1)
+    df.select(col(idCol), col(vecCol), ivfClusterId(col(vecCol), centroids).as("cluster_id"))
+      .where(col("cluster_id").isin(probe: _*))
+      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket
     * (exact-signature match on a `bits`-bit SRP bucket), verified with
     * exact cosine ≥ minCosine. The corpus-sized self-join is bucket-

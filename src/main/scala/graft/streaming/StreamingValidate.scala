@@ -2,8 +2,14 @@ package graft.streaming
 
 import graft.schema.CompiledSchema
 import graft.spark.{ColumnCompiler, Validate}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Running per-key validation totals — the custom state carried across
+  * micro-batches by [[StreamingValidate.runningViolationRates]].
+  */
+case class KeyTotals(key: String, rows_seen: Long, rows_failed: Long, fail_rate: Double)
 
 /** Structured Streaming lift of the per-row validation pass.
   *
@@ -31,6 +37,37 @@ object StreamingValidate {
       .getOrElse(sys.error("streaming validation requires the fast path; " +
         "tree-path schemas need foreachBatch"))
     Validate.fastViolations(stream, checks, keyCols)
+  }
+
+  /** Per-key RUNNING validation totals across the whole stream via
+    * `mapGroupsWithState` — custom state (not a windowed aggregate):
+    * each micro-batch folds its rows into the key's persistent
+    * (rows_seen, rows_failed) totals and emits the updated rate.
+    * State size is O(distinct keys); use a timeout variant when the
+    * key universe is unbounded.
+    */
+  def runningViolationRates(stream: DataFrame, schema: CompiledSchema,
+                            keyCol: String): Dataset[KeyTotals] = {
+    val checks = ColumnCompiler.compile(schema, stream.schema)
+      .getOrElse(sys.error("streaming validation requires the fast path"))
+    val keyed = stream.select(
+      coalesce(col(keyCol).cast("string"), lit("null")).as("key"),
+      coalesce(Validate.passColumn(checks), lit(false)).as("pass"))
+    implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean)
+    implicit val outEnc = Encoders.product[KeyTotals]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    keyed.as[(String, Boolean)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Long), KeyTotals](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) =>
+          var (seen, failed) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, pass) =>
+            seen += 1
+            if (!pass) failed += 1
+          }
+          state.update((seen, failed))
+          KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
+      }
   }
 
   /** Per-window, per-keyword violation counts with event-time

@@ -155,6 +155,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tight.headOption.contains(0L)) // self always lands in the query bucket
   }
 
+  test("IVF ANN: full probe ≡ brute force; assignment covers every vector") {
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val cents = Similarity.trainCentroids(embs, "embedding", k = 8, sampleN = 500)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // every vector lands in exactly one of the 8 clusters
+    val assigned = embs.select(Similarity.ivfClusterId(col("embedding"), cents).as("c"))
+    assert(assigned.where(col("c").between(0, 7)).count() == embs.count())
+    // probing ALL clusters is exhaustive ⇒ identical to brute force
+    val brute = Similarity.cosineTopK(embs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(embs, "embedding", "vec_id", q, 5, cents, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // a 2-probe search still finds the query vector itself
+    val narrow = Similarity.ivfTopK(embs, "embedding", "vec_id", q, 5, cents, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(narrow.headOption.contains(0L))
+  }
+
   test("embedding near-dup pairs find planted identical vectors") {
     val v = Array.tabulate(8)(i => i.toFloat / 10f)
     val w = Array.tabulate(8)(i => (7 - i).toFloat / 10f)

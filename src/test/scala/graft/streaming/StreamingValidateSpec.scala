@@ -46,6 +46,29 @@ class StreamingValidateSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.exists(_._1 == 1L))
   }
 
+  test("mapGroupsWithState accumulates per-key totals across micro-batches") {
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingValidate.runningViolationRates(mem.toDF(), schema, "lang")
+      .writeStream.format("memory").queryName("stream_rates")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(3): _*) // en-clean, en-minLength, zz-enum
+      q.processAllAvailable()
+      val after1 = spark.table("stream_rates")
+        .groupBy("key").agg(max("rows_seen").as("n"), max("rows_failed").as("f"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(after1("en") == ((2L, 1L)) && after1("zz") == ((1L, 1L)))
+
+      mem.addData(rows.drop(3): _*) // en-pattern, zz-multi → totals accumulate
+      q.processAllAvailable()
+      val after2 = spark.table("stream_rates")
+        .groupBy("key").agg(max("rows_seen").as("n"), max("rows_failed").as("f"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(after2("en") == ((3L, 2L)), s"state carried across batches: $after2")
+      assert(after2("zz") == ((2L, 2L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed violation counts per keyword") {
     val mem = MemoryStream[DocEvent]
     mem.addData(rows: _*)
