@@ -40,7 +40,20 @@ case class ValidateJson(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure("validate_json requires (string, string)")
     else if (!left.foldable)
       TypeCheckResult.TypeCheckFailure("validate_json schema must be a constant string")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // compile the schema at analysis time: a bad schema is a query
+      // error on the driver, not a per-task failure on every executor
+      try {
+        val s = left.eval(InternalRow.empty)
+        if (s == null) return TypeCheckResult.TypeCheckFailure(
+          "validate_json schema must not be NULL")
+        new SchemaCompiler(Map.empty).compile(s.asInstanceOf[UTF8String].toString)
+        TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: Exception =>
+          TypeCheckResult.TypeCheckFailure(s"validate_json: invalid schema: ${e.getMessage}")
+      }
+    }
 
   override def dataType: DataType = ValidateJson.outputType
   override def prettyName: String = "validate_json"

@@ -45,6 +45,14 @@ class ValidateJsonSpec extends AnyFunSuite {
     assert(r.getString(1) == "malformed")
   }
 
+  test("validate_json rejects an invalid schema at analysis time") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("""SELECT validate_json('{"$ref": "#/nowhere"}', '{}')""").collect()
+    }
+    assert(e.getMessage.contains("invalid schema"), e.getMessage)
+  }
+
   test("validate_json via the Scala Column helper with nested $ref schema") {
     val schema =
       """{"definitions":{"pos":{"type":"integer","minimum":1}},
