@@ -166,12 +166,13 @@ object Bench {
     // ±20% (observed 39.5 vs 66.2 s at 16 cores), enough to push the
     // efficiency ratio below target or above 1.0 on single shots. The
     // minimum is the reproducible capacity number.
-    def bestOf2(c: Int): (Long, Double) = {
-      val (rows, a) = level(c); val (_, b) = level(c); (rows, math.min(a, b))
+    def bestOf2(c: Int): (Long, Double, Seq[Double]) = {
+      val (rows, a) = level(c); val (_, b) = level(c); (rows, math.min(a, b), Seq(a, b))
     }
-    val (rowsN, secN) = bestOf2(nCpus)
-    val (_, sec4N) = bestOf2(n4Cpus)
-    val (_, secFull) = bestOf2(cpus)
+    val (rowsN, secN, wallsN) = bestOf2(nCpus)
+    val (_, sec4N, walls4N) = bestOf2(n4Cpus)
+    val (_, secFull, wallsFull) = bestOf2(cpus)
+    def fmtWalls(w: Seq[Double]) = w.map(x => f"$x%.1f").mkString("[", ",", "]")
     val thrN = rowsN / secN
     val thr4N = rowsN / sec4N
     val thrFull = rowsN / secFull
@@ -179,7 +180,7 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val scaling = f"""{"rows":$rowsN,"n_cpus":$nCpus,"throughput_n_rows_per_sec":$thrN%.1f,"4n_cpus":$n4Cpus,"throughput_4n_rows_per_sec":$thr4N%.1f,"efficiency":$eff%.3f,"full_cpus":$cpus,"throughput_full_rows_per_sec":$thrFull%.1f}"""
+    val scaling = f"""{"rows":$rowsN,"n_cpus":$nCpus,"throughput_n_rows_per_sec":$thrN%.1f,"4n_cpus":$n4Cpus,"throughput_4n_rows_per_sec":$thr4N%.1f,"efficiency":$eff%.3f,"full_cpus":$cpus,"throughput_full_rows_per_sec":$thrFull%.1f,"wall_samples":{"n":${fmtWalls(wallsN)},"4n":${fmtWalls(walls4N)},"full":${fmtWalls(wallsFull)}}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_per_sec":$thrFull%.1f,"scaling":$scaling}""")
 
     Files.createDirectories(Paths.get("BENCH"))
@@ -191,11 +192,11 @@ object Bench {
          |input at every parallelism level, generation + JIT warm-up
          |excluded from timing. Date: ${java.time.LocalDate.now}.
          |
-         || Level | Cores | Wall (s) | Throughput (validated files/sec) |
-         ||---|---|---|---|
-         || N  | $nCpus | ${f"$secN%.2f"} | ${f"$thrN%.1f"} |
-         || 4N | $n4Cpus | ${f"$sec4N%.2f"} | ${f"$thr4N%.1f"} |
-         || full machine | $cpus | ${f"$secFull%.2f"} | ${f"$thrFull%.1f"} |
+         || Level | Cores | Wall best-of-2 (s) | All samples (s) | Throughput (validated files/sec) |
+         ||---|---|---|---|---|
+         || N  | $nCpus | ${f"$secN%.2f"} | ${fmtWalls(wallsN)} | ${f"$thrN%.1f"} |
+         || 4N | $n4Cpus | ${f"$sec4N%.2f"} | ${fmtWalls(walls4N)} | ${f"$thr4N%.1f"} |
+         || full machine | $cpus | ${f"$secFull%.2f"} | ${fmtWalls(wallsFull)} | ${f"$thrFull%.1f"} |
          |
          |Scaling efficiency throughput(4N) / (4 × throughput(N)) =
          |**${f"$eff%.3f"}** (target ≥ 0.8).
