@@ -48,6 +48,24 @@ object Schemas {
       |  }
       |}""".stripMargin
 
+  /** Tightened revision of [[document]] — used by the verdict-diff set
+    * operation (docs passing the current schema but failing the
+    * proposed one). Fast-path expressible by construction.
+    */
+  val documentStrict: String =
+    """{
+      |  "id": "http://graft.local/document-strict",
+      |  "type": "object",
+      |  "required": ["doc_id", "text", "lang", "source"],
+      |  "properties": {
+      |    "doc_id":  {"type": "integer", "minimum": 0},
+      |    "text":    {"type": "string", "minLength": 60, "maxLength": 500},
+      |    "lang":    {"enum": ["en", "de", "fr"]},
+      |    "source":  {"type": "string", "pattern": "^src[0-4]$"},
+      |    "n_chars": {"type": "integer", "maximum": 450}
+      |  }
+      |}""".stripMargin
+
   /** Tree-path schema for `events.props` (a JSON-string column):
     * nested object validation the fast path can't express.
     */

@@ -16,6 +16,7 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private lazy val documentSchema = Validate.compileSchema(Schemas.document)
+  private lazy val documentStrictSchema = Validate.compileSchema(Schemas.documentStrict)
   private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -89,20 +90,46 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")),
 
     // distribution drift: exact per-bucket histogram, 1995-97 vs 98-01
+    // (same-table split ⇒ single-pass conditional agg, ONE scan)
     "c_drift_hist" -> ((s, dir) => {
       val orders = table(s, dir, "orders")
       val split = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
-      graft.operators.Drift.histogramCompare(
-        orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20)
+      graft.operators.Drift.histogramSplit(orders, split, "o_totalprice", 0.0, 500000.0, 20)
     }),
 
     // PSI/KS scalar drift scores (rounded to 6dp for cross-engine parity)
     "c_drift_psi" -> ((s, dir) => {
       val orders = table(s, dir, "orders")
       val split = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
-      graft.operators.Drift.psiKs(graft.operators.Drift.histogramCompare(
-        orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20))
+      graft.operators.Drift.psiKs(graft.operators.Drift.histogramSplit(
+        orders, split, "o_totalprice", 0.0, 500000.0, 20))
         .select(round(col("psi"), 6).as("psi"), round(col("ks"), 6).as("ks"))
+    }),
+
+    // rollup aggregation: per-(lang, source) + per-lang + grand totals
+    // in one pass (grouping-sets hash agg)
+    "c_stats_rollup" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))),
+
+    // window functions: exact top-3 docs per lang by length — salted
+    // two-stage row_number (no hot reducer per group at scale)
+    "w_top_docs" -> ((s, dir) =>
+      graft.operators.Ranking.topKPerGroup(
+        table(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .withColumnRenamed("rank", "rnk")),
+
+    // set operation: verdict regression — docs passing the current
+    // schema but failing a proposed stricter one (EXCEPT ≡ distinct
+    // anti-semantics between two verdict sets)
+    "x_verdict_diff" -> ((s, dir) => {
+      val df = table(s, dir, "documents")
+      val lax = ColumnCompiler.compile(documentSchema, df.schema).get
+      val strict = ColumnCompiler.compile(documentStrictSchema, df.schema).get
+      df.where(Validate.passColumn(lax)).select("doc_id")
+        .except(df.where(Validate.passColumn(strict)).select("doc_id"))
     }),
 
     // sketch stats: HLL++ distinct + approx quantiles (rows-only check)
@@ -298,17 +325,43 @@ object SparkEntry {
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
         |       round(max(abs(cp - cq)), 6) AS ks FROM c""".stripMargin,
 
+    "c_stats_rollup" ->
+      """SELECT lang, source, count(*) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "w_top_docs" ->
+      """SELECT lang, doc_id, n_chars, rnk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 3""".stripMargin,
+
+    "x_verdict_diff" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en','de','fr','es')
+        |  AND length(text) BETWEEN 50 AND 520
+        |  AND regexp_matches(source, '^src[0-9]$')
+        |  AND n_chars <= 500 AND doc_id >= 0
+        |EXCEPT
+        |SELECT doc_id FROM documents
+        |WHERE lang IN ('en','de','fr')
+        |  AND length(text) BETWEEN 60 AND 500
+        |  AND regexp_matches(source, '^src[0-4]$')
+        |  AND n_chars <= 450 AND doc_id >= 0""".stripMargin,
+
     "d_exact_dups" ->
       """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "s_cosine_topk" ->
       """SELECT vec_id,
-        |  round(list_cosine_similarity(embedding,
-        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
         |FROM embeddings
-        |ORDER BY list_cosine_similarity(embedding,
-        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
 
     "t_token_stats" ->

@@ -42,6 +42,21 @@ object Drift {
         coalesce(col("n_curr"), lit(0L)).as("n_curr"))
   }
 
+  /** Single-pass variant of [[histogramCompare]] for when baseline and
+    * current come from ONE table split by a predicate (e.g. a date
+    * boundary): one scan + one conditional aggregation instead of two
+    * scans and a join — at 100 TB this halves the dominant cost. The
+    * two-DataFrame form remains for a checkpointed baseline table.
+    * Buckets with no rows on either side are absent (same as the
+    * full-outer join in [[histogramCompare]]).
+    */
+  def histogramSplit(df: DataFrame, isBase: Column, valueCol: String,
+                     lo: Double, hi: Double, buckets: Int): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(isBase, 0L).otherwise(1L)).as("n_curr"))
+
   /** Population Stability Index Σ(p−q)·ln(p/q) and Kolmogorov–Smirnov
     * max|CDF_p−CDF_q| over the joined histogram. `eps` regularizes
     * empty buckets. Single row out.

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed ranking — exact top-k rows per group.
+  *
+  * A bare `row_number() OVER (PARTITION BY g ORDER BY …)` shuffles the
+  * ENTIRE table onto one reducer per group value; with low-cardinality
+  * groups (a handful of langs over 100 TB) that is a hot-reducer
+  * catastrophe. The two-stage shape below keeps exactness while
+  * spreading the heavy shuffle over `groups × input-partitions`
+  * reducers:
+  *
+  *   stage 1: rank within (group, input partition id) and keep the
+  *            local top-k — the full-data shuffle, but each reducer
+  *            handles at most one input partition's share of one group;
+  *   stage 2: rank within group over the ≤ partitions·k survivors —
+  *            a tiny shuffle.
+  *
+  * Exact because any global top-k row is also top-k within its own
+  * input partition. `sortExprs` must define a TOTAL order (include a
+  * unique tiebreaker) for deterministic output.
+  */
+object Ranking {
+
+  /** (groupCols…, original columns…, rank) for the top `k` rows per
+    * group under `sortExprs`.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], sortExprs: Seq[Column],
+                   k: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("_graft_salt") +: groupCols.map(col): _*)
+      .orderBy(sortExprs: _*)
+    val local = df
+      .withColumn("_graft_salt", spark_partition_id())
+      .withColumn("_graft_rn", row_number().over(w1))
+      .where(col("_graft_rn") <= k)
+      .drop("_graft_salt", "_graft_rn")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(sortExprs: _*)
+    local
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

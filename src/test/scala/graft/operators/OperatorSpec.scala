@@ -67,6 +67,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == orders.where(col("o_totalprice").isNotNull).count())
   }
 
+  test("drift: single-pass split histogram equals the two-scan compare") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val split = col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+    val twoScan = Drift.histogramCompare(
+      orders.where(split), orders.where(!split), "o_totalprice", 0.0, 500000.0, 20)
+    val onePass = Drift.histogramSplit(orders, split, "o_totalprice", 0.0, 500000.0, 20)
+    assert(onePass.except(twoScan).isEmpty && twoScan.except(onePass).isEmpty)
+    // and it really is one scan of the table
+    val scans = onePass.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+  }
+
+  test("ranking: salted two-stage top-k equals the direct window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "doc_id", "n_chars").repartition(7) // multiple input partitions
+    val salted = Ranking.topKPerGroup(
+      docs, Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
+    val direct = docs.withColumn("rank",
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= 5)
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+    assert(salted.count() > 0)
+  }
+
   test("stats: exact column stats match direct aggregation") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val stats = Stats.columnStats(li, Seq("l_quantity", "l_discount")).collect()
