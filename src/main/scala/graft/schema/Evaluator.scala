@@ -91,9 +91,10 @@ object Evaluator {
 
     case MaximumK(bound, exclusive) => v match {
       case n: JNum =>
-        // pass = (v < bound) / (v ≤ bound); for non-finite tokens use
-        // IEEE comparisons (NaN fails every bound) — matching the SQL
-        // fast-path semantics on the same rows
+        // pass = (v < bound) / (v ≤ bound); non-finite tokens (only the
+        // Spark row bridge can inject them — JSON text cannot) follow
+        // Spark SQL's total order (NaN greatest): NaN fails every
+        // maximum, which IEEE comparison already gives
         val pass = n.decimalOpt match {
           case Some(d) => if (exclusive) d < bound else d <= bound
           case None => if (exclusive) n.doubleValue < bound.toDouble
@@ -107,8 +108,12 @@ object Evaluator {
       case n: JNum =>
         val pass = n.decimalOpt match {
           case Some(d) => if (exclusive) d > bound else d >= bound
-          case None => if (exclusive) n.doubleValue > bound.toDouble
-                       else n.doubleValue >= bound.toDouble
+          // NaN > every bound under Spark SQL's total order (the fast
+          // path's comparison semantics) — IEEE would fail it; parity
+          // with Catalyst wins, asserted by SparkValidateSpec
+          case None => n.doubleValue.isNaN ||
+            (if (exclusive) n.doubleValue > bound.toDouble
+             else n.doubleValue >= bound.toDouble)
         }
         if (!pass) out += Viol("minimum", path, Msg.minimum(bound, exclusive))
       case _ => ()

@@ -11,7 +11,13 @@ import org.apache.spark.sql.types._
   * whole per-row pass stays inside WholeStageCodegen and string/enum
   * predicates are eligible for parquet pushdown when used as filters.
   */
-final case class Check(keyword: String, pointer: String, message: String, pass: Column)
+final case class Check(keyword: String, pointer: String, message: String, pass: Column,
+                       messageCol: Option[Column] = None) {
+  /** Message as a Column — static literal unless the keyword needs a
+    * runtime-computed message (oneOf reports the pass count).
+    */
+  def msg: Column = messageCol.getOrElse(lit(message))
+}
 
 /** Compiles a flat object schema (the north star's keyword subset over
   * typed columns: type, required, enum, pattern, min/max,
@@ -104,7 +110,9 @@ object ColumnCompiler {
     * Returns None ⇒ unsupported ⇒ caller falls back to the tree path.
     */
   private def compileValueChecks(schema0: CompiledSchema, name: String, dt: DataType,
-                                 out: scala.collection.mutable.Builder[Check, Vector[Check]]): Option[Unit] = {
+                                 out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                                 depth: Int = 0): Option[Unit] = {
+    if (depth > 32) return None // $ref cycle through combinators → tree path
     val schema = deref(schema0, 0).getOrElse(return None)
     val c = col(name)
     def guarded(pred: Column): Column = c.isNull || pred
@@ -146,6 +154,83 @@ object ColumnCompiler {
         if (doubleExact(b)) Some(lit(b.toDouble)) else None
     }
 
+    // numeric enum members are filtered to those representable exactly
+    // in the column's comparison domain; the dropped ones cannot equal
+    // any value of this column under the tree path's decimal equality
+    // either, so drop ≡ no-match (1 == 1.0 still holds)
+    def enumPred(values: Vector[graft.json.JValue]): Column = {
+      val members: Seq[Any] = jsonType match {
+        case "string"  => values.collect { case graft.json.JStr(s) => s }
+        case "boolean" => values.collect { case graft.json.JBool(b) => b }
+        case "integer" => values.collect {
+          case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
+        }
+        case _ => dt match {
+          case _: DecimalType => values.collect {
+            case n: graft.json.JNum if n.decimalOpt.exists(_.precision <= 38) => n.decimal.underlying
+          }
+          case _ => values.collect {
+            case n: graft.json.JNum if n.decimalOpt.exists(doubleExact) => n.decimal.toDouble
+          }
+        }
+      }
+      if (members.isEmpty) lit(false)
+      else if (isNumeric) numValue.isin(members: _*)
+      else c.isin(members: _*)
+    }
+
+    // Verdict-only pass predicate of a combinator child applied to this
+    // (present) scalar value — the Catalyst analogue of
+    // `validateAt(sub, v, path).isEmpty`. None ⇒ not expressible ⇒ the
+    // whole schema falls back to the tree path. Container/object
+    // keywords skip on a scalar instance (draft-04), contributing no
+    // conjunct, exactly like the tree evaluator.
+    def passPred(sub0: CompiledSchema, d: Int): Option[Column] = {
+      if (d > 32) return None
+      val sub = deref(sub0, 0).getOrElse(return None)
+      val preds = Vector.newBuilder[Column]
+      sub.keywords.foreach {
+        case TypeK(types) =>
+          preds += lit(types.contains("any") || types.contains(jsonType) ||
+            (jsonType == "integer" && types.contains("number")))
+        case EnumK(values) => preds += enumPred(values)
+        case MaximumK(bound, exclusive) if isNumeric =>
+          val b = boundLit(bound).getOrElse(return None)
+          preds += (if (exclusive) numValue < b else numValue <= b)
+        case _: MaximumK => ()
+        case MinimumK(bound, exclusive) if isNumeric =>
+          val b = boundLit(bound).getOrElse(return None)
+          preds += (if (exclusive) numValue > b else numValue >= b)
+        case _: MinimumK => ()
+        case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
+          preds += (pmod(c, lit(m.toLong)) === 0)
+        case MultipleOfK(_) if isNumeric => return None
+        case _: MultipleOfK => ()
+        case MaxLengthK(n) if jsonType == "string" => preds += (length(c) <= n)
+        case _: MaxLengthK => ()
+        case MinLengthK(n) if jsonType == "string" => preds += (length(c) >= n)
+        case _: MinLengthK => ()
+        case p: PatternK if jsonType == "string" => preds += c.rlike(p.regex)
+        case _: PatternK => ()
+        case FormatK(fmt) if jsonType == "string" =>
+          preds += formatPredicate(fmt, c).getOrElse(return None)
+        case _: FormatK => ()
+        case AllOfK(ss) => ss.foreach(s => preds += passPred(s, d + 1).getOrElse(return None))
+        case AnyOfK(ss) =>
+          preds += ss.map(s => passPred(s, d + 1).getOrElse(return None)).reduce(_ || _)
+        case OneOfK(ss) =>
+          preds += (ss.map(s => passPred(s, d + 1).getOrElse(return None).cast("int"))
+            .reduce(_ + _) === 1)
+        case NotK(s) => preds += !passPred(s, d + 1).getOrElse(return None)
+        case RefK(t) => preds += passPred(t, d + 1).getOrElse(return None)
+        // container/object keywords: skip on a scalar value
+        case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+        case _: PropsK | _: RequiredK | _: DependenciesK |
+             _: MaxPropertiesK | _: MinPropertiesK => ()
+      }
+      Some(preds.result().reduceOption(_ && _).getOrElse(lit(true)))
+    }
+
     schema.keywords.foreach {
       case TypeK(types) =>
         val ok = types.contains("any") || types.contains(jsonType) ||
@@ -154,30 +239,7 @@ object ColumnCompiler {
           out += Check("type", ptr, Msg.typeErr(types, jsonType), c.isNull)
 
       case EnumK(values) =>
-        // numeric members are filtered to those representable exactly in
-        // the column's comparison domain; the dropped ones cannot equal
-        // any value of this column under the tree path's decimal
-        // equality either, so drop ≡ no-match (1 == 1.0 still holds)
-        val members: Seq[Any] = jsonType match {
-          case "string"  => values.collect { case graft.json.JStr(s) => s }
-          case "boolean" => values.collect { case graft.json.JBool(b) => b }
-          case "integer" => values.collect {
-            case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
-          }
-          case _ => dt match {
-            case _: DecimalType => values.collect {
-              case n: graft.json.JNum if n.decimalOpt.exists(_.precision <= 38) => n.decimal.underlying
-            }
-            case _ => values.collect {
-              case n: graft.json.JNum if n.decimalOpt.exists(doubleExact) => n.decimal.toDouble
-            }
-          }
-        }
-        val pred =
-          if (members.isEmpty) lit(false)
-          else if (isNumeric) numValue.isin(members: _*)
-          else c.isin(members: _*)
-        out += Check("enum", ptr, Msg.enumErr, guarded(pred))
+        out += Check("enum", ptr, Msg.enumErr, guarded(enumPred(values)))
 
       case MaximumK(bound, exclusive) if isNumeric =>
         val b = boundLit(bound).getOrElse(return None)
@@ -221,9 +283,27 @@ object ColumnCompiler {
       case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
       case _: PropsK | _: RequiredK | _: DependenciesK | _: MaxPropertiesK | _: MinPropertiesK => ()
 
-      // Value-level combinators: supportable in principle (verdict-only
-      // composition) — deferred to the tree path for now.
-      case _: AllOfK | _: AnyOfK | _: OneOfK | _: NotK | _: RefK => return None
+      // Value-level combinators. allOf and $ref concatenate their
+      // children's checks (tree-path parity: same keywords, pointers,
+      // messages); anyOf/oneOf/not compose verdict-only predicates and
+      // emit the combinator's own single error, like the evaluator.
+      case AllOfK(ss) =>
+        ss.foreach(s => compileValueChecks(s, name, dt, out, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        compileValueChecks(t, name, dt, out, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val anyPass = ss.map(s => passPred(s, depth + 1).getOrElse(return None)).reduce(_ || _)
+        out += Check("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
+          guarded(anyPass))
+      case OneOfK(ss) =>
+        val cnt = ss.map(s => passPred(s, depth + 1).getOrElse(return None).cast("int"))
+          .reduce(_ + _)
+        out += Check("oneOf", ptr, "", guarded(cnt === 1),
+          messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
+            lit(" schemas in 'oneOf'."))))
+      case NotK(s) =>
+        out += Check("not", ptr, "The 'not' schema didn't raise an error.",
+          guarded(!passPred(s, depth + 1).getOrElse(return None)))
     }
     Some(())
   }

@@ -47,7 +47,7 @@ object Validate {
     require(checks.nonEmpty, "no checks compiled")
     val arr = array(checks.map { ch =>
       struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-        lit(ch.message).as("message"), ch.pass.as("pass"))
+        ch.msg.as("message"), ch.pass.as("pass"))
     }: _*)
     df.select(keyCols.map(col) :+ explode(arr).as("v"): _*)
       .where(!col("v.pass"))

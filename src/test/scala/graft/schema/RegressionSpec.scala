@@ -49,6 +49,9 @@ class RegressionSpec extends AnyFunSuite {
     assert(Evaluator.validate(s, inf).exists(_.keyword == "maximum"))
     val minS = compile("""{"properties":{"x":{"minimum":0}}}""")
     assert(Evaluator.validate(minS, inf).isEmpty) // +Inf >= 0
-    assert(Evaluator.validate(minS, v).nonEmpty)  // NaN fails every bound
+    // NaN is GREATEST in Spark SQL's total order: it passes every
+    // minimum and fails every maximum — the tree path mirrors Catalyst
+    // (row-level parity asserted in SparkValidateSpec)
+    assert(Evaluator.validate(minS, v).isEmpty)
   }
 }

@@ -49,6 +49,50 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tree.exceptAll(fast).count() == 0)
   }
 
+  test("fast path compiles value-level combinators and matches the tree path") {
+    val s = Validate.compileSchema(
+      """{
+        |  "type": "object",
+        |  "properties": {
+        |    "n_chars": {"anyOf": [{"minimum": 400}, {"maximum": 100}]},
+        |    "lang":    {"oneOf": [{"enum": ["en", "de"]}, {"pattern": "^e"}]},
+        |    "source":  {"not": {"pattern": "[5-9]$"}},
+        |    "text":    {"allOf": [{"minLength": 60},
+        |                          {"not": {"pattern": "^zzz"}},
+        |                          {"anyOf": [{"maxLength": 500}, {"pattern": "!$"}]}]},
+        |    "doc_id":  {"$ref": "#/definitions/smallId"}
+        |  },
+        |  "definitions": {"smallId": {"oneOf": [{"maximum": 200}, {"minimum": 400}]}}
+        |}""".stripMargin)
+    val checks = ColumnCompiler.compile(s, docs.schema)
+    assert(checks.isDefined, "combinator schema must stay on the fast path")
+    val fast = Validate.fastViolations(docs, checks.get, Seq("doc_id"))
+    val tree = Validate.treeViolations(docs, s, Seq("doc_id"))
+    assert(fast.exceptAll(tree).count() == 0)
+    assert(tree.exceptAll(fast).count() == 0)
+    // the oneOf pass-count message is computed per row
+    val oneOfMsgs = fast.where(col("keyword") === "oneOf")
+      .select("message").distinct().collect().map(_.getString(0)).toSet
+    assert(oneOfMsgs.forall(_.matches("Validation passed for \\d+ schemas in 'oneOf'\\.")))
+    assert(fast.count() > 0)
+  }
+
+  test("fast path ≡ tree path on double columns incl. NaN and infinities") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.5)), (2L, Some(Double.NaN)), (3L, Some(Double.PositiveInfinity)),
+      (4L, Some(Double.NegativeInfinity)), (5L, None), (6L, Some(250.0)), (7L, Some(-3.25))
+    ).toDF("id", "x")
+    val s = Validate.compileSchema(
+      """{"properties": {"x": {"type": "number", "minimum": 0, "maximum": 200}}}""")
+    val checks = ColumnCompiler.compile(s, df.schema)
+    assert(checks.isDefined)
+    val fast = Validate.fastViolations(df, checks.get, Seq("id"))
+    val tree = Validate.treeViolations(df, s, Seq("id"))
+    assert(fast.exceptAll(tree).count() == 0 && tree.exceptAll(fast).count() == 0,
+      s"fast=${fast.collect().mkString(";")} tree=${tree.collect().mkString(";")}")
+  }
+
   test("tree path over a JSON-string column (events.props)") {
     val events = spark.read.parquet(s"$sfDir/events.parquet").select("event_id", "props")
     val v = Validate.treeViolations(events, Validate.compileSchema(Schemas.eventProps),
