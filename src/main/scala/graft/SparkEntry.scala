@@ -62,6 +62,22 @@ object SparkEntry {
            |LATERAL VIEW explode(validate_json('$schema', props)) AS v""".stripMargin)
     }),
 
+    // jsonl source: raw JSON documents (one per line) validated at
+    // scale — the reference's native input shape; the corpus is the
+    // documents table round-tripped through a text file, so the
+    // violations equal v_doc_violations row for row
+    "v_jsonl_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString + "/docs"
+      table(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      graft.sources.JsonLines.violations(s, tmp, documentSchema, Some("$.doc_id"))
+        .select(col("doc_key").cast("long").as("doc_id"),
+          col("keyword"), col("json_pointer"), col("message"))
+    }),
+
     // --- table-level constraints (SURVEY.md §2.3) --------------------
 
     // single-pass exact column stats (count/nulls/min/max/distinct)
@@ -246,6 +262,23 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
     "v_doc_violations" ->
+      """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
+        |       'Enum error. The data must be equal to one of the allowed values.' AS message
+        |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL
+        |SELECT doc_id, 'minLength', '/text', 'String length must be at least 50 characters.'
+        |  FROM documents WHERE length(text) < 50
+        |UNION ALL
+        |SELECT doc_id, 'maxLength', '/text', 'String length must be at most 520 characters.'
+        |  FROM documents WHERE length(text) > 520
+        |UNION ALL
+        |SELECT doc_id, 'pattern', '/source', 'String must match the pattern: "^src[0-9]$".'
+        |  FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |UNION ALL
+        |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
+        |  FROM documents WHERE n_chars > 500""".stripMargin,
+
+    "v_jsonl_source" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
         |       'Enum error. The data must be equal to one of the allowed values.' AS message
         |  FROM documents WHERE lang NOT IN ('en','de','fr','es')

@@ -92,6 +92,41 @@ object Validate {
     }(Encoders.row(outSchema))
   }
 
+  /** Violations of whole JSON documents held in a string column: each
+    * value of `jsonCol` is parsed and validated directly against the
+    * schema (not wrapped in a row object — json pointers are rooted at
+    * the document). The shape of the reference's EP2 over a corpus of
+    * raw documents; used by [[graft.sources.JsonLines]].
+    */
+  def jsonDocViolations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
+                        jsonCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(schema)
+    val inSchema = df.schema
+    val outSchema = StructType(
+      keyCols.map(k => inSchema(k)) ++ Seq(
+        StructField("keyword", StringType, nullable = false),
+        StructField("json_pointer", StringType, nullable = false),
+        StructField("message", StringType, nullable = false)))
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val jsonIdx = inSchema.fieldIndex(jsonCol)
+
+    df.mapPartitions { rows =>
+      val compiled = bc.value
+      rows.flatMap { row =>
+        val viols =
+          if (row.isNullAt(jsonIdx))
+            Vector(Viol("malformed", Nil, "Document is not valid JSON."))
+          else Json.parseOpt(row.getString(jsonIdx)) match {
+            case Some(v) => Evaluator.validate(compiled, v)
+            case None    => Vector(Viol("malformed", Nil, "Document is not valid JSON."))
+          }
+        val keys = keyIdx.map(row.get)
+        viols.map(v => Row.fromSeq(keys ++ Seq(v.keyword, v.jsonPointer, v.message)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-partition pass/fail summary — the north rule's per-partition
     * lineage unit. Partition identity is the caller's responsibility
     * (stamp after `repartitionByRange` for stable ids).

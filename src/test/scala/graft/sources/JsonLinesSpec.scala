@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.spark.{SparkTestSession, Validate}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class JsonLinesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = Validate.compileSchema(
+    """{
+      |  "type": "object",
+      |  "required": ["doc_id", "text"],
+      |  "properties": {
+      |    "doc_id": {"type": "integer", "minimum": 0},
+      |    "text":   {"type": "string", "minLength": 3},
+      |    "tags":   {"type": "array", "items": {"type": "string"}}
+      |  }
+      |}""".stripMargin)
+
+  test("validates raw JSON documents from jsonl files with per-file attribution") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(dir.resolve("a.jsonl"),
+      """{"doc_id": 1, "text": "hello", "tags": ["x"]}
+        |{"doc_id": -2, "text": "ok!"}
+        |
+        |{"doc_id": 3, "text": "ab"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("b.jsonl"),
+      """{"doc_id": 4, "text": "fine", "tags": ["x", 9]}
+        |not json at all
+        |{"text": "missing id"}
+        |""".stripMargin)
+
+    val v = JsonLines.violations(spark, dir.toString, schema,
+      idJsonPath = Some("$.doc_id")).cache()
+    val byKeyword = v.groupBy("keyword").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKeyword == Map(
+      "minimum" -> 1L,    // doc_id -2
+      "minLength" -> 1L,  // "ab"
+      "type" -> 1L,       // tags[1] = 9
+      "malformed" -> 1L,  // unparsable line
+      "required" -> 1L))  // missing doc_id
+
+    // nested pointer is rooted at the document
+    val tagPtr = v.where(col("keyword") === "type").select("json_pointer").head().getString(0)
+    assert(tagPtr == "/tags/1")
+
+    // file attribution survives
+    val files = v.select("src_file").distinct().collect().map(_.getString(0)).toSet
+    assert(files.exists(_.endsWith("a.jsonl")) && files.exists(_.endsWith("b.jsonl")))
+
+    // per-row pass: no shuffle in the plan
+    assert(!v.queryExecution.executedPlan.toString.contains("Exchange"))
+    v.unpersist()
+  }
+
+  test("blank lines are skipped and valid corpora produce zero violations") {
+    val dir = Files.createTempDirectory("graft_jsonl2")
+    Files.writeString(dir.resolve("ok.jsonl"),
+      """{"doc_id": 1, "text": "abc"}
+        |
+        |{"doc_id": 2, "text": "defg", "tags": []}
+        |""".stripMargin)
+    assert(JsonLines.violations(spark, dir.toString, schema).count() == 0)
+    assert(JsonLines.read(spark, dir.toString).count() == 2)
+  }
+}

@@ -59,6 +59,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan|FileScan|LocalTableScan".r.findAllIn(p).size <= 2, p)
   }
 
+  test("rollup plans a single expand + hash aggregation, one scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(docs.rollup("lang", "source")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars")))
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("salted top-k never hash-partitions the full input on the bare group key") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang", "doc_id", "n_chars")
+    val p = plan(Ranking.topKPerGroup(
+      docs, Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), 3))
+    // stage-1 exchange must include the salt; only the pruned survivors
+    // may be partitioned by the group key alone
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.exists(_.contains("_graft_salt")), p)
+    // the full-input exchange is the salted one: it appears deeper in
+    // the plan (below the stage-2 lang-only exchange)
+    val saltedIdx = p.indexOf("_graft_salt")
+    assert(saltedIdx >= 0, p)
+  }
+
+  test("single-pass drift split scans the table once") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val p = plan(Drift.histogramSplit(orders,
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+      "o_totalprice", 0.0, 500000.0, 20))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
     val p = plan(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2))

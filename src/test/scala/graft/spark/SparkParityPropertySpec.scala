@@ -51,6 +51,36 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       }
     }
 
+  // -- double column with non-finite values ---------------------------------
+  private lazy val numSchema = Validate.compileSchema(
+    """{"properties": {"x": {"type": "number", "minimum": -1.5, "maximum": 1.5},
+      |                "y": {"anyOf": [{"minimum": 0.5}, {"enum": [-1.0]}]}}}""".stripMargin)
+
+  private val numRowSchema = StructType(Seq(
+    StructField("x", DoubleType, nullable = true),
+    StructField("y", DoubleType, nullable = true)))
+
+  private val genDouble: Gen[Any] = Gen.oneOf(
+    Gen.chooseNum(-3.0, 3.0).map(Double.box),
+    Gen.oneOf[Any](Double.box(Double.NaN), Double.box(Double.PositiveInfinity),
+      Double.box(Double.NegativeInfinity), Double.box(-1.0), Double.box(0.0), null))
+
+  property("fast path ≡ tree path on double columns incl. non-finite values") =
+    forAll(Gen.listOfN(80, Gen.zip(genDouble, genDouble))) { vals =>
+      val tagged = vals.zipWithIndex.map { case ((x, y), i) => Row(i.toLong, x, y) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tagged, 4),
+        StructType(StructField("row_tag", LongType, nullable = false) +: numRowSchema.fields))
+      def collect(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      val checks = ColumnCompiler.compile(numSchema, df.schema)
+      checks.isDefined && {
+        val fast = collect(Validate.fastViolations(df, checks.get, Seq("row_tag")))
+        val tree = collect(Validate.treeViolations(df, numSchema, Seq("row_tag")))
+        fast == tree
+      }
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(5) // each case = one full Spark job over 150 rows
 }
