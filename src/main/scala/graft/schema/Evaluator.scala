@@ -14,6 +14,11 @@ final case class Viol(keyword: String, path: List[String], message: String) {
     */
   def jsonPointer: String =
     "/" + path.map(t => t.replace("~", "~0").replace("/", "~1")).mkString("/")
+
+  /** Rendered exactly like `ValidationError.DotNotation()`
+    * (/root/reference/jsonschema.go:181-183): tokens joined by `.`.
+    */
+  def dotNotation: String = path.mkString(".")
 }
 
 /** Violation message builders shared by the tree evaluator and the

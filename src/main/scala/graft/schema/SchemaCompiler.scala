@@ -52,6 +52,15 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
       case _ => freshAnonBase()
     }
     val baseC = canon(base)
+    if (docCache.get(baseC).exists(_._1 ne doc)) {
+      // Recompiling a different document under the same canonical uri:
+      // the current document wins — the reference validates the freshly
+      // parsed root (jsonschema.go:65-69); its shared cache serves only
+      // $ref targets (first registration wins there,
+      // reference.go:77-82, which stale nested-id entries preserve).
+      compiledCache.filterInPlace((k, _) => !k.startsWith(baseC + "#"))
+      idTargets.filterInPlace((k, _) => !k.startsWith(baseC + "#"))
+    }
     docCache(baseC) = (doc, base)
     scanIds(doc, base)
     compileAt(doc, base, baseC, "")

@@ -35,9 +35,29 @@ final case class Check(keyword: String, pointer: String, message: String, pass: 
 object ColumnCompiler {
 
   def compile(schema: CompiledSchema, struct: StructType): Option[Vector[Check]] = {
-    val root = deref(schema, 0).getOrElse(return None)
     val out = Vector.newBuilder[Check]
+    rootChecks(schema, struct, out, 0).map(_ => out.result())
+  }
+
+  /** Checks for a schema applied to the ROW object itself. Row-level
+    * combinators compose like the value-level ones: allOf / $ref /
+    * schema-form dependencies concatenate their children's checks
+    * (schema deps presence-guarded per check — exact row parity with
+    * the tree evaluator), anyOf/oneOf/not fold children to verdicts.
+    */
+  private def rootChecks(schema0: CompiledSchema, struct: StructType,
+                         out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                         depth: Int): Option[Unit] = {
+    if (depth > 32) return None // $ref cycle → tree path
+    val root = deref(schema0, 0).getOrElse(return None)
     val colNames = struct.fields.map(_.name).toVector
+
+    // verdict-only conjunction of a subschema's row checks
+    def rootPass(sub: CompiledSchema): Option[Column] = {
+      val b = Vector.newBuilder[Check]
+      rootChecks(sub, struct, b, depth + 1)
+        .map(_ => b.result().map(_.pass).reduceOption(_ && _).getOrElse(lit(true)))
+    }
 
     root.keywords.foreach {
       case TypeK(types) =>
@@ -85,17 +105,51 @@ object ColumnCompiler {
         val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
         out += Check("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
 
-      case EnumK(_) | _: DependenciesK | _: AllOfK | _: AnyOfK | _: OneOfK | _: NotK |
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          if (colNames.contains(k)) // absent column ⇒ dep never triggers
+            needed.foreach { n =>
+              val pass =
+                if (colNames.contains(n)) col(k).isNull || col(n).isNotNull
+                else col(k).isNull
+              out += Check("dependencies", "/", s"Property '$k' requires property '$n'.", pass)
+            }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          if (colNames.contains(k)) {
+            // key present ⇒ whole row must satisfy the subschema; the
+            // child's own violations surface, presence-guarded
+            val b = Vector.newBuilder[Check]
+            rootChecks(sub, struct, b, depth + 1).getOrElse(return None)
+            b.result().foreach(ch => out += ch.copy(pass = col(k).isNull || ch.pass))
+          }
+        }
+
+      case AllOfK(ss) =>
+        ss.foreach(s => rootChecks(s, struct, out, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        rootChecks(t, struct, out, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val anyPass = ss.map(s => rootPass(s).getOrElse(return None)).reduce(_ || _)
+        out += Check("anyOf", "/", "Validation failed for each schema in 'anyOf'.", anyPass)
+      case OneOfK(ss) =>
+        val cnt = ss.map(s => rootPass(s).getOrElse(return None).cast("int")).reduce(_ + _)
+        out += Check("oneOf", "/", "", cnt === 1,
+          messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
+            lit(" schemas in 'oneOf'."))))
+      case NotK(s) =>
+        out += Check("not", "/", "The 'not' schema didn't raise an error.",
+          !rootPass(s).getOrElse(return None))
+
+      case EnumK(_) |
            _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK =>
-        return None // row-level combinators/array keywords → tree path
+        return None // row-level enum/array keywords → tree path
 
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK =>
         () // scalar keyword against an object instance: skips (draft-04)
-
-      case RefK(_) => return None // nested ref at root not pre-deref'd — tree path
     }
-    Some(out.result())
+    Some(())
   }
 
   /** Follow RefK delegation chains (bail on cycles — tree path handles those). */

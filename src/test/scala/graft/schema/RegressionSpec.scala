@@ -8,6 +8,15 @@ class RegressionSpec extends AnyFunSuite {
 
   private def compile(s: String) = new SchemaCompiler(Map.empty).compile(s)
 
+  test("keypath renders as JSON pointer and dot notation like the reference") {
+    // /root/reference/jsonschema_test.go:15-33
+    val v = Viol("x", List("foo", "bar", "10", "baz"), "")
+    assert(v.jsonPointer == "/foo/bar/10/baz")
+    assert(v.dotNotation == "foo.bar.10.baz")
+    val esc = Viol("x", List("a/b", "c~d"), "")
+    assert(esc.jsonPointer == "/a~1b/c~0d")
+  }
+
   test("exponent-form numbers are not draft-04 integers") {
     assert(JNum("1e-2").typeName == "number")
     assert(JNum("1E2").typeName == "number")

@@ -63,6 +63,30 @@ class SuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("one shared compiler across every fixture file (ParseWithCache semantics)") {
+    // The reference harness shares one schema cache across all files
+    // (/root/reference/jsonschema_test.go:41,77) — cross-document cache
+    // reuse must not change any verdict.
+    val compiler = new SchemaCompiler(Remotes.registry)
+    var checked = 0
+    files.foreach { file =>
+      val JArr(cases) = (Json.parse(Files.readString(file)): @unchecked)
+      cases.foreach { c =>
+        val obj = c.asInstanceOf[JObj]
+        val JArr(tests) = (obj.map("tests"): @unchecked)
+        val compiled = compiler.compileDoc(obj.map("schema"))
+        tests.foreach { t =>
+          val to = t.asInstanceOf[JObj]
+          val expected = to.map("valid").asInstanceOf[JBool].value
+          assert(Evaluator.validate(compiled, to.map("data")).isEmpty == expected,
+            s"${file.getFileName}: ${obj.map("description")} / ${to.map("description")}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 250, s"only $checked cases replayed")
+  }
+
   test("JSON pointer rendering escapes ~ and / (jsonschema.go:177-179)") {
     assert(Viol("x", List("foo", "bar", "10", "b~a/z"), "").jsonPointer == "/foo/bar/10/b~0a~1z")
     assert(Viol("x", Nil, "").jsonPointer == "/")

@@ -77,6 +77,31 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.count() > 0)
   }
 
+  test("fast path compiles ROW-level combinators + dependencies, matches tree path") {
+    val s = Validate.compileSchema(
+      """{
+        |  "allOf": [
+        |    {"type": "object", "required": ["doc_id"]},
+        |    {"properties": {"n_chars": {"maximum": 520}}}
+        |  ],
+        |  "anyOf": [{"required": ["lang"]}, {"required": ["source"]}],
+        |  "oneOf": [{"properties": {"lang": {"enum": ["en"]}}},
+        |            {"properties": {"source": {"pattern": "^src[0-3]$"}}}],
+        |  "not": {"required": ["nope"]},
+        |  "dependencies": {
+        |    "lang": ["source"],
+        |    "source": {"properties": {"n_chars": {"minimum": 1}}}
+        |  }
+        |}""".stripMargin)
+    val checks = ColumnCompiler.compile(s, docs.schema)
+    assert(checks.isDefined, "row-level combinator schema must stay on the fast path")
+    val fast = Validate.fastViolations(docs, checks.get, Seq("doc_id"))
+    val tree = Validate.treeViolations(docs, s, Seq("doc_id"))
+    assert(fast.exceptAll(tree).count() == 0)
+    assert(tree.exceptAll(fast).count() == 0)
+    assert(fast.count() > 0) // oneOf both-match rows exist
+  }
+
   test("fast path ≡ tree path on double columns incl. NaN and infinities") {
     import spark.implicits._
     val df = Seq(
