@@ -201,7 +201,7 @@ object Bench {
          |input at every parallelism level, generation + JIT warm-up
          |excluded from timing. Date: ${java.time.LocalDate.now}.
          |
-         || Level | Cores | Wall best-of-2 (s) | All samples (s) | Throughput (validated files/sec) |
+         || Level | Cores | Wall best (s) | All samples (s) | Throughput (validated files/sec) |
          ||---|---|---|---|---|
          || N  | $nCpus | ${f"$secN%.2f"} | ${fmtWalls(wN)} | ${f"$thrN%.1f"} |
          || 4N | $n4Cpus | ${f"$sec4N%.2f"} | ${fmtWalls(w4N)} | ${f"$thr4N%.1f"} |

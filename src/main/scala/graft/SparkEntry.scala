@@ -67,8 +67,10 @@ object SparkEntry {
     // documents table round-tripped through a text file, so the
     // violations equal v_doc_violations row for row
     "v_jsonl_source" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").toString + "/docs"
+      // fixed per-sfdir path, overwritten each run — repeated bench /
+      // verify cycles must not accumulate table-sized temp copies
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}/docs"
       table(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))

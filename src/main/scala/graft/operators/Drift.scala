@@ -54,8 +54,12 @@ object Drift {
                      lo: Double, hi: Double, buckets: Int): DataFrame =
     df.where(col(valueCol).isNotNull)
       .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
+      // NULL-valued predicates count on NEITHER side (the two-scan form
+      // drops such rows from both where() filters), and buckets holding
+      // only such rows are omitted like the full-outer join omits them
       .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
-        sum(when(isBase, 0L).otherwise(1L)).as("n_curr"))
+        sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
+      .where(col("n_base") + col("n_curr") > 0)
 
   /** Population Stability Index Σ(p−q)·ln(p/q) and Kolmogorov–Smirnov
     * max|CDF_p−CDF_q| over the joined histogram. `eps` regularizes

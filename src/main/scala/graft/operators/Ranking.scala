@@ -30,6 +30,10 @@ object Ranking {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], sortExprs: Seq[Column],
                    k: Int): DataFrame = {
+    val reserved = Set("rank", "_graft_salt", "_graft_rn")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"topKPerGroup would overwrite input column(s): ${clash.mkString(", ")}")
     val w1 = Window.partitionBy(col("_graft_salt") +: groupCols.map(col): _*)
       .orderBy(sortExprs: _*)
     val local = df

@@ -98,11 +98,11 @@ object ColumnCompiler {
 
       case MaxPropertiesK(n) =>
         // Present keys = non-null columns.
-        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += Check("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
 
       case MinPropertiesK(n) =>
-        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += Check("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
 
       case DependenciesK(schemaDeps, propDeps) =>
@@ -130,10 +130,12 @@ object ColumnCompiler {
       case RefK(t) =>
         rootChecks(t, struct, out, depth + 1).getOrElse(return None)
       case AnyOfK(ss) =>
-        val anyPass = ss.map(s => rootPass(s).getOrElse(return None)).reduce(_ || _)
+        val anyPass = ss.map(s => rootPass(s).getOrElse(return None))
+          .reduceOption(_ || _).getOrElse(lit(false)) // empty anyOf: no schema can pass
         out += Check("anyOf", "/", "Validation failed for each schema in 'anyOf'.", anyPass)
       case OneOfK(ss) =>
-        val cnt = ss.map(s => rootPass(s).getOrElse(return None).cast("int")).reduce(_ + _)
+        val cnt = ss.map(s => rootPass(s).getOrElse(return None).cast("int"))
+          .foldLeft(lit(0))(_ + _)
         out += Check("oneOf", "/", "", cnt === 1,
           messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
             lit(" schemas in 'oneOf'."))))
@@ -271,10 +273,11 @@ object ColumnCompiler {
         case _: FormatK => ()
         case AllOfK(ss) => ss.foreach(s => preds += passPred(s, d + 1).getOrElse(return None))
         case AnyOfK(ss) =>
-          preds += ss.map(s => passPred(s, d + 1).getOrElse(return None)).reduce(_ || _)
+          preds += ss.map(s => passPred(s, d + 1).getOrElse(return None))
+            .reduceOption(_ || _).getOrElse(lit(false))
         case OneOfK(ss) =>
           preds += (ss.map(s => passPred(s, d + 1).getOrElse(return None).cast("int"))
-            .reduce(_ + _) === 1)
+            .foldLeft(lit(0))(_ + _) === 1)
         case NotK(s) => preds += !passPred(s, d + 1).getOrElse(return None)
         case RefK(t) => preds += passPred(t, d + 1).getOrElse(return None)
         // container/object keywords: skip on a scalar value
@@ -346,12 +349,13 @@ object ColumnCompiler {
       case RefK(t) =>
         compileValueChecks(t, name, dt, out, depth + 1).getOrElse(return None)
       case AnyOfK(ss) =>
-        val anyPass = ss.map(s => passPred(s, depth + 1).getOrElse(return None)).reduce(_ || _)
+        val anyPass = ss.map(s => passPred(s, depth + 1).getOrElse(return None))
+          .reduceOption(_ || _).getOrElse(lit(false))
         out += Check("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
           guarded(anyPass))
       case OneOfK(ss) =>
         val cnt = ss.map(s => passPred(s, depth + 1).getOrElse(return None).cast("int"))
-          .reduce(_ + _)
+          .foldLeft(lit(0))(_ + _)
         out += Check("oneOf", ptr, "", guarded(cnt === 1),
           messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
             lit(" schemas in 'oneOf'."))))

@@ -59,15 +59,13 @@ object Validate {
   def passColumn(checks: Seq[Check]): Column =
     checks.map(_.pass).reduce(_ && _)
 
-  /** Tree-path violations: rows bridged to JObj (null column ⇒ absent
-    * key), validated against the broadcast schema. `jsonCols` columns
-    * hold JSON *text* to be parsed into a subtree (e.g. `events.props`);
-    * unparsable text yields a synthetic `malformed` violation.
+  /** Shared scaffolding of both interpreted paths: broadcast the
+    * compiled schema, evaluate `eval` per row on executors, emit
+    * (keyCols…, keyword, json_pointer, message) rows.
     */
-  def treeViolations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
-                     jsonCols: Set[String] = Set.empty): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(schema)
+  private def violationRows(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String])
+                           (eval: (CompiledSchema, Row) => Vector[Viol]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(schema)
     val inSchema = df.schema
     val outSchema = StructType(
       keyCols.map(k => inSchema(k)) ++ Seq(
@@ -75,21 +73,32 @@ object Validate {
         StructField("json_pointer", StringType, nullable = false),
         StructField("message", StringType, nullable = false)))
     val keyIdx = keyCols.map(inSchema.fieldIndex)
-    val fields = inSchema.fields
 
     df.mapPartitions { rows =>
       val compiled = bc.value
       rows.flatMap { row =>
-        val jv = SparkBridge.rowToJObj(row, fields, jsonCols)
-        val viols = jv match {
-          case Right(obj) => Evaluator.validate(compiled, obj)
-          case Left(badCol) =>
-            Vector(Viol("malformed", List(badCol), s"Column '$badCol' does not contain valid JSON."))
-        }
         val keys = keyIdx.map(row.get)
-        viols.map(v => Row.fromSeq(keys ++ Seq(v.keyword, v.jsonPointer, v.message)))
+        eval(compiled, row)
+          .map(v => Row.fromSeq(keys ++ Seq(v.keyword, v.jsonPointer, v.message)))
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Tree-path violations: rows bridged to JObj (null column ⇒ absent
+    * key), validated against the broadcast schema. `jsonCols` columns
+    * hold JSON *text* to be parsed into a subtree (e.g. `events.props`);
+    * unparsable text yields a synthetic `malformed` violation.
+    */
+  def treeViolations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
+                     jsonCols: Set[String] = Set.empty): DataFrame = {
+    val fields = df.schema.fields
+    violationRows(df, schema, keyCols) { (compiled, row) =>
+      SparkBridge.rowToJObj(row, fields, jsonCols) match {
+        case Right(obj) => Evaluator.validate(compiled, obj)
+        case Left(badCol) =>
+          Vector(Viol("malformed", List(badCol), s"Column '$badCol' does not contain valid JSON."))
+      }
+    }
   }
 
   /** Violations of whole JSON documents held in a string column: each
@@ -100,31 +109,14 @@ object Validate {
     */
   def jsonDocViolations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
                         jsonCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(schema)
-    val inSchema = df.schema
-    val outSchema = StructType(
-      keyCols.map(k => inSchema(k)) ++ Seq(
-        StructField("keyword", StringType, nullable = false),
-        StructField("json_pointer", StringType, nullable = false),
-        StructField("message", StringType, nullable = false)))
-    val keyIdx = keyCols.map(inSchema.fieldIndex)
-    val jsonIdx = inSchema.fieldIndex(jsonCol)
-
-    df.mapPartitions { rows =>
-      val compiled = bc.value
-      rows.flatMap { row =>
-        val viols =
-          if (row.isNullAt(jsonIdx))
-            Vector(Viol("malformed", Nil, "Document is not valid JSON."))
-          else Json.parseOpt(row.getString(jsonIdx)) match {
-            case Some(v) => Evaluator.validate(compiled, v)
-            case None    => Vector(Viol("malformed", Nil, "Document is not valid JSON."))
-          }
-        val keys = keyIdx.map(row.get)
-        viols.map(v => Row.fromSeq(keys ++ Seq(v.keyword, v.jsonPointer, v.message)))
+    val jsonIdx = df.schema.fieldIndex(jsonCol)
+    violationRows(df, schema, keyCols) { (compiled, row) =>
+      val parsed = if (row.isNullAt(jsonIdx)) None else Json.parseOpt(row.getString(jsonIdx))
+      parsed match {
+        case Some(v) => Evaluator.validate(compiled, v)
+        case None    => Vector(Viol("malformed", Nil, "Document is not valid JSON."))
       }
-    }(Encoders.row(outSchema))
+    }
   }
 
   /** Per-partition pass/fail summary — the north rule's per-partition

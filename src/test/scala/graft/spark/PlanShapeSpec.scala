@@ -73,13 +73,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Ranking.topKPerGroup(
       docs, Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), 3))
     // stage-1 exchange must include the salt; only the pruned survivors
-    // may be partitioned by the group key alone
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(exchanges.exists(_.contains("_graft_salt")), p)
-    // the full-input exchange is the salted one: it appears deeper in
-    // the plan (below the stage-2 lang-only exchange)
-    val saltedIdx = p.indexOf("_graft_salt")
-    assert(saltedIdx >= 0, p)
+    // may be partitioned by the group key alone. The plan prints root
+    // first, so the DEEPEST exchange — the one over the full input —
+    // must be the salted one: every bare-group exchange line has to
+    // sit above (smaller line index than) the salted exchange line.
+    val lines = p.linesIterator.toList
+    val saltedLine = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_graft_salt"))
+    assert(saltedLine >= 0, p)
+    val bareAfterSalted = lines.zipWithIndex.exists { case (l, i) =>
+      i > saltedLine && l.contains("Exchange hashpartitioning") && !l.contains("_graft_salt")
+    }
+    assert(!bareAfterSalted, s"full input partitioned on the bare group key:\n$p")
   }
 
   test("single-pass drift split scans the table once") {

@@ -102,6 +102,18 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.count() > 0) // oneOf both-match rows exist
   }
 
+  test("empty anyOf/oneOf compile to always-fail (no crash), matching the tree path") {
+    val s = Validate.compileSchema(
+      """{"anyOf": [], "properties": {"lang": {"oneOf": []}}}""")
+    val checks = ColumnCompiler.compile(s, docs.schema)
+    assert(checks.isDefined)
+    val fast = Validate.fastViolations(docs, checks.get, Seq("doc_id"))
+    val tree = Validate.treeViolations(docs, s, Seq("doc_id"))
+    assert(fast.exceptAll(tree).count() == 0 && tree.exceptAll(fast).count() == 0)
+    // every row fails the empty anyOf and (lang present) the empty oneOf
+    assert(fast.where(col("keyword") === "anyOf").count() == docs.count())
+  }
+
   test("fast path ≡ tree path on double columns incl. NaN and infinities") {
     import spark.implicits._
     val df = Seq(
