@@ -1,0 +1,32 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks — persisted violation tables with scale-aware layout. The
+  * Spark analogue of the reference's return value (`[]ValidationError`,
+  * /root/reference/jsonschema.go:81-87) is a written table, not an
+  * in-memory list.
+  */
+object Sinks {
+
+  /** Write violations partitioned by `keyword` (directory pruning: a
+    * "show me all pattern failures" read touches one partition) and
+    * range-clustered on (keyword, keyCols…) so each output task writes
+    * to few directories and key-adjacent rows land in the same files.
+    * At 100 TB, AQE coalescing sizes the range partitions; the keyword
+    * dimension is tiny (≤ the keyword count) so partition explosion is
+    * impossible.
+    */
+  def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit =
+    violations
+      .repartitionByRange((("keyword") +: keyCols).map(col): _*)
+      .write.mode("overwrite").partitionBy("keyword").parquet(path)
+
+  /** Read back one keyword's violations — prunes to a single partition
+    * directory (verified by plan-shape test).
+    */
+  def readKeyword(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keyword: String): DataFrame =
+    spark.read.parquet(path).where(col("keyword") === keyword)
+}

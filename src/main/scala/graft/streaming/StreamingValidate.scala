@@ -70,6 +70,19 @@ object StreamingValidate {
       }
   }
 
+  /** Streaming exact dedup by content: drop rows whose 64-bit content
+    * hash was already seen within the watermark horizon. State is
+    * BOUNDED by the horizon (`dropDuplicatesWithinWatermark`) — the
+    * plain streaming `dropDuplicates` keeps every key forever, which an
+    * unbounded ingest stream cannot afford. The streaming analogue of
+    * [[graft.operators.Dedup.exactDuplicates]]'s hash identity.
+    */
+  def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
+                     watermarkDelay: String): DataFrame =
+    stream.withColumn("content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Per-window, per-keyword violation counts with event-time
     * watermarking. `tsCol` must be a timestamp column present in the
     * input; it rides along as a key column into the violation rows.

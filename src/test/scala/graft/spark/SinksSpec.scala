@@ -1,0 +1,38 @@
+package graft.spark
+
+import graft.Schemas
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class SinksSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("violations sink partitions by keyword and prunes reads to one directory") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val v = Validate.violations(docs, schema, Seq("doc_id"))
+    val path = Files.createTempDirectory("graft_sink").toString + "/violations"
+
+    Sinks.writeViolations(v, path, Seq("doc_id"))
+
+    // one directory per emitted keyword
+    val dirs = Files.list(Paths.get(path)).iterator()
+    val keywordDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("keyword=")).toSet
+    val expected = v.select("keyword").distinct().collect()
+      .map(r => s"keyword=${r.getString(0)}").toSet
+    assert(keywordDirs == expected, s"dirs=$keywordDirs")
+
+    // round-trip is lossless
+    assert(spark.read.parquet(path).count() == v.count())
+
+    // keyword filter prunes to a single partition directory
+    val pruned = Sinks.readKeyword(spark, path, "pattern")
+    assert(pruned.count() == v.where(col("keyword") === "pattern").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("keyword"), s"no partition pruning:\n$scan")
+  }
+}

@@ -69,6 +69,22 @@ class StreamingValidateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    val mem = MemoryStream[DocEvent]
+    val dup = DocEvent(10L, ts(5), "x" * 100, "de", "src5", 100L)  // same text as doc 1/3
+    mem.addData(rows.take(3) :+ dup: _*)
+    val q = StreamingValidate.dedupByContent(mem.toDF(), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("stream_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    // rows 1 and 3 share text ("x"*100); dup repeats it again — exactly
+    // one survivor per distinct content
+    assert(kept.size == 2, s"kept=$kept")
+    assert(kept.contains(2L)) // the unique short text survives
+    assert((kept & Set(1L, 3L, 10L)).size == 1) // one of the triplicate texts
+  }
+
   test("watermarked windowed violation counts per keyword") {
     val mem = MemoryStream[DocEvent]
     mem.addData(rows: _*)
