@@ -90,18 +90,35 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) from shared LSH buckets.
-    * The self-join is bucket-local: both sides are the banded table,
-    * equi-joined on (band, sig) — a shuffle join whose matching groups
-    * are bucket-sized, never the full table.
+  /** Distinct candidate pairs (id_a < id_b) from shared LSH buckets —
+    * ONE `groupBy (band, sig)` + in-bucket pair expansion, not a
+    * self-join: a self-join of the banded table recomputes the whole
+    * shingle→minhash→band pipeline for BOTH sides (the two sides
+    * project differently, so Spark cannot reuse the exchange), doubling
+    * the dominant map-side cost and shuffling the data twice. Here
+    * signatures are computed once, shuffled once; sorted bucket members
+    * expand to ordered pairs via higher-order functions (bucket sizes
+    * are small by LSH design). `maxBucket` bounds degenerate buckets
+    * (boilerplate/empty docs collapsing onto one signature) — anything
+    * larger is surfaced by [[oversizedBuckets]], not silently exploded
+    * into O(n²) pairs.
     */
-  def candidatePairs(banded: DataFrame): DataFrame = {
-    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"))
-    a.join(b, Seq("band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  def candidatePairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame =
+    banded.groupBy("band", "sig").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(let(sort_array(col("ids"))) { ids =>
+        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids)), b => struct(element_at(ids, i), b))))
+      }).as("p"))
+      .select(col("p.*")).toDF("id_a", "id_b")
+      .distinct()
+
+  /** (band, sig, n_ids) of buckets larger than `maxBucket` — the side
+    * channel for what [[candidatePairs]] declines to expand.
+    */
+  def oversizedBuckets(banded: DataFrame, maxBucket: Int = 1024): DataFrame =
+    banded.groupBy("band", "sig").agg(count(lit(1)).as("n_ids"))
+      .where(col("n_ids") > maxBucket)
 
   /** MinHash+LSH near-duplicate pairs with EXACT n-gram Jaccard verify:
     * (id_a, id_b, jaccard ≥ minJaccard). The verify join ships shingle
@@ -146,24 +163,31 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: pigeonhole banding on 16-bit chunks
     * (hamming ≤ 3 over 4 chunks ⇒ ≥1 identical chunk), then exact
-    * `bit_count(a^b) ≤ maxHamming` verify inside buckets.
+    * `bit_count(a^b) ≤ maxHamming` verify inside buckets. Same
+    * single-computation groupBy shape as [[candidatePairs]] — a
+    * self-join would simhash every document twice. The Hamming verify
+    * runs map-side right after pair expansion, so only true near-dups
+    * reach the distinct's shuffle (candidates can be 1000× the result).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      // verify BEFORE distinct: the Hamming filter runs map-side inside
-      // the join's codegen stage, so only true near-dups reach the
-      // distinct's shuffle (candidate pairs can be 1000× the result)
+    chunked.groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      // sort_array on (id, fp) structs orders by id ⇒ pairs come out
+      // with id_a < id_b
+      .select(explode(let(sort_array(col("members"))) { m =>
+        flatten(transform(sequence(lit(1), size(m) - 1), i =>
+          transform(slice(m, i + 1, size(m)), b => struct(element_at(m, i), b))))
+      }).as("p"))
+      .select(col("p.*")).toDF("a", "b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

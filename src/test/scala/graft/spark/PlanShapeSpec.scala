@@ -96,6 +96,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("LSH candidate pairing computes signatures once — no self-join") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w")).toDF("id", "text")
+    val p = plan(Dedup.candidatePairs(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2)))
+    assert(!p.contains("Join"), p)
+    assert("minhash_sig".r.findAllIn(p).size <= 1, s"signature computed twice:\n$p")
+  }
+
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
     val p = plan(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2))
