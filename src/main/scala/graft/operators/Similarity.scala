@@ -144,26 +144,48 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket
     * (exact-signature match on a `bits`-bit SRP bucket), verified with
-    * exact cosine ≥ minCosine. The corpus-sized self-join is bucket-
-    * local — the equi-join key IS the bucket id.
+    * exact cosine ≥ minCosine. Same single-computation groupBy shape as
+    * [[Dedup.candidatePairs]] — a bucket self-join would compute every
+    * SRP signature (bits × dim multiplies per vector) and norm twice,
+    * and shuffle the corpus twice. Norms ride along precomputed so each
+    * pair costs one dot product. A bucket's members must fit in one
+    * aggregation row — pick `bits` so buckets stay small (the self-join
+    * had the same requirement for its hash-join build side); larger
+    * buckets are bounded by `maxBucket` and surfaced via
+    * [[oversizedEmbeddingBuckets]].
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             minCosine: Double, bits: Int = 8, seed: Long = 42L,
-                            dim: Int = 0): DataFrame = {
+                            dim: Int = 0, maxBucket: Int = 4096): DataFrame = {
     val d = if (dim > 0) dim else
       df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
-    // norms computed once per VECTOR before the pair join — inside the
-    // join each pair would recompute both norms (3× the flops)
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("n"),
       srpSignature(col(vecCol), planes).as("sig"))
-    val a = sigd.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
-    val b = sigd.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+    sigd.groupBy("sig")
+      .agg(collect_list(struct(col("id"), col("v"), col("n"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      .select(explode(graft.operators.Dedup.let(sort_array(col("members"))) { m =>
+        flatten(transform(sequence(lit(1), size(m) - 1), i =>
+          transform(slice(m, i + 1, size(m)), b => struct(element_at(m, i), b))))
+      }).as("p"))
+      .select(col("p.*")).toDF("a", "b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
+  }
+
+  /** (sig, n_ids) of SRP buckets larger than `maxBucket` — what
+    * [[embeddingNearDupPairs]] declines to expand.
+    */
+  def oversizedEmbeddingBuckets(df: DataFrame, vecCol: String, bits: Int = 8,
+                                seed: Long = 42L, dim: Int = 0,
+                                maxBucket: Int = 4096): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(d, bits, seed)
+    df.select(srpSignature(col(vecCol), planes).as("sig"))
+      .groupBy("sig").agg(count(lit(1)).as("n_ids"))
+      .where(col("n_ids") > maxBucket)
   }
 }
