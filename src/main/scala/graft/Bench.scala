@@ -28,8 +28,12 @@ import java.nio.file.{Files, Paths}
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
+    // SPARK_GRAFT_MASTER lets the same jar run under spark-submit on a
+    // real multi-executor cluster ("%d" ← the level's core count); the
+    // sandbox default is local-mode threads.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[%d]").format(cpus)
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       // 2× cores: finer reduce tasks shorten stragglers' tails without
       // measurable per-task overhead at this scale
       .config("spark.sql.shuffle.partitions", 2 * cpus)

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *  - exact dedup: two-phase hash agg on a 64-bit content hash —
   *    shuffles (hash, id) pairs only, never content.
   *  - MinHash+LSH: per-row signature (map-side only), explode to
-  *    `bands` rows/doc, one shuffle on (band, sig) to bucket, pair-join
-  *    inside buckets, exact Jaccard verify on the (tiny) candidate set.
+  *    `bands` rows/doc, ONE shuffle on (band, sig) to bucket, in-bucket
+  *    pair expansion, exact Jaccard verify on the (tiny) candidate set.
   *    All-pairs O(n²) never materializes.
   *  - SimHash: 64-bit fingerprint per doc (map-side), pigeonhole
   *    banding (k identical 16-bit chunks ⇒ candidates), verify with

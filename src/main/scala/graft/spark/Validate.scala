@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.json._
 import graft.schema._
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,6 +119,19 @@ object Validate {
     }
   }
 
+  /** Typed violations for the canonical source-code table
+    * `(repo, path, commit, lang, content, …)` — the north rule's
+    * `Dataset[Violation]` shape verbatim. Thin encoder cast over
+    * [[violations]]; key columns are the identity triple.
+    */
+  def sourceViolations(df: DataFrame, schema: CompiledSchema): Dataset[Violation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    violations(df, schema, Seq("repo", "path", "commit"))
+      .withColumnRenamed("json_pointer", "jsonPointer")
+      .as[Violation]
+  }
+
   /** Per-partition pass/fail summary — the north rule's per-partition
     * lineage unit. Partition identity is the caller's responsibility
     * (stamp after `repartitionByRange` for stable ids).
@@ -129,6 +142,12 @@ object Validate {
       .agg(count(lit(1)).as("rows_seen"),
         sum(when(col("pass"), 0L).otherwise(1L)).as("rows_failed"))
 }
+
+/** The north rule's violation row for the source-code table:
+  * (repo, path, commit, keyword, jsonPointer, message).
+  */
+final case class Violation(repo: String, path: String, commit: String,
+                           keyword: String, jsonPointer: String, message: String)
 
 /** Spark Row → JValue bridge. NULL column ⇒ key absent (a flat
   * DataFrame cannot distinguish present-null from absent; parquet

@@ -142,6 +142,15 @@ class OperatorSpec extends AnyFunSuite {
     stamped.unpersist()
   }
 
+  test("typed Dataset[Violation] surface carries the identity triple") {
+    val src = SourceTable.synthesize(spark, 2000)
+    val schema = Validate.compileSchema(graft.Schemas.fileRow)
+    val ds = Validate.sourceViolations(src, schema)
+    val v = ds.head()
+    assert(v.jsonPointer.startsWith("/") && v.keyword.nonEmpty && v.repo.nonEmpty)
+    assert(ds.count() > 0)
+  }
+
   test("flagship schema over the synthesized table: planted defects found, invariant holds") {
     val src = SourceTable.synthesize(spark, 10000).cache()
     val schema = Validate.compileSchema(graft.Schemas.fileRow)
