@@ -36,10 +36,13 @@ final case class JNum(text: String) extends JValue {
   /** Draft-04 `integer` = a JSON number without fraction OR exponent
     * part. The reference only tests for `.` (/root/reference/
     * val_all.go:147), so `1e-2` would be "integer" there — documented
-    * divergence, spec behavior chosen (SURVEY.md §2.1 #25).
+    * divergence, spec behavior chosen (SURVEY.md §2.1 #25). Non-finite
+    * tokens (`NaN`/`Infinity`, row-bridge only) are `number`, matching
+    * the fast path's static typing of float/double columns.
     */
   def isIntegral: Boolean =
-    text.indexOf('.') < 0 && text.indexOf('e') < 0 && text.indexOf('E') < 0
+    text.indexOf('.') < 0 && text.indexOf('e') < 0 && text.indexOf('E') < 0 &&
+      decimalOpt.isDefined
   /** None for the non-finite tokens a Spark float/double column can
     * inject through the row bridge (`NaN`, `Infinity`) — JSON text
     * itself cannot produce them.

@@ -34,8 +34,14 @@ object Validate {
   /** Violations via the fast path when the schema allows, else tree path. */
   def violations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String]): DataFrame =
     ColumnCompiler.compile(schema, df.schema) match {
-      case Some(checks) => fastViolations(df, checks, keyCols)
-      case None         => treeViolations(df, schema, keyCols)
+      case Some(checks) if checks.nonEmpty => fastViolations(df, checks, keyCols)
+      case Some(_) =>
+        // every keyword statically skips for this column set — nothing
+        // can ever fail; an empty result with the violation shape
+        df.select(keyCols.map(col) :+ lit("").as("keyword") :+
+          lit("").as("json_pointer") :+ lit("").as("message"): _*)
+          .where(lit(false))
+      case None => treeViolations(df, schema, keyCols)
     }
 
   /** Assemble violation rows from fast-path checks: explode an array of
@@ -55,9 +61,11 @@ object Validate {
         col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
   }
 
-  /** One boolean verdict column from fast-path checks. */
+  /** One boolean verdict column from fast-path checks (no checks ⇒
+    * everything passes).
+    */
   def passColumn(checks: Seq[Check]): Column =
-    checks.map(_.pass).reduce(_ && _)
+    checks.map(_.pass).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Shared scaffolding of both interpreted paths: broadcast the
     * compiled schema, evaluate `eval` per row on executors, emit

@@ -81,6 +81,79 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       }
     }
 
+  // -- schema fuzzer: random keyword/combinator schemas --------------------
+  // Generates random value-level schemas (bounds, lengths, patterns,
+  // enums, types, anyOf/allOf/oneOf/not nestings) over a 3-column row
+  // (string, long, double incl. NaN/±Inf/null) and asserts the compiled
+  // fast path emits the same violation rows as the tree evaluator.
+  // This is the property that pins the combinator compilation: a
+  // verdict-composition mistake in any leg shows up as a row diff.
+
+  private val genLeaf: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(-10, 10).map(n => s"""{"minimum": $n}"""),
+    Gen.chooseNum(-10, 10).map(n => s"""{"maximum": $n}"""),
+    Gen.chooseNum(0, 5).map(n => s"""{"minLength": $n}"""),
+    Gen.chooseNum(0, 8).map(n => s"""{"maxLength": $n}"""),
+    Gen.oneOf("^a", "b$", "[0-9]", "^[ab]+$").map(p => s"""{"pattern": "$p"}"""),
+    Gen.oneOf(""""string"""", """"integer"""", """"number"""",
+      """["string","null"]""", """"boolean"""", """"any"""")
+      .map(t => s"""{"type": $t}"""),
+    Gen.oneOf(
+      """{"enum": [1, "a", true]}""",
+      """{"enum": [2.5, "ab9", -5]}""",
+      """{"enum": [0, "", 3.0]}"""))
+
+  private def genValueSchema(depth: Int): Gen[String] =
+    if (depth == 0) genLeaf
+    else Gen.frequency(
+      4 -> genLeaf,
+      1 -> Gen.zip(genValueSchema(depth - 1), genValueSchema(depth - 1))
+        .map { case (a, b) => s"""{"anyOf": [$a, $b]}""" },
+      1 -> Gen.zip(genValueSchema(depth - 1), genValueSchema(depth - 1))
+        .map { case (a, b) => s"""{"allOf": [$a, $b]}""" },
+      1 -> Gen.zip(genValueSchema(depth - 1), genValueSchema(depth - 1))
+        .map { case (a, b) => s"""{"oneOf": [$a, $b]}""" },
+      1 -> genValueSchema(depth - 1).map(s => s"""{"not": $s}"""))
+
+  private val fuzzRowSchema = StructType(Seq(
+    StructField("s", StringType, nullable = true),
+    StructField("i", LongType, nullable = true),
+    StructField("d", DoubleType, nullable = true)))
+
+  private val genFuzzRow: Gen[Row] = for {
+    s <- Gen.oneOf("", "a", "ab9", "bbb", "abab", "a" * 9, null)
+    i <- Gen.oneOf(Gen.chooseNum(-6L, 12L).map(Long.box), Gen.const(null))
+    d <- Gen.oneOf[Any](Double.box(-2.5), Double.box(0.0), Double.box(3.0),
+      Double.box(Double.NaN), Double.box(Double.PositiveInfinity),
+      Double.box(Double.NegativeInfinity), null)
+  } yield Row(s, i, d)
+
+  property("fast path ≡ tree path under randomly generated schemas") =
+    // no shrinking: shrunk strings are not generator-valid schema JSON
+    org.scalacheck.Prop.forAllNoShrink(genValueSchema(2), genValueSchema(2),
+      genValueSchema(2), Gen.listOfN(40, genFuzzRow)) { (ss, si, sd, rows) =>
+      val schemaJson =
+        s"""{"type": "object",
+           | "properties": {"s": $ss, "i": $si, "d": $sd}}""".stripMargin
+      val schema = Validate.compileSchema(schemaJson)
+      val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tagged, 4),
+        StructType(StructField("row_tag", LongType, nullable = false) +: fuzzRowSchema.fields))
+      def collect(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      ColumnCompiler.compile(schema, df.schema) match {
+        case None => true // not fast-path expressible — tree path only
+        case Some(checks) =>
+          // empty checks ⇔ every keyword statically skips ⇒ no rows
+          val fast =
+            if (checks.isEmpty) Set.empty[(Long, String, String, String)]
+            else collect(Validate.fastViolations(df, checks, Seq("row_tag")))
+          val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
+          fast == tree
+      }
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(5) // each case = one full Spark job over 150 rows
 }
