@@ -149,7 +149,9 @@ object Bench {
     SourceTable.ensure(spark, srcDir, srcRows) // materialize OUTSIDE timing
     // prime session/codegen/parquet-footer caches so the alphabetically
     // first query doesn't absorb the whole loop's warm-up in its number
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // (best-effort: a missing table must degrade per-query, not abort)
+    try spark.read.parquet(s"$sfDir/documents.parquet").count()
+    catch { case _: Throwable => () }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
       System.err.println(f"[bench] $name: $sec%.1fs")

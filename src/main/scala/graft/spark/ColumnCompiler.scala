@@ -178,7 +178,10 @@ object ColumnCompiler {
     val jsonType: String = dt match {
       case StringType                                     => "string"
       case LongType | IntegerType | ShortType | ByteType  => "integer"
-      case DoubleType | FloatType | _: DecimalType        => "number"
+      case DoubleType | FloatType                         => "number"
+      // scale-0 decimals render without a fraction part, so the tree
+      // path's lexical rule calls them integer — match it statically
+      case d: DecimalType                                 => if (d.scale <= 0) "integer" else "number"
       case BooleanType                                    => "boolean"
       case _                                              => return None // arrays/structs/timestamps → tree path
     }
@@ -215,13 +218,16 @@ object ColumnCompiler {
     // any value of this column under the tree path's decimal equality
     // either, so drop ≡ no-match (1 == 1.0 still holds)
     def enumPred(values: Vector[graft.json.JValue]): Column = {
-      val members: Seq[Any] = jsonType match {
-        case "string"  => values.collect { case graft.json.JStr(s) => s }
-        case "boolean" => values.collect { case graft.json.JBool(b) => b }
-        case "integer" => values.collect {
-          case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
-        }
-        case _ => dt match {
+      // numeric member domain keys off the COLUMN type (a scale-0
+      // decimal is JSON "integer" but still needs the exact-decimal
+      // member representation)
+      val members: Seq[Any] =
+        if (jsonType == "string") values.collect { case graft.json.JStr(s) => s }
+        else if (jsonType == "boolean") values.collect { case graft.json.JBool(b) => b }
+        else dt match {
+          case LongType | IntegerType | ShortType | ByteType => values.collect {
+            case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
+          }
           case _: DecimalType => values.collect {
             case n: graft.json.JNum if n.decimalOpt.exists(_.precision <= 38) => n.decimal.underlying
           }
@@ -229,7 +235,6 @@ object ColumnCompiler {
             case n: graft.json.JNum if n.decimalOpt.exists(doubleExact) => n.decimal.toDouble
           }
         }
-      }
       if (members.isEmpty) lit(false)
       else if (isNumeric) numValue.isin(members: _*)
       else c.isin(members: _*)

@@ -118,7 +118,8 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
   private val fuzzRowSchema = StructType(Seq(
     StructField("s", StringType, nullable = true),
     StructField("i", LongType, nullable = true),
-    StructField("d", DoubleType, nullable = true)))
+    StructField("d", DoubleType, nullable = true),
+    StructField("m", DecimalType(10, 0), nullable = true)))
 
   private val genFuzzRow: Gen[Row] = for {
     s <- Gen.oneOf("", "a", "ab9", "bbb", "abab", "a" * 9, null)
@@ -126,31 +127,41 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     d <- Gen.oneOf[Any](Double.box(-2.5), Double.box(0.0), Double.box(3.0),
       Double.box(Double.NaN), Double.box(Double.PositiveInfinity),
       Double.box(Double.NegativeInfinity), null)
-  } yield Row(s, i, d)
+    m <- Gen.oneOf(Gen.chooseNum(-6L, 12L).map(n => java.math.BigDecimal.valueOf(n)),
+      Gen.const(null))
+  } yield Row(s, i, d, m)
 
   property("fast path ≡ tree path under randomly generated schemas") =
     // no shrinking: shrunk strings are not generator-valid schema JSON
     org.scalacheck.Prop.forAllNoShrink(genValueSchema(2), genValueSchema(2),
-      genValueSchema(2), Gen.listOfN(40, genFuzzRow)) { (ss, si, sd, rows) =>
+      genValueSchema(2), genValueSchema(1), Gen.listOfN(40, genFuzzRow)) { (ss, si, sd, sm, rows) =>
       val schemaJson =
         s"""{"type": "object",
-           | "properties": {"s": $ss, "i": $si, "d": $sd}}""".stripMargin
+           | "properties": {"s": $ss, "i": $si, "d": $sd, "m": $sm}}""".stripMargin
       val schema = Validate.compileSchema(schemaJson)
       val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(tagged, 4),
         StructType(StructField("row_tag", LongType, nullable = false) +: fuzzRowSchema.fields))
+      // multiset compare (sorted) — a path that double- or de-dups an
+      // identical violation row must fail, which a Set would mask
       def collect(v: org.apache.spark.sql.DataFrame) =
-        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
-      ColumnCompiler.compile(schema, df.schema) match {
-        case None => true // not fast-path expressible — tree path only
-        case Some(checks) =>
-          // empty checks ⇔ every keyword statically skips ⇒ no rows
-          val fast =
-            if (checks.isEmpty) Set.empty[(Long, String, String, String)]
-            else collect(Validate.fastViolations(df, checks, Seq("row_tag")))
-          val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
-          fast == tree
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+          .toVector.sorted
+      val compiled = ColumnCompiler.compile(schema, df.schema)
+      // classified so a regression that forces everything onto the tree
+      // path is visible in the report, not silently vacuous
+      org.scalacheck.Prop.classify(compiled.isDefined, "fast-path", "tree-only") {
+        compiled match {
+          case None => true // not fast-path expressible — tree path only
+          case Some(checks) =>
+            // empty checks ⇔ every keyword statically skips ⇒ no rows
+            val fast =
+              if (checks.isEmpty) Vector.empty[(Long, String, String, String)]
+              else collect(Validate.fastViolations(df, checks, Seq("row_tag")))
+            val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
+            fast == tree
+        }
       }
     }
 
