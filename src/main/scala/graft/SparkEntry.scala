@@ -228,6 +228,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
+    // curation pipeline composition: schema-valid docs that clear the
+    // quality bar, in ONE scan (validation predicate pushed into the
+    // same map stage as the quality features — no join, no shuffle)
+    "x_curation_pipeline" -> ((s, dir) => {
+      val df = table(s, dir, "documents")
+      val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      graft.operators.TextAnalysis
+        .qualityScore(df.where(Validate.passColumn(checks)), "doc_id", "text")
+        .where(col("quality") >= 0.5)
+        .select("doc_id")
+    }),
+
     // token counting: chars / whitespace tokens / BPE-ish subwords
     "t_token_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
@@ -260,6 +272,32 @@ object SparkEntry {
         maxDim = 256)
         .select("media_id", "width", "height", "resized_width", "resized_height"))
   )
+
+  /** Quality-score feature CTE shared by the t_quality and
+    * x_curation_pipeline oracles (DuckDB SQL mirroring
+    * [[graft.operators.TextAnalysis.qualityScore]]).
+    */
+  private def qualityFeatureCte: String = {
+    val stops = graft.operators.TextAnalysis.stopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x IN ($stops))) AS DOUBLE) AS n_stops
+       |  FROM documents)""".stripMargin
+  }
+
+  private val qualityScoreSql: String =
+    """round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+      |      (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+      |    * (CASE WHEN n_punct / greatest(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+      |    * (CASE WHEN n_digits / greatest(n_chars, 1.0) <= 0.3 THEN 1.0 ELSE 0.5 END)
+      |    * LEAST(1.0, 0.5 + (n_stops / greatest(n_tokens, 1.0)) * 2.0) END, 6)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -406,31 +444,26 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
         |FROM documents""".stripMargin,
 
-    "t_quality" -> {
-      val stops = graft.operators.TextAnalysis.stopwords.flatMap(_._2)
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS n_chars,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
-         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS n_punct,
-         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
-         |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |      x -> x IN ($stops))) AS DOUBLE) AS n_stops
-         |  FROM documents)
+    "t_quality" ->
+      s"""$qualityFeatureCte
          |SELECT doc_id,
          |  round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
          |  round(n_digits / greatest(n_chars, 1.0), 6) AS digit_ratio,
          |  round(n_stops / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
          |  round(n_chars / greatest(n_tokens, 1.0), 6) AS avg_token_len,
-         |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-         |      (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
-         |    * (CASE WHEN n_punct / greatest(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
-         |    * (CASE WHEN n_digits / greatest(n_chars, 1.0) <= 0.3 THEN 1.0 ELSE 0.5 END)
-         |    * LEAST(1.0, 0.5 + (n_stops / greatest(n_tokens, 1.0)) * 2.0) END, 6) AS quality
-         |FROM t""".stripMargin
-    },
+         |  $qualityScoreSql AS quality
+         |FROM t""".stripMargin,
+
+    "x_curation_pipeline" ->
+      s"""$qualityFeatureCte,
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality FROM t)
+         |SELECT q.doc_id FROM q
+         |JOIN documents d ON d.doc_id = q.doc_id
+         |WHERE d.lang IN ('en','de','fr','es')
+         |  AND length(d.text) BETWEEN 50 AND 520
+         |  AND regexp_matches(d.source, '^src[0-9]$$')
+         |  AND d.n_chars <= 500 AND d.doc_id >= 0
+         |  AND q.quality >= 0.5""".stripMargin,
 
     "t_lang_id" -> {
       val hitCols = graft.operators.TextAnalysis.stopwords.map { case (lang, ws) =>
