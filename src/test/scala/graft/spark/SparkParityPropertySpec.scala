@@ -131,13 +131,26 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       Gen.const(null))
   } yield Row(s, i, d, m)
 
+  // random ROW-level keyword tail appended to the generated root
+  private val genRootExtra: Gen[String] = Gen.oneOf(
+    "",
+    """, "required": ["s"]""",
+    """, "required": ["s", "i"]""",
+    """, "dependencies": {"s": ["i"], "d": {"required": ["i"]}}""",
+    """, "anyOf": [{"required": ["s"]}, {"required": ["d"]}]""",
+    """, "oneOf": [{"required": ["s"]}, {"required": ["i"]}]""",
+    """, "not": {"required": ["s", "i", "d", "m"]}""",
+    """, "allOf": [{"required": ["i"]}, {"minProperties": 1}], "maxProperties": 3""")
+
   property("fast path ≡ tree path under randomly generated schemas") =
     // no shrinking: shrunk strings are not generator-valid schema JSON
     org.scalacheck.Prop.forAllNoShrink(genValueSchema(2), genValueSchema(2),
-      genValueSchema(2), genValueSchema(1), Gen.listOfN(40, genFuzzRow)) { (ss, si, sd, sm, rows) =>
+      genValueSchema(2), Gen.zip(genValueSchema(1), genRootExtra),
+      Gen.listOfN(40, genFuzzRow)) { (ss, si, sd, smExtra, rows) =>
+      val (sm, rootExtra) = smExtra
       val schemaJson =
         s"""{"type": "object",
-           | "properties": {"s": $ss, "i": $si, "d": $sd, "m": $sm}}""".stripMargin
+           | "properties": {"s": $ss, "i": $si, "d": $sd, "m": $sm}$rootExtra}""".stripMargin
       val schema = Validate.compileSchema(schemaJson)
       val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
       val df = spark.createDataFrame(
