@@ -1,0 +1,33 @@
+package graft
+
+import graft.spark.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guard: the flagship `entry` and every `queries`
+  * entry must execute against sf0.001 — a query that throws at driver
+  * time silently zeroes its correctness score, so it fails CI here
+  * instead. Oracle keys must reference implemented queries (the
+  * reverse is allowed: rows-only queries have no oracle).
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("entry returns violation rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a query implementation") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      df.count() // force full execution
+    }
+  }
+}
