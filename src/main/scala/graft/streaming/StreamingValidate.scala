@@ -31,13 +31,18 @@ object StreamingValidate {
 
   /** Violation rows for a streaming (or static) DataFrame — append-mode
     * safe (stateless). Keys carried through as in the batch pass.
+    * Fast path when the schema compiles; otherwise the tree evaluator,
+    * which is a stateless `mapPartitions` and therefore equally legal
+    * on a streaming Dataset (nested/JSON-column schemas included).
     */
-  def violations(stream: DataFrame, schema: CompiledSchema, keyCols: Seq[String]): DataFrame = {
-    val checks = ColumnCompiler.compile(schema, stream.schema)
-      .getOrElse(sys.error("streaming validation requires the fast path; " +
-        "tree-path schemas need foreachBatch"))
-    Validate.fastViolations(stream, checks, keyCols)
-  }
+  def violations(stream: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
+                 jsonCols: Set[String] = Set.empty): DataFrame =
+    ColumnCompiler.compile(schema, stream.schema) match {
+      case Some(checks) if checks.nonEmpty && jsonCols.isEmpty =>
+        Validate.fastViolations(stream, checks, keyCols)
+      case _ =>
+        Validate.treeViolations(stream, schema, keyCols, jsonCols)
+    }
 
   /** Per-key RUNNING validation totals across the whole stream via
     * `mapGroupsWithState` — custom state (not a windowed aggregate):

@@ -10,6 +10,8 @@ import java.sql.Timestamp
 case class DocEvent(doc_id: Long, ts: Timestamp, text: String, lang: String,
                     source: String, n_chars: Long)
 
+case class PropsEvent(event_id: Long, props: String)
+
 /** Streaming pass ≡ batch pass on the same rows; windowed watermarked
   * aggregation produces per-window keyword counts.
   */
@@ -67,6 +69,24 @@ class StreamingValidateSpec extends AnyFunSuite {
       assert(after2("en") == ((3L, 2L)), s"state carried across batches: $after2")
       assert(after2("zz") == ((2L, 2L)))
     } finally q.stop()
+  }
+
+  test("tree path validates a JSON-string column on a stream") {
+    val mem = MemoryStream[PropsEvent]
+    mem.addData(
+      PropsEvent(1L, """{"k": 10}"""),
+      PropsEvent(2L, """{"k": 99}"""),   // maximum 50
+      PropsEvent(3L, """{"wrong": 1}"""),// required k
+      PropsEvent(4L, """not json"""))    // malformed
+    val propsSchema = Validate.compileSchema(graft.Schemas.eventProps)
+    val q = StreamingValidate
+      .violations(mem.toDF(), propsSchema, Seq("event_id"), jsonCols = Set("props"))
+      .writeStream.format("memory").queryName("stream_tree")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_tree")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "maximum"), (3L, "required"), (4L, "malformed")))
   }
 
   test("streaming dedup drops repeated content within the watermark horizon") {
