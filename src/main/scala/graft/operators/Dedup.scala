@@ -98,12 +98,15 @@ object Dedup {
     * the dominant map-side cost and shuffling the data twice. Here
     * signatures are computed once, shuffled once; sorted bucket members
     * expand to ordered pairs via higher-order functions (bucket sizes
-    * are small by LSH design). `maxBucket` bounds degenerate buckets
-    * (boilerplate/empty docs collapsing onto one signature) — anything
-    * larger is surfaced by [[oversizedBuckets]], not silently exploded
-    * into O(n²) pairs.
+    * are small by LSH design). `maxBucket` is an OPT-IN bound for
+    * degenerate buckets (boilerplate docs collapsing onto one
+    * signature): near-dup pairing of n copies is O(n²) by definition,
+    * so the default emits every pair; a capped run must pair
+    * [[oversizedBuckets]] to see what was declined — truncation is
+    * never silent-by-default. (At 100 TB the usual recipe is exact
+    * dedup FIRST, so giant identical-content buckets never reach LSH.)
     */
-  def candidatePairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame =
+  def candidatePairs(banded: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
     banded.groupBy("band", "sig").agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(let(sort_array(col("ids"))) { ids =>
@@ -116,7 +119,7 @@ object Dedup {
   /** (band, sig, n_ids) of buckets larger than `maxBucket` — the side
     * channel for what [[candidatePairs]] declines to expand.
     */
-  def oversizedBuckets(banded: DataFrame, maxBucket: Int = 1024): DataFrame =
+  def oversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy("band", "sig").agg(count(lit(1)).as("n_ids"))
       .where(col("n_ids") > maxBucket)
 
@@ -126,8 +129,9 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
-                         shingleN: Int = 3): DataFrame = {
-    val cands = candidatePairs(lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN))
+                         shingleN: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cands = candidatePairs(
+      lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN), maxBucket)
     // verify on 64-bit shingle hashes, not shingle strings: the pair
     // join then ships/intersects long arrays (8 B/element, cheap
     // equality) instead of text n-grams; Jaccard is unchanged up to
@@ -170,7 +174,7 @@ object Dedup {
     * reach the distinct's shuffle (candidates can be 1000× the result).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
         posexplode(array((0 until 4).map(i =>

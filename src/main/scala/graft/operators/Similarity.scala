@@ -150,13 +150,14 @@ object Similarity {
     * and shuffle the corpus twice. Norms ride along precomputed so each
     * pair costs one dot product. A bucket's members must fit in one
     * aggregation row — pick `bits` so buckets stay small (the self-join
-    * had the same requirement for its hash-join build side); larger
-    * buckets are bounded by `maxBucket` and surfaced via
-    * [[oversizedEmbeddingBuckets]].
+    * had the same requirement for its hash-join build side).
+    * `maxBucket` is an OPT-IN bound (default unbounded — truncation is
+    * never silent); a capped run must pair
+    * [[oversizedEmbeddingBuckets]] to see what was declined.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             minCosine: Double, bits: Int = 8, seed: Long = 42L,
-                            dim: Int = 0, maxBucket: Int = 4096): DataFrame = {
+                            dim: Int = 0, maxBucket: Int = Int.MaxValue): DataFrame = {
     val d = if (dim > 0) dim else
       df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
@@ -181,7 +182,7 @@ object Similarity {
     */
   def oversizedEmbeddingBuckets(df: DataFrame, vecCol: String, bits: Int = 8,
                                 seed: Long = 42L, dim: Int = 0,
-                                maxBucket: Int = 4096): DataFrame = {
+                                maxBucket: Int): DataFrame = {
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
     df.select(srpSignature(col(vecCol), planes).as("sig"))

@@ -12,21 +12,36 @@ object Sinks {
 
   /** Write violations partitioned by `keyword` (directory pruning: a
     * "show me all pattern failures" read touches one partition) and
-    * range-clustered on (keyword, keyCols…) so each output task writes
-    * to few directories and key-adjacent rows land in the same files.
-    * At 100 TB, AQE coalescing sizes the range partitions; the keyword
-    * dimension is tiny (≤ the keyword count) so partition explosion is
-    * impossible.
+    * hash-clustered + sorted on (keyword, keyCols…) — hash
+    * `repartition` instead of `repartitionByRange` because range
+    * partitioning SAMPLES its child to pick boundaries, executing the
+    * whole (expensive) validation plan twice; `sortWithinPartitions`
+    * recovers the key clustering inside each task at no extra pass.
+    * A `_schema` sidecar (underscore-prefixed — invisible to partition
+    * discovery) carries the schema so a zero-violation run still leaves
+    * a readable sink (`partitionBy` of an empty frame writes no data
+    * files at all).
     */
-  def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit =
+  def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit = {
     violations
-      .repartitionByRange((("keyword") +: keyCols).map(col): _*)
+      .repartition((("keyword") +: keyCols).map(col): _*)
+      .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
       .write.mode("overwrite").partitionBy("keyword").parquet(path)
+    // sidecar AFTER the main write — overwrite mode truncates `path`
+    violations.limit(0).write.mode("overwrite").parquet(s"$path/_schema")
+  }
 
   /** Read back one keyword's violations — prunes to a single partition
-    * directory (verified by plan-shape test).
+    * directory (verified by plan-shape test); a violation-free sink
+    * reads as the empty frame via the `_schema` sidecar.
     */
   def readKeyword(spark: org.apache.spark.sql.SparkSession, path: String,
                   keyword: String): DataFrame =
-    spark.read.parquet(path).where(col("keyword") === keyword)
+    try spark.read.parquet(path).where(col("keyword") === keyword)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+           e.getMessage.contains("Unable to infer schema") =>
+        spark.read.parquet(s"$path/_schema").where(col("keyword") === keyword)
+    }
 }

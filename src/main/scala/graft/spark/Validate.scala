@@ -35,14 +35,18 @@ object Validate {
   def violations(df: DataFrame, schema: CompiledSchema, keyCols: Seq[String]): DataFrame =
     ColumnCompiler.compile(schema, df.schema) match {
       case Some(checks) if checks.nonEmpty => fastViolations(df, checks, keyCols)
-      case Some(_) =>
-        // every keyword statically skips for this column set — nothing
-        // can ever fail; an empty result with the violation shape
-        df.select(keyCols.map(col) :+ lit("").as("keyword") :+
-          lit("").as("json_pointer") :+ lit("").as("message"): _*)
-          .where(lit(false))
-      case None => treeViolations(df, schema, keyCols)
+      case Some(_) => emptyViolations(df, keyCols)
+      case None    => treeViolations(df, schema, keyCols)
     }
+
+  /** Empty result with the violation shape — for schemas whose keywords
+    * all statically skip (nothing can ever fail). Works on batch and
+    * streaming frames alike.
+    */
+  def emptyViolations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) :+ lit("").as("keyword") :+
+      lit("").as("json_pointer") :+ lit("").as("message"): _*)
+      .where(lit(false))
 
   /** Assemble violation rows from fast-path checks: explode an array of
     * (keyword, pointer, message, pass) structs, keep the failing ones.

@@ -37,11 +37,11 @@ object StreamingValidate {
     */
   def violations(stream: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
                  jsonCols: Set[String] = Set.empty): DataFrame =
-    ColumnCompiler.compile(schema, stream.schema) match {
-      case Some(checks) if checks.nonEmpty && jsonCols.isEmpty =>
-        Validate.fastViolations(stream, checks, keyCols)
-      case _ =>
-        Validate.treeViolations(stream, schema, keyCols, jsonCols)
+    if (jsonCols.nonEmpty) Validate.treeViolations(stream, schema, keyCols, jsonCols)
+    else ColumnCompiler.compile(schema, stream.schema) match {
+      case Some(checks) if checks.nonEmpty => Validate.fastViolations(stream, checks, keyCols)
+      case Some(_) => Validate.emptyViolations(stream, keyCols) // all keywords skip
+      case None    => Validate.treeViolations(stream, schema, keyCols)
     }
 
   /** Per-key RUNNING validation totals across the whole stream via
@@ -87,6 +87,7 @@ object StreamingValidate {
     stream.withColumn("content_hash", xxhash64(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash") // internal helper — keep the input schema
 
   /** Per-window, per-keyword violation counts with event-time
     * watermarking. `tsCol` must be a timestamp column present in the

@@ -90,6 +90,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toList == List(1L, 2L))
   }
 
+  test("bucket cap is opt-in: default emits all pairs, capped run surfaces declines") {
+    val many = Seq.tabulate(20)(i => (i.toLong, "same boilerplate text for everyone"))
+      .toDF("id", "text")
+    val banded = Dedup.lshBands(many, "id", "text")
+    // default: the 20-copy clique yields all 190 pairs
+    assert(Dedup.candidatePairs(banded).count() == 20L * 19 / 2)
+    // capped: pairs declined, but NOT silently — the side channel reports
+    assert(Dedup.candidatePairs(banded, maxBucket = 10).count() == 0)
+    assert(Dedup.oversizedBuckets(banded, maxBucket = 10).count() > 0)
+  }
+
   test("minhash LSH near-dup pairs: dup + near-dup found, unrelated not") {
     val pairs = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -9,6 +9,17 @@ class SinksSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("zero-violation sink still reads back via the schema sidecar") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang")
+    // every keyword statically passes ⇒ zero violations written
+    val s = Validate.compileSchema("""{"properties": {"lang": {"type": "string"}}}""")
+    val v = Validate.violations(docs, s, Seq("doc_id"))
+    val path = Files.createTempDirectory("graft_sink0").toString + "/violations"
+    Sinks.writeViolations(v, path, Seq("doc_id"))
+    assert(Sinks.readKeyword(spark, path, "pattern").count() == 0)
+  }
+
   test("violations sink partitions by keyword and prunes reads to one directory") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val schema = Validate.compileSchema(Schemas.document)
