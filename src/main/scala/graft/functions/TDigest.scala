@@ -20,16 +20,49 @@ import org.apache.spark.sql.functions.udaf
   * Scale function k1(q) = (δ/2π)·asin(2q−1): centroid capacity ∝
   * q(1−q), so tails are near-exact and the middle is compressed.
   */
-final class TDigest(val compression: Double) extends Serializable {
+final class TDigest(private var compression0: Double) extends Serializable
+    with com.esotericsoftware.kryo.KryoSerializable {
+  def compression: Double = compression0
   // merged, sorted-by-mean centroids
   private[functions] var mean = new Array[Double](0)
   private[functions] var weight = new Array[Double](0)
   private[functions] var total = 0.0
   // unmerged insertion buffer (amortizes sort cost)
-  private val bufCap = math.max(32, (4 * compression).toInt)
-  private var bufMean = new Array[Double](bufCap)
-  private var bufWeight = new Array[Double](bufCap)
+  private var bufCap = 0
+  private var bufMean: Array[Double] = null
+  private var bufWeight: Array[Double] = null
   private var bufN = 0
+  private def initBuffers(): Unit = {
+    bufCap = math.max(32, (4 * compression0).toInt)
+    bufMean = new Array[Double](bufCap)
+    bufWeight = new Array[Double](bufCap)
+    bufN = 0
+  }
+  initBuffers()
+
+  // Kryo hooks: the shuffle must carry only the O(compression)
+  // centroids, not the fixed-capacity insertion buffers (default field
+  // serialization ships ~6 KB of mostly-empty arrays per partial).
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                     out: com.esotericsoftware.kryo.io.Output): Unit = {
+    compress()
+    out.writeDouble(compression0)
+    out.writeInt(mean.length)
+    var i = 0
+    while (i < mean.length) { out.writeDouble(mean(i)); out.writeDouble(weight(i)); i += 1 }
+    out.writeDouble(total)
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                    in: com.esotericsoftware.kryo.io.Input): Unit = {
+    compression0 = in.readDouble()
+    val n = in.readInt()
+    mean = new Array[Double](n); weight = new Array[Double](n)
+    var i = 0
+    while (i < n) { mean(i) = in.readDouble(); weight(i) = in.readDouble(); i += 1 }
+    total = in.readDouble()
+    initBuffers()
+  }
 
   def add(x: Double, w: Double = 1.0): Unit = {
     if (x.isNaN) return

@@ -42,12 +42,14 @@ case class ValidateJson(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure("validate_json schema must be a constant string")
     else {
       // compile the schema at analysis time: a bad schema is a query
-      // error on the driver, not a per-task failure on every executor
+      // error on the driver, not a per-task failure on every executor.
+      // Forces the SHARED lazy so repeated analyzer passes don't each
+      // pay a full compile.
       try {
         val s = left.eval(InternalRow.empty)
         if (s == null) return TypeCheckResult.TypeCheckFailure(
           "validate_json schema must not be NULL")
-        new SchemaCompiler(Map.empty).compile(s.asInstanceOf[UTF8String].toString)
+        compiled
         TypeCheckResult.TypeCheckSuccess
       } catch {
         case e: Exception =>

@@ -9,9 +9,20 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Json {
   private val factory: JsonFactory = {
-    val f = new JsonFactory()
-    // Large synthetic documents: lift default length caps a bit.
-    f
+    // Jackson's default StreamReadConstraints (20M-char strings, depth
+    // 1000, 1000-digit numbers) would misreport structurally valid
+    // large/deep documents as malformed — lift them well past any
+    // realistic document (the reference's encoding/json has no caps).
+    val constraints = com.fasterxml.jackson.core.StreamReadConstraints.builder()
+      .maxStringLength(Int.MaxValue)
+      .maxNestingDepth(100000)
+      .maxNumberLength(100000)
+      .build()
+    // explicit builder type: JsonFactory.builder()'s wildcard generic
+    // defeats Scala's member lookup
+    val b = new com.fasterxml.jackson.core.JsonFactoryBuilder()
+    b.streamReadConstraints(constraints)
+    b.build()
   }
 
   /** Parse a JSON document. Throws JsonParseException on malformed
@@ -46,11 +57,21 @@ object Json {
       while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p)
       JArr(buf.toVector)
     case JsonToken.START_OBJECT =>
+      // Duplicate keys: LAST value wins, deduped — the reference decodes
+      // into a Go map (jsonschema.go:104-105), so a shadowed earlier
+      // value must not be validated and must not count toward
+      // min/maxProperties or deepEqual sizes. First occurrence keeps
+      // its position for deterministic field order.
       val buf = new ArrayBuffer[(String, JValue)]()
+      val idx = scala.collection.mutable.HashMap[String, Int]()
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val name = p.currentName()
         p.nextToken()
-        buf += ((name, readValue(p)))
+        val v = readValue(p)
+        idx.get(name) match {
+          case Some(i) => buf(i) = ((name, v))
+          case None    => idx(name) = buf.length; buf += ((name, v))
+        }
       }
       JObj(buf.toVector)
     case t => throw new IllegalArgumentException(s"unexpected token $t")

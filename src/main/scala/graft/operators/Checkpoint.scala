@@ -8,34 +8,54 @@ import org.apache.spark.sql.functions._
   * by partition id, so a killed run resumes by anti-joining completed
   * partitions and skipping them").
   *
-  * Partition identity must be stable across runs: callers stamp ids
-  * with [[stampPartitions]], which `repartitionByRange`s on the given
-  * key columns first (RangePartitioner samples with a deterministic
-  * seed, so the same input + key + partition count yields the same
-  * layout) and then freezes `spark_partition_id()` into a column.
+  * Partition identity must be stable across runs, plans, and Spark
+  * sessions, so [[stampPartitions]] derives it from the DATA —
+  * `xxhash64(key columns) mod n` — never from a physical partitioner
+  * (`repartitionByRange` + `spark_partition_id` is NOT stable: the
+  * range sampler's seed folds in per-context RDD ids, so a resume run
+  * can draw different bounds and re-shuffle rows across "done"
+  * partition ids). Rows are then co-located by the stamped id.
   *
-  * The checkpoint table is an append-only Parquet directory (Iceberg
-  * stand-in) with rows (run_id, stage, partition_id, status, rows_seen,
-  * violations, wall_ms).
+  * Layout under `checkpointDir`:
+  *   - `lineage/`          append-only (run_id, stage, partition_id,
+  *                         status, rows_seen, violations, wall_ms)
+  *   - `output/<stage>/`   the stage's durable violation rows, stamped
+  *                         with run_id
+  *
+  * Durability contract: a stage's output is written BEFORE its
+  * partitions are marked done — a crash in between re-processes those
+  * partitions on resume (at-least-once), and [[readStageOutput]]
+  * dedups by keeping one completed run per partition.
   */
 object Checkpoint {
 
   val schemaDDL = "run_id string, stage string, partition_id int, status string, rows_seen long, violations long, wall_ms long"
 
-  def stampPartitions(df: DataFrame, rangeCols: Seq[String], numPartitions: Int): DataFrame =
-    df.repartitionByRange(numPartitions, rangeCols.map(col): _*)
-      .withColumn("partition_id", spark_partition_id())
+  def stampPartitions(df: DataFrame, keyCols: Seq[String], numPartitions: Int): DataFrame =
+    df.withColumn("partition_id",
+        pmod(xxhash64(keyCols.map(col): _*), lit(numPartitions)).cast("int"))
+      .repartition(numPartitions, col("partition_id"))
 
-  /** Partition ids already completed for `stage` (any run). */
+  private def lineageDir(checkpointDir: String) = s"$checkpointDir/lineage"
+  private def outputDir(checkpointDir: String, stage: String) = s"$checkpointDir/output/$stage"
+
+  /** Partition ids already completed for `stage` (any run). Only a
+    * missing checkpoint reads as empty — a corrupt or unreadable one
+    * must surface, not silently re-process everything.
+    */
   def completedPartitions(spark: SparkSession, checkpointDir: String, stage: String): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("partition_id int"))
     try {
-      spark.read.parquet(checkpointDir)
+      spark.read.parquet(lineageDir(checkpointDir))
         .where(col("stage") === stage && col("status") === "done")
         .select("partition_id").distinct()
-    } catch { case _: Exception => empty } // no checkpoint yet
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("PATH_NOT_FOUND") ||
+           e.getMessage.contains("Path does not exist") => empty
+    }
   }
 
   /** Drop the already-completed partitions of a stamped input —
@@ -44,31 +64,49 @@ object Checkpoint {
   def pending(stamped: DataFrame, completed: DataFrame): DataFrame =
     stamped.join(broadcast(completed), Seq("partition_id"), "left_anti")
 
-  /** Run one resumable stage: process only pending partitions, then
-    * append per-partition (rows_seen, violations, wall_ms) lineage.
-    * `violationsOf` maps the pending input to violation rows that still
-    * carry `partition_id`. Returns the violations of THIS run's share.
+  /** Run one resumable stage: process only pending partitions, persist
+    * this run's violations durably, THEN append per-partition
+    * (rows_seen, violations, wall_ms) `done` lineage. `violationsOf`
+    * maps the pending input to violation rows that still carry
+    * `partition_id`. Returns this run's share, read back from the
+    * durable output.
     */
   def runStage(spark: SparkSession, checkpointDir: String, runId: String, stage: String,
                stamped: DataFrame)(violationsOf: DataFrame => DataFrame): DataFrame = {
     val todo = pending(stamped, completedPartitions(spark, checkpointDir, stage)).cache()
     val t0 = System.nanoTime()
-    val viols = violationsOf(todo).cache()
-    viols.count() // materialize the stage's work so wall_ms measures it
+    val out = outputDir(checkpointDir, stage)
+    violationsOf(todo).withColumn("run_id", lit(runId))
+      .write.mode("append").parquet(out)
+    val written = spark.read.parquet(out).where(col("run_id") === runId)
+    val wallMs = lit((System.nanoTime() - t0) / 1000000L) // includes the durable write
 
-    val perPartViols = viols.groupBy("partition_id").agg(count(lit(1)).as("violations"))
-    val wallMs = lit((System.nanoTime() - t0) / 1000000L)
+    val perPartViols = written.groupBy("partition_id").agg(count(lit(1)).as("violations"))
     val lineage = todo.groupBy("partition_id").agg(count(lit(1)).as("rows_seen"))
       .join(perPartViols, Seq("partition_id"), "left_outer")
       .select(lit(runId).as("run_id"), lit(stage).as("stage"), col("partition_id"),
         lit("done").as("status"), col("rows_seen"),
         coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("wall_ms"))
-    lineage.write.mode("append").parquet(checkpointDir)
+    lineage.write.mode("append").parquet(lineageDir(checkpointDir))
     todo.unpersist()
-    // release the stage's cached partitions — the returned DataFrame
-    // recomputes deterministically if the caller consumes it later;
-    // keeping it pinned would accumulate executor memory across stages
-    viols.unpersist()
-    viols
+    written.drop("run_id")
   }
+
+  /** The stage's full durable output across all runs, deduplicated to
+    * ONE completed run per partition (a crash between output write and
+    * lineage append leaves at-least-once duplicates; the lineage table
+    * is the authority on which (run, partition) pairs count).
+    */
+  def readStageOutput(spark: SparkSession, checkpointDir: String, stage: String): DataFrame = {
+    val chosen = spark.read.parquet(lineageDir(checkpointDir))
+      .where(col("stage") === stage && col("status") === "done")
+      .groupBy("partition_id").agg(min("run_id").as("run_id"))
+    spark.read.parquet(outputDir(checkpointDir, stage))
+      .join(broadcast(chosen), Seq("run_id", "partition_id"), "left_semi")
+      .drop("run_id")
+  }
+
+  /** Lineage rows (all runs, all stages) — the metrics surface. */
+  def lineage(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.parquet(lineageDir(checkpointDir))
 }

@@ -307,7 +307,7 @@ object Formats {
   private val hostname = java.util.regex.Pattern.compile(
     """^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""")
   private val ipv4 = java.util.regex.Pattern.compile(
-    """^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$""")
+    """^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$""")
 
   def check(name: String, s: String): Boolean = name match {
     case "date-time" => dateTime.matcher(s).find()
@@ -361,7 +361,9 @@ object Formats {
       val i = body.indexOf("::")
       val (l, r) = (body.substring(0, i), body.substring(i + 2))
       (groupsOf(l), groupsOf(r)) match {
-        case (Some(a), Some(b)) => a + b <= 7 || (a + b == 8 && (l.isEmpty || r.isEmpty))
+        // the ellipsis must expand to ≥1 zero group (Go parseIPv6
+        // rejects '::' when 8 groups are already present)
+        case (Some(a), Some(b)) => a + b <= 7
         case _                  => false
       }
     } else groupsOf(body).contains(8)

@@ -84,7 +84,19 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
     try {
       if (scope.isEmpty) ref
       else new URI(scope).resolve(new URI(ref)).toString
-    } catch { case _: Exception => ref }
+    } catch {
+      case _: Exception =>
+        // URI-illegal characters (e.g. a space inside a JSON-pointer
+        // token — Go's lenient url.Parse accepts them): resolve
+        // fragment-only refs manually against the scope's base
+        if (ref.startsWith("#")) {
+          val base = scope.indexOf('#') match {
+            case -1 => scope
+            case i  => scope.substring(0, i)
+          }
+          base + ref
+        } else ref
+    }
 
   /** Pre-register every `id`-bearing object so refs can target schemas
     * in not-yet-compiled subtrees (the reference parses ALL embedded

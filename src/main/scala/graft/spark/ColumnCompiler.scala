@@ -380,7 +380,7 @@ object ColumnCompiler {
       Some(c.rlike("""^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?"""))
     case "email" => Some(c.rlike(".+@.+"))
     case "ipv4" =>
-      Some(c.rlike("""^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"""))
+      Some(c.rlike("""^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"""))
     case "hostname" =>
       Some(c.rlike("""^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""") &&
         length(c) <= 255 && forall(split(c, "\\."), l => length(l) <= 63))

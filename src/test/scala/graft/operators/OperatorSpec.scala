@@ -136,10 +136,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(Checkpoint.completedPartitions(spark, dir, "validate").count() == 8)
 
     // Lineage accounts for every row exactly once across run1+run2.
-    val lineage = spark.read.parquet(dir)
+    val lineage = Checkpoint.lineage(spark, dir)
       .where(col("run_id").isin("run1", "run2") && col("stage") === "validate")
     assert(lineage.agg(sum("rows_seen")).collect()(0).getLong(0) == 4000)
+
+    // The durable output equals a direct full pass (lineage-deduped).
+    val direct = validatePass(stamped)
+    val durable = Checkpoint.readStageOutput(spark, dir, "validate")
+    assert(durable.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(durable).count() == 0)
     stamped.unpersist()
+  }
+
+  test("stamped partition ids are content-derived and plan-independent") {
+    val src = SourceTable.synthesize(spark, 3000)
+    val a = Checkpoint.stampPartitions(src, Seq("repo", "path"), 8)
+      .select("repo", "path", "commit", "partition_id")
+    // different upstream plan shape (filter + union back) — same ids
+    val half = src.where(col("id") % 2 === 0).union(src.where(col("id") % 2 =!= 0))
+    val b = Checkpoint.stampPartitions(half, Seq("repo", "path"), 8)
+      .select("repo", "path", "commit", "partition_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
   test("typed Dataset[Violation] surface carries the identity triple") {

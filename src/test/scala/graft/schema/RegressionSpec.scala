@@ -50,6 +50,38 @@ class RegressionSpec extends AnyFunSuite {
     assert(Evaluator.validate(s, Json.parse("""{"v": 3}""")).nonEmpty)
   }
 
+  test("duplicate object keys: last value wins, like the reference's Go map") {
+    val v = Json.parse("""{"a": "x", "a": 1}""").asInstanceOf[JObj]
+    assert(v.size == 1 && v.get("a").contains(JNum("1")))
+    val s = compile("""{"properties": {"a": {"type": "integer"}}, "maxProperties": 1}""")
+    assert(Evaluator.validate(s, v).isEmpty)
+  }
+
+  test("deeply nested and long-token documents parse (Jackson caps lifted)") {
+    val deep = "[" * 2000 + "]" * 2000
+    assert(Json.parseOpt(deep).isDefined)
+    val num = "1" + "0" * 2000
+    assert(Json.parse(num) == JNum(num))
+  }
+
+  test("$ref pointer tokens with URI-illegal characters resolve") {
+    val s = compile(
+      """{"definitions": {"a b": {"type": "integer"}}, "$ref": "#/definitions/a b"}""")
+    assert(Evaluator.validate(s, JNum("1")).isEmpty)
+    assert(Evaluator.validate(s, JStr("x")).nonEmpty)
+  }
+
+  test("format edges: ipv6 zero-group ellipsis rejected, ipv4 leading zeros rejected") {
+    assert(!Formats.check("ipv6", "1:2:3:4:5:6:7:8::"))
+    assert(!Formats.check("ipv6", "::1:2:3:4:5:6:7:8"))
+    assert(Formats.check("ipv6", "1:2:3:4:5:6:7:8"))
+    assert(Formats.check("ipv6", "::1"))
+    assert(!Formats.check("ipv4", "010.1.2.3"))
+    assert(!Formats.check("ipv4", "00.0.0.0"))
+    assert(Formats.check("ipv4", "10.1.2.3"))
+    assert(Formats.check("ipv4", "0.0.0.0"))
+  }
+
   test("non-finite numeric tokens fail bounds instead of crashing") {
     val s = compile("""{"properties":{"x":{"maximum":100}}}""")
     val v = JObj(Vector("x" -> JNum("NaN")))
