@@ -67,10 +67,12 @@ object SparkEntry {
     // documents table round-tripped through a text file, so the
     // violations equal v_doc_violations row for row
     "v_jsonl_source" -> ((s, dir) => {
-      // fixed per-sfdir path, overwritten each run — repeated bench /
-      // verify cycles must not accumulate table-sized temp copies
+      // per-(sfdir, session) path, overwritten each run — repeated runs
+      // must not accumulate table-sized temp copies, and the session
+      // suffix keeps concurrent bench + verify runs against the same
+      // sfDir from racing on one directory
       val tmp = sys.props("java.io.tmpdir") +
-        s"/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}/docs"
+        s"/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}/docs"
       table(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))
@@ -257,9 +259,13 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
 
     // multimodal: binary columns + batched stub decode + frame sampling
+    // (feature vector rendered as a canonical string — the driver's
+    // pandas compare cannot sort array-typed columns)
     "m_media_decode" -> ((s, dir) =>
       graft.operators.Multimodal.decodeFeatures(
-        graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text"))),
+        graft.operators.Multimodal.mediaTable(table(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("modality"), col("width"), col("height"),
+          col("n_frames"), array_join(col("features").cast("array<string>"), ",").as("features"))),
     "m_frame_sample" -> ((s, dir) =>
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.decodeFeatures(
@@ -481,6 +487,38 @@ object SparkEntry {
          |  $cases
          |  ELSE 'und' END AS lang_guess
          |FROM t""".stripMargin
-    }
+    },
+
+    // mirrors TextAnalysis.fingerprint: sha256 content hash + bottom-8
+    // md5 hashes of distinct word-3-gram shingles, comma-joined
+    "t_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, sha256(text) AS content_hash,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, content_hash,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t)
+        |SELECT doc_id, content_hash,
+        |  array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS bottom_k
+        |FROM s""".stripMargin,
+
+    // the checkpointed stage's output is the v_doc_violations set
+    // (deterministic), grouped by keyword
+    "x_checkpoint_stage" ->
+      """SELECT keyword, count(*) AS n FROM (
+        |  SELECT 'enum' AS keyword FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |  UNION ALL
+        |  SELECT 'minLength' FROM documents WHERE length(text) < 50
+        |  UNION ALL
+        |  SELECT 'maxLength' FROM documents WHERE length(text) > 520
+        |  UNION ALL
+        |  SELECT 'pattern' FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |  UNION ALL
+        |  SELECT 'maximum' FROM documents WHERE n_chars > 500
+        |) GROUP BY keyword""".stripMargin
   )
 }

@@ -11,11 +11,16 @@ object Json {
   private val factory: JsonFactory = {
     // Jackson's default StreamReadConstraints (20M-char strings, depth
     // 1000, 1000-digit numbers) would misreport structurally valid
-    // large/deep documents as malformed — lift them well past any
-    // realistic document (the reference's encoding/json has no caps).
+    // large/deep documents as malformed — lift the string/number caps
+    // well past any realistic document (the reference's encoding/json
+    // has no caps). Nesting stays bounded at a depth the recursive
+    // readValue/Evaluator.validate stack can survive on an executor
+    // thread: an unbounded cap would let adversarial input trade a
+    // graceful 'malformed' violation for a StackOverflowError that
+    // kills the whole Spark task.
     val constraints = com.fasterxml.jackson.core.StreamReadConstraints.builder()
       .maxStringLength(Int.MaxValue)
-      .maxNestingDepth(100000)
+      .maxNestingDepth(1500)
       .maxNumberLength(100000)
       .build()
     // explicit builder type: JsonFactory.builder()'s wildcard generic
@@ -41,9 +46,14 @@ object Json {
     } finally p.close()
   }
 
+  /** None on any malformed input — including a StackOverflowError from
+    * pathological nesting (belt and braces under the 1500-depth cap):
+    * the recursion unwinds fully, so degrading to 'malformed' is safe,
+    * while letting the Error escape would kill the Spark task.
+    */
   def parseOpt(text: String): Option[JValue] =
     try Some(parse(text))
-    catch { case _: Exception => None }
+    catch { case _: Exception | _: StackOverflowError => None }
 
   private def readValue(p: JsonParser): JValue = p.currentToken() match {
     case JsonToken.VALUE_NULL         => JNull

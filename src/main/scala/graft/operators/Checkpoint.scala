@@ -73,18 +73,24 @@ object Checkpoint {
     */
   def runStage(spark: SparkSession, checkpointDir: String, runId: String, stage: String,
                stamped: DataFrame)(violationsOf: DataFrame => DataFrame): DataFrame = {
+    // the recorded run_id is minted fresh PER ATTEMPT: [[readStageOutput]]
+    // dedups the crash window by (run_id, partition_id), so a resume that
+    // reuses the caller's runId after a crash between output write and
+    // lineage append must not share a key with the dead attempt's rows —
+    // it would read back both copies
+    val attemptId = runId + "-" + java.util.UUID.randomUUID().toString.take(8)
     val todo = pending(stamped, completedPartitions(spark, checkpointDir, stage)).cache()
     val t0 = System.nanoTime()
     val out = outputDir(checkpointDir, stage)
-    violationsOf(todo).withColumn("run_id", lit(runId))
+    violationsOf(todo).withColumn("run_id", lit(attemptId))
       .write.mode("append").parquet(out)
-    val written = spark.read.parquet(out).where(col("run_id") === runId)
+    val written = spark.read.parquet(out).where(col("run_id") === attemptId)
     val wallMs = lit((System.nanoTime() - t0) / 1000000L) // includes the durable write
 
     val perPartViols = written.groupBy("partition_id").agg(count(lit(1)).as("violations"))
     val lineage = todo.groupBy("partition_id").agg(count(lit(1)).as("rows_seen"))
       .join(perPartViols, Seq("partition_id"), "left_outer")
-      .select(lit(runId).as("run_id"), lit(stage).as("stage"), col("partition_id"),
+      .select(lit(attemptId).as("run_id"), lit(stage).as("stage"), col("partition_id"),
         lit("done").as("status"), col("rows_seen"),
         coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("wall_ms"))
     lineage.write.mode("append").parquet(lineageDir(checkpointDir))

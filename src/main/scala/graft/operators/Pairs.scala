@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded all-pairs expansion within key groups — the shared engine
+  * primitive under MinHash/SimHash/embedding near-dup pairing
+  * ([[Dedup.candidatePairs]], [[Dedup.simhashPairs]],
+  * [[Similarity.embeddingNearDupPairs]]).
+  *
+  * The naive shape (`groupBy(bucket).agg(collect_list(members))` then
+  * explode the triangle) materializes each bucket as ONE aggregation
+  * row. At 100 TB a degenerate bucket — boilerplate documents collapsing
+  * onto one signature, a dense SRP cell — becomes a multi-GB row that
+  * hits Spark's 2 GB array limit or OOMs the executor. This helper keeps
+  * the exact same pair SET while bounding every aggregation row:
+  *
+  *  1. per-bucket size `n` via a window count (one shuffle; WindowExec
+  *     buffers spill to disk, they never build a single giant row);
+  *     singletons are dropped BEFORE the pairing shuffle and buckets
+  *     larger than `maxBucket` are dropped BEFORE any collect (the old
+  *     post-collect filter built the giant row first);
+  *  2. members of a bucket hash into `ceil(n/cap)` groups; each member
+  *     is replicated to the blocks `(min(o, g), max(o, g))` for every
+  *     group `o` — the triangle-blocking of the all-pairs literature.
+  *     Replication touches only buckets with `n > cap` and costs
+  *     `n·ceil(n/cap)` rows, always ≤ the `n·(n−1)/2` pairs such a
+  *     bucket emits anyway;
+  *  3. `groupBy(bucket, bi, bj)` collects blocks of ≤ ~2·cap members
+  *     (hash-balanced groups); a diagonal block emits its internal
+  *     triangle, an off-diagonal block the cross product of its two
+  *     groups. Every unordered pair lands in exactly one block —
+  *     (min(gₐ, g_b), max(gₐ, g_b)) — so no pair is lost or duplicated.
+  */
+object Pairs {
+
+  /** Blocks pre-explosion — (keyCols…, __bi, __bj, members) with
+    * `members` = array of (g, m) structs. Exposed so tests can assert
+    * the size bound; [[blockedPairs]] is the public pair surface.
+    */
+  def blockedMembers(df: DataFrame, keyCols: Seq[String],
+                     cap: Int = 4096, maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(cap >= 2, s"cap must allow at least a pair per block, got $cap")
+    val memberFields = df.columns.filterNot(keyCols.contains).toSeq
+    require(memberFields.nonEmpty, "df needs at least one non-key (member) column")
+    val idCol = memberFields.head // unique, orderable — defines id_a < id_b
+    val keyExprs = keyCols.map(col)
+    val win = Window.partitionBy(keyExprs: _*)
+    df.withColumn("__n", count(lit(1)).over(win))
+      .where(col("__n").between(2L, maxBucket))
+      .withColumn("__ng", floor((col("__n") + lit(cap - 1)) / lit(cap)).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col(idCol)), col("__ng")).cast("int"))
+      .select(keyExprs ++ Seq(
+        explode(transform(sequence(lit(0), col("__ng") - 1), o =>
+          struct(least(o, col("__g")).as("bi"), greatest(o, col("__g")).as("bj")))).as("__blk"),
+        col("__g"), struct(memberFields.map(col): _*).as("__m")): _*)
+      .select(keyExprs ++ Seq(col("__blk.bi").as("__bi"), col("__blk.bj").as("__bj"),
+        col("__g"), col("__m")): _*)
+      .groupBy((keyCols ++ Seq("__bi", "__bj")).map(col): _*)
+      .agg(collect_list(struct(col("__g").as("g"), col("__m").as("m"))).as("members"))
+  }
+
+  /** All unordered pairs within each key group: (keyCols…, a, b) where
+    * `a`/`b` are structs of the non-key columns and
+    * `a.<first member col> < b.<first member col>`. The first non-key
+    * column must be a unique orderable id within its bucket.
+    */
+  def blockedPairs(df: DataFrame, keyCols: Seq[String],
+                   cap: Int = 4096, maxBucket: Long = Long.MaxValue): DataFrame = {
+    val memberFields = df.columns.filterNot(keyCols.contains).toSeq
+    val idField = memberFields.head
+    val blocks = blockedMembers(df, keyCols, cap, maxBucket)
+
+    def ordered(x: Column, y: Column): Column =
+      when(x(idField) < y(idField), struct(x.as("a"), y.as("b")))
+        .otherwise(struct(y.as("a"), x.as("b")))
+
+    // sort by (g, m): within one group members come out ordered by id,
+    // so the diagonal triangle emits a.id < b.id directly
+    val pairsArr = Dedup.let(sort_array(col("members"))) { s =>
+      val diagonal = // all members share one group ⇒ triangle
+        when(size(s) >= 2, flatten(transform(sequence(lit(1), size(s) - 1), i =>
+          transform(slice(s, i + 1, size(s)), e =>
+            struct(element_at(s, i)("m").as("a"), e("m").as("b"))))))
+      val mi = transform(filter(s, e => e("g") === col("__bi")), e => e("m"))
+      val mj = transform(filter(s, e => e("g") === col("__bj")), e => e("m"))
+      val cross = flatten(transform(mi, x => transform(mj, y => ordered(x, y))))
+      when(col("__bi") === col("__bj"), diagonal).otherwise(cross)
+    }
+    // explode(null) for a 1-member diagonal block emits nothing
+    blocks.select(keyCols.map(col) :+ explode(pairsArr).as("__p"): _*)
+      .select(keyCols.map(col) :+ col("__p.a").as("a") :+ col("__p.b").as("b"): _*)
+  }
+}

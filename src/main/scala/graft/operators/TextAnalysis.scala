@@ -98,15 +98,19 @@ object TextAnalysis {
     df.select(col(idCol), guess.as("lang_guess"))
   }
 
-  /** Document fingerprint: full-content 64-bit hash + bottom-k sketch
-    * of shingle hashes (winnowing-style selection of the k smallest
-    * rolling-window hashes — resilient to small edits). Rows-only
-    * artifact (hash values are engine-specific).
+  /** Document fingerprint: full-content sha-256 + bottom-k sketch of
+    * md5 shingle hashes (winnowing-style selection of the k smallest
+    * window hashes — resilient to small edits), rendered as a canonical
+    * comma-joined string. Cryptographic, engine-independent hashes on
+    * purpose: a fingerprint is a durable content address (the north
+    * rule's per-row invariant is sha256 equality), so it must reproduce
+    * bit-for-bit across engines and releases — which also makes the
+    * whole row DuckDB-oracle-able. Still pure per-row map-side work.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, shingleN: Int = 3): DataFrame =
     df.select(col(idCol),
-      xxhash64(col(textCol)).as("content_hash"),
-      slice(array_sort(transform(array_distinct(Dedup.shingles(col(textCol), shingleN)),
-        sh => xxhash64(sh))), 1, k).as("bottom_k"))
+      sha2(col(textCol), 256).as("content_hash"),
+      array_join(slice(array_sort(transform(array_distinct(Dedup.shingles(col(textCol), shingleN)),
+        sh => md5(sh))), 1, k), ",").as("bottom_k"))
 }

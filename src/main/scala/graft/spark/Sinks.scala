@@ -23,12 +23,26 @@ object Sinks {
     * files at all).
     */
   def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    // Stage the FULL sink (data + sidecar) in a temp directory, then
+    // swap it in with a directory rename — atomic on HDFS/local, so a
+    // crashed or concurrent run never exposes a half-written sink (a
+    // naive in-place overwrite has a window where the old sidecar is
+    // deleted and a zero-violation write has produced no files at all).
+    // On rename-less object stores the production analogue is a table
+    // format commit (Iceberg snapshot), not this directory swap.
+    val hconf = violations.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".inprogress-" + java.util.UUID.randomUUID().toString.take(8))
     violations
       .repartition((("keyword") +: keyCols).map(col): _*)
       .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
-      .write.mode("overwrite").partitionBy("keyword").parquet(path)
-    // sidecar AFTER the main write — overwrite mode truncates `path`
-    violations.limit(0).write.mode("overwrite").parquet(s"$path/_schema")
+      .write.mode("overwrite").partitionBy("keyword").parquet(tmp.toString)
+    violations.limit(0).write.mode("overwrite").parquet(tmp.toString + "/_schema")
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not move staged sink $tmp into place at $target")
   }
 
   /** Read back one keyword's violations — prunes to a single partition

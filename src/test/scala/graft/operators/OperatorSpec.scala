@@ -135,9 +135,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(v3.count() == 0)
     assert(Checkpoint.completedPartitions(spark, dir, "validate").count() == 8)
 
-    // Lineage accounts for every row exactly once across run1+run2.
+    // Lineage accounts for every row exactly once across run1+run2
+    // (recorded run_id = caller's runId + per-attempt suffix).
     val lineage = Checkpoint.lineage(spark, dir)
-      .where(col("run_id").isin("run1", "run2") && col("stage") === "validate")
+      .where((col("run_id").startsWith("run1-") || col("run_id").startsWith("run2-")) &&
+        col("stage") === "validate")
     assert(lineage.agg(sum("rows_seen")).collect()(0).getLong(0) == 4000)
 
     // The durable output equals a direct full pass (lineage-deduped).

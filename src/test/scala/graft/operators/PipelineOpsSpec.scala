@@ -225,9 +225,10 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("fingerprint: equal docs equal, edits overlap in bottom-k") {
     val fp = TextAnalysis.fingerprint(docs, "id", "text").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2).split(',').toSeq))).toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L)._1 != fp(3L)._1) // different full-content hash
+    assert(fp(1L)._1.matches("[0-9a-f]{64}")) // sha-256 hex (engine-portable)
     val overlap = fp(1L)._2.toSet.intersect(fp(3L)._2.toSet).size
     assert(overlap >= 4, s"bottom-k overlap after 1-word edit: $overlap")
   }

@@ -57,11 +57,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(Evaluator.validate(s, v).isEmpty)
   }
 
-  test("deeply nested and long-token documents parse (Jackson caps lifted)") {
-    val deep = "[" * 2000 + "]" * 2000
+  test("deeply nested and long-token documents parse (Jackson caps tuned)") {
+    // 1400 < the 1500-depth cap: parses (Jackson's default 1000 would
+    // misreport it); realistic documents never approach this
+    val deep = "[" * 1400 + "]" * 1400
     assert(Json.parseOpt(deep).isDefined)
     val num = "1" + "0" * 2000
     assert(Json.parse(num) == JNum(num))
+    // past the cap: degrades to malformed (None) — the recursive parse/
+    // validate stack must never see a depth it cannot survive, so
+    // adversarial nesting cannot StackOverflowError a Spark task
+    val tooDeep = "[" * 5000 + "]" * 5000
+    assert(Json.parseOpt(tooDeep).isEmpty)
   }
 
   test("$ref pointer tokens with URI-illegal characters resolve") {
