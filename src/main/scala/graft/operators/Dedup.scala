@@ -91,29 +91,26 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from shared LSH buckets —
-    * ONE `groupBy (band, sig)` + in-bucket pair expansion, not a
+    * in-bucket pair expansion via [[Pairs.blockedPairs]], not a
     * self-join: a self-join of the banded table recomputes the whole
     * shingle→minhash→band pipeline for BOTH sides (the two sides
     * project differently, so Spark cannot reuse the exchange), doubling
     * the dominant map-side cost and shuffling the data twice. Here
-    * signatures are computed once, shuffled once; sorted bucket members
-    * expand to ordered pairs via higher-order functions (bucket sizes
-    * are small by LSH design). `maxBucket` is an OPT-IN bound for
-    * degenerate buckets (boilerplate docs collapsing onto one
-    * signature): near-dup pairing of n copies is O(n²) by definition,
-    * so the default emits every pair; a capped run must pair
-    * [[oversizedBuckets]] to see what was declined — truncation is
-    * never silent-by-default. (At 100 TB the usual recipe is exact
-    * dedup FIRST, so giant identical-content buckets never reach LSH.)
+    * signatures are computed once; triangle blocking bounds every
+    * aggregation row at ~2·`cap` members even for degenerate buckets
+    * (boilerplate docs collapsing onto one signature) while still
+    * emitting EVERY pair — near-dup pairing of n copies is O(n²) by
+    * definition, so the default declines nothing; `maxBucket` is an
+    * OPT-IN bound, and a capped run must pair [[oversizedBuckets]] to
+    * see what was declined — truncation is never silent-by-default.
+    * (At 100 TB the usual recipe is exact dedup FIRST, so giant
+    * identical-content buckets never reach LSH.)
     */
-  def candidatePairs(banded: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
-    banded.groupBy("band", "sig").agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(let(sort_array(col("ids"))) { ids =>
-        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-          transform(slice(ids, i + 1, size(ids)), b => struct(element_at(ids, i), b))))
-      }).as("p"))
-      .select(col("p.*")).toDF("id_a", "id_b")
+  def candidatePairs(banded: DataFrame, maxBucket: Int = Int.MaxValue,
+                     cap: Int = 4096): DataFrame =
+    Pairs.blockedPairs(banded.select("band", "sig", "id"), Seq("band", "sig"),
+        cap, maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
   /** (band, sig, n_ids) of buckets larger than `maxBucket` — the side
@@ -129,9 +126,10 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
-                         shingleN: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+                         shingleN: Int = 3, maxBucket: Int = Int.MaxValue,
+                         cap: Int = 4096): DataFrame = {
     val cands = candidatePairs(
-      lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN), maxBucket)
+      lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN), maxBucket, cap)
     // verify on 64-bit shingle hashes, not shingle strings: the pair
     // join then ships/intersects long arrays (8 B/element, cheap
     // equality) instead of text n-grams; Jaccard is unchanged up to
@@ -168,28 +166,23 @@ object Dedup {
   /** Near-dup pairs by SimHash: pigeonhole banding on 16-bit chunks
     * (hamming ≤ 3 over 4 chunks ⇒ ≥1 identical chunk), then exact
     * `bit_count(a^b) ≤ maxHamming` verify inside buckets. Same
-    * single-computation groupBy shape as [[candidatePairs]] — a
-    * self-join would simhash every document twice. The Hamming verify
-    * runs map-side right after pair expansion, so only true near-dups
-    * reach the distinct's shuffle (candidates can be 1000× the result).
+    * single-computation [[Pairs.blockedPairs]] shape as
+    * [[candidatePairs]] — a self-join would simhash every document
+    * twice, and triangle blocking keeps a boilerplate-heavy chunk from
+    * becoming one giant aggregation row. The Hamming verify runs
+    * map-side right after pair expansion, so only true near-dups reach
+    * the distinct's shuffle (candidates can be 1000× the result).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
+                   cap: Int = 4096): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
-    chunked.groupBy("chunk_idx", "chunk")
-      .agg(collect_list(struct(col("id"), col("fp"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-      // sort_array on (id, fp) structs orders by id ⇒ pairs come out
-      // with id_a < id_b
-      .select(explode(let(sort_array(col("members"))) { m =>
-        flatten(transform(sequence(lit(1), size(m) - 1), i =>
-          transform(slice(m, i + 1, size(m)), b => struct(element_at(m, i), b))))
-      }).as("p"))
-      .select(col("p.*")).toDF("a", "b")
+    Pairs.blockedPairs(chunked.select("chunk_idx", "chunk", "id", "fp"),
+        Seq("chunk_idx", "chunk"), cap, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .where(col("hamming") <= maxHamming)

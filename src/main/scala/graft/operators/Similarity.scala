@@ -87,7 +87,12 @@ object Similarity {
     */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
                      iters: Int = 5, sampleN: Int = 2000, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = df.select(vecCol).limit(sampleN).collect()
+    // deterministic hash-ordered top-N (TakeOrderedAndProject: per-
+    // partition top-N + driver merge) — a plain `limit` would take the
+    // FIRST partitions, a locality-biased sample at scale
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(sampleN).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
     def norm(v: Array[Float]): Array[Float] = {
@@ -144,34 +149,29 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket
     * (exact-signature match on a `bits`-bit SRP bucket), verified with
-    * exact cosine ≥ minCosine. Same single-computation groupBy shape as
-    * [[Dedup.candidatePairs]] — a bucket self-join would compute every
-    * SRP signature (bits × dim multiplies per vector) and norm twice,
-    * and shuffle the corpus twice. Norms ride along precomputed so each
-    * pair costs one dot product. A bucket's members must fit in one
-    * aggregation row — pick `bits` so buckets stay small (the self-join
-    * had the same requirement for its hash-join build side).
-    * `maxBucket` is an OPT-IN bound (default unbounded — truncation is
-    * never silent); a capped run must pair
+    * exact cosine ≥ minCosine. Same single-computation
+    * [[Pairs.blockedPairs]] shape as [[Dedup.candidatePairs]] — a
+    * bucket self-join would compute every SRP signature (bits × dim
+    * multiplies per vector) and norm twice, and shuffle the corpus
+    * twice. Norms ride along precomputed so each pair costs one dot
+    * product. Triangle blocking bounds every aggregation row at
+    * ~2·`cap` members, so a dense SRP cell (low `bits`, clustered
+    * embeddings) can no longer build a multi-GB row — every pair is
+    * still emitted. `maxBucket` is an OPT-IN bound (default unbounded —
+    * truncation is never silent); a capped run must pair
     * [[oversizedEmbeddingBuckets]] to see what was declined.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             minCosine: Double, bits: Int = 8, seed: Long = 42L,
-                            dim: Int = 0, maxBucket: Int = Int.MaxValue): DataFrame = {
+                            dim: Int = 0, maxBucket: Int = Int.MaxValue,
+                            cap: Int = 4096): DataFrame = {
     val d = if (dim > 0) dim else
       df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("n"),
       srpSignature(col(vecCol), planes).as("sig"))
-    sigd.groupBy("sig")
-      .agg(collect_list(struct(col("id"), col("v"), col("n"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-      .select(explode(graft.operators.Dedup.let(sort_array(col("members"))) { m =>
-        flatten(transform(sequence(lit(1), size(m) - 1), i =>
-          transform(slice(m, i + 1, size(m)), b => struct(element_at(m, i), b))))
-      }).as("p"))
-      .select(col("p.*")).toDF("a", "b")
+    Pairs.blockedPairs(sigd.select("sig", "id", "v", "n"), Seq("sig"), cap, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)

@@ -101,6 +101,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.oversizedBuckets(banded, maxBucket = 10).count() > 0)
   }
 
+  test("blockedPairs emits exactly the naive pair set with bounded aggregation rows") {
+    // 3 buckets of ~167 members each; cap 20 forces ~9-way blocking
+    val df = Seq.tabulate(500)(i => (i % 3, i.toLong)).toDF("k", "id")
+    val got = Pairs.blockedPairs(df, Seq("k"), cap = 20)
+      .select(col("k"), col("a.id"), col("b.id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = (0 until 500).groupBy(_ % 3).flatMap { case (k, ids) =>
+      for (a <- ids; b <- ids if a < b) yield (k, a.toLong, b.toLong)
+    }.toSet
+    assert(got.length == want.size, "pair multiset has duplicates or losses")
+    assert(got.toSet == want)
+    // the mega-bucket never materialized as one aggregation row: every
+    // block holds at most two hash-balanced groups of ~cap members
+    val maxBlock = Pairs.blockedMembers(df, Seq("k"), cap = 20)
+      .agg(max(size(col("members")))).head().getInt(0)
+    assert(maxBlock <= 4 * 20, s"aggregation row too large: $maxBlock")
+  }
+
+  test("simhash mega-bucket: blocked (small cap) == unblocked pair set") {
+    val df = (Seq.tabulate(30)(i => (i.toLong, "same boilerplate text for everyone")) ++
+      Seq((100L, loremA), (101L, loremB), (102L, other))).toDF("id", "text")
+    def pairs(cap: Int) = Dedup.simhashPairs(df, "id", "text", maxHamming = 8, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs(4)
+    assert(blocked == pairs(Int.MaxValue))
+    assert(blocked.size >= 30 * 29 / 2) // the clique fully expanded
+  }
+
+  test("embedding near-dup pairs: blocked == unblocked on real vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(cap: Int) = Similarity
+      .embeddingNearDupPairs(e, "embedding", "vec_id", minCosine = 0.35, bits = 2, dim = 64, cap = cap)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = pairs(16) // bits=2 ⇒ 4 dense buckets, well above the cap
+    assert(blocked.nonEmpty)
+    assert(blocked == pairs(Int.MaxValue))
+  }
+
   test("minhash LSH near-dup pairs: dup + near-dup found, unrelated not") {
     val pairs = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

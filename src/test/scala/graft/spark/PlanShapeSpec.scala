@@ -103,6 +103,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("minhash_sig".r.findAllIn(p).size <= 1, s"signature computed twice:\n$p")
   }
 
+  test("pair expansion sizes buckets BEFORE the collect (no giant aggregation row)") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
+    val p = plan(Dedup.simhashPairs(docs, "id", "text"))
+    assert(!p.contains("Join"), p) // still no self-join
+    val lines = p.linesIterator.toList
+    val aggLine = lines.indexWhere(_.contains("collect_list"))
+    val sizeFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("__n"))
+    assert(aggLine >= 0 && sizeFilter >= 0, p)
+    // root prints first: the size filter must sit BELOW (deeper than)
+    // the collect aggregate, i.e. singleton/oversized buckets are
+    // dropped before any members are collected into a row
+    assert(sizeFilter > aggLine, s"bucket-size filter runs after the collect:\n$p")
+  }
+
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
     val p = plan(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2))
