@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format_is('<name>', string) → boolean`: draft-04 `format` check as
+  * a NATIVE codegen'd Catalyst expression, delegating to the SAME
+  * [[graft.schema.Formats.check]] the tree evaluator uses — parity by
+  * construction. Exists for the two formats a pure Catalyst predicate
+  * can't express (`uri` needs real URI parsing, `ipv6` a literal
+  * address parse — reference val_string.go:70-115); without it one
+  * `format: uri` keyword on one column evicted the WHOLE schema from
+  * the fast path. doGenCode emits a static call, so every other check
+  * of the row stays inside whole-stage codegen.
+  */
+case class FormatIs(format: String, child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"format_is requires a string value, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "format_is"
+
+  override def nullSafeEval(input: Any): Any =
+    FormatIs.check(format, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // format name travels as a reference object — no string-literal
+    // escaping concerns in generated java
+    val fmtRef = ctx.addReferenceObj("format", format, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FormatIs.check($fmtRef, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FormatIs =
+    copy(child = newChild)
+}
+
+object FormatIs {
+  /** Called from generated code. */
+  def check(format: String, s: UTF8String): Boolean =
+    graft.schema.Formats.check(format, s.toString)
+
+  def formatIs(format: String, c: Column): Column =
+    toColumn(FormatIs(format, toExpression(c)))
+}

@@ -274,7 +274,7 @@ object ColumnCompiler {
         case p: PatternK if jsonType == "string" => preds += c.rlike(p.regex)
         case _: PatternK => ()
         case FormatK(fmt) if jsonType == "string" =>
-          preds += formatPredicate(fmt, c).getOrElse(return None)
+          preds += formatPredicate(fmt, c)
         case _: FormatK => ()
         case AllOfK(ss) => ss.foreach(s => preds += passPred(s, d + 1).getOrElse(return None))
         case AnyOfK(ss) =>
@@ -335,10 +335,7 @@ object ColumnCompiler {
       case _: PatternK => ()
 
       case FormatK(fmt) if jsonType == "string" =>
-        formatPredicate(fmt, c) match {
-          case Some(pred) => out += Check("format", ptr, Msg.format(fmt), guarded(pred))
-          case None       => return None // uri/ipv6 need the tree path
-        }
+        out += Check("format", ptr, Msg.format(fmt), guarded(formatPredicate(fmt, c)))
       case _: FormatK => ()
 
       // Container keywords against a scalar column: skip (draft-04).
@@ -371,20 +368,24 @@ object ColumnCompiler {
     Some(())
   }
 
-  /** Format checks expressible as pure Catalyst predicates (regex-based
-    * subset of /root/reference/val_string.go:70-115). `uri`/`ipv6` need
-    * real parsing → handled only by the tree path.
+  /** Format checks as Catalyst predicates. Four of the reference's six
+    * formats are pure built-in regex/length predicates (mirroring
+    * /root/reference/val_string.go:70-115); `uri`/`ipv6` need real
+    * parsing and ride the native codegen'd
+    * [[graft.functions.FormatIs]] expression, which calls the SAME
+    * [[graft.schema.Formats.check]] as the tree evaluator — one format
+    * keyword no longer evicts the whole schema from the fast path.
     */
-  private def formatPredicate(fmt: String, c: Column): Option[Column] = fmt match {
+  private def formatPredicate(fmt: String, c: Column): Column = fmt match {
     case "date-time" =>
-      Some(c.rlike("""^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?"""))
-    case "email" => Some(c.rlike(".+@.+"))
+      c.rlike("""^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?""")
+    case "email" => c.rlike(".+@.+")
     case "ipv4" =>
-      Some(c.rlike("""^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"""))
+      c.rlike("""^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$""")
     case "hostname" =>
-      Some(c.rlike("""^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""") &&
-        length(c) <= 255 && forall(split(c, "\\."), l => length(l) <= 63))
-    case "uri" | "ipv6" => None
-    case _              => Some(lit(true)) // unknown formats pass
+      c.rlike("""^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""") &&
+        length(c) <= 255 && forall(split(c, "\\."), l => length(l) <= 63)
+    case "uri" | "ipv6" => graft.functions.FormatIs.formatIs(fmt, c)
+    case _              => lit(true) // unknown formats pass
   }
 }

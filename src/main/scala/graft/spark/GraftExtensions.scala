@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{MinHashSig, SimHash64, ValidateJson}
+import graft.functions.{FormatIs, MinHashSig, SimHash64, ValidateJson}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,14 @@ object GraftExtensions {
     (new FunctionIdentifier("validate_json"),
       new ExpressionInfo(classOf[ValidateJson].getName, "validate_json"),
       (children: Seq[Expression]) => ValidateJson(children(0), children(1))),
+    (new FunctionIdentifier("format_is"),
+      new ExpressionInfo(classOf[FormatIs].getName, "format_is"),
+      (children: Seq[Expression]) => FormatIs({
+        val f = children.head
+        if (!f.foldable)
+          throw new IllegalArgumentException("format_is: format name must be a constant string")
+        String.valueOf(f.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+      }, children(1))),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children(0), {

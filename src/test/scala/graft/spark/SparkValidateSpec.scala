@@ -138,6 +138,41 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.select("json_pointer").distinct().collect().map(_.getString(0)).toSet == Set("/props/k"))
   }
 
+  test("uri/ipv6 formats stay on the fast path via the native expression") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://example.com/a", "::1", "en"),
+      (2L, "not a uri", "1:2:3:4:5:6:7:8", "en"),
+      (3L, "/absolute/path", "1:2:3:4:5:6:7:8::", "xx"),
+      (4L, null, null, "en"),
+      (5L, "ftp://host/file", "::ffff:0:0", "en")
+    ).toDF("id", "u", "ip", "lang")
+    val s = Validate.compileSchema(
+      """{"properties": {
+        |  "u":    {"format": "uri"},
+        |  "ip":   {"format": "ipv6"},
+        |  "lang": {"enum": ["en", "de"]}
+        |}}""".stripMargin)
+    // one uri keyword must NOT evict the enum check from the fast path
+    val checks = ColumnCompiler.compile(s, df.schema)
+    assert(checks.isDefined, "format: uri/ipv6 must compile on the fast path")
+    val fast = Validate.fastViolations(df, checks.get, Seq("id"))
+    val tree = Validate.treeViolations(df, s, Seq("id"))
+    assert(fast.exceptAll(tree).count() == 0 && tree.exceptAll(fast).count() == 0,
+      s"fast=${fast.collect().mkString(";")} tree=${tree.collect().mkString(";")}")
+    assert(fast.where(col("keyword") === "format").count() == 2) // rows 2 (uri), 3 (ipv6)
+    assert(fast.where(col("keyword") === "enum").count() == 1)
+    // no interpreted fallback in the plan
+    val p = fast.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("mapPartitions") && !p.contains("MapPartitions"), p)
+    // SQL surface
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("fmt_docs")
+    val viaSql = spark.sql(
+      "SELECT id FROM fmt_docs WHERE NOT format_is('uri', u)").collect().map(_.getLong(0))
+    assert(viaSql.toSet == Set(2L))
+  }
+
   test("partition summary accounts for every row") {
     val checks = ColumnCompiler.compile(schema, docs.schema).get
     val s = Validate.partitionSummary(docs, Validate.passColumn(checks))
