@@ -66,6 +66,43 @@ object Schemas {
       |  }
       |}""".stripMargin
 
+  /** Fast-path container schema for the `embeddings` table: per-element
+    * `items` checks over the `array<float>` column (dynamic
+    * `/embedding/<i>` pointers) plus scalar keywords — all compiled to
+    * higher-order Catalyst expressions, no tree fallback.
+    */
+  val embeddingRow: String =
+    """{
+      |  "id": "http://graft.local/embedding-row",
+      |  "type": "object",
+      |  "required": ["vec_id", "embedding"],
+      |  "properties": {
+      |    "vec_id":    {"type": "integer", "minimum": 0},
+      |    "label":     {"type": "integer", "maximum": 8},
+      |    "embedding": {"type": "array",
+      |                  "items": {"type": "number", "minimum": -0.3, "maximum": 0.3},
+      |                  "minItems": 64, "maxItems": 64}
+      |  }
+      |}""".stripMargin
+
+  /** Fast-path map-object schema for a dynamic-key attrs map derived
+    * from `events`: named-property, patternProperties (runtime-key
+    * pointers), and additionalProperties-schema routing over a
+    * `map<string,double>` column.
+    */
+  val eventAttrs: String =
+    """{
+      |  "type": "object",
+      |  "properties": {
+      |    "attrs": {
+      |      "type": "object",
+      |      "properties": {"user": {"minimum": 1}},
+      |      "patternProperties": {"^t_(view|error)": {"maximum": 150}},
+      |      "additionalProperties": {"maximum": 400}
+      |    }
+      |  }
+      |}""".stripMargin
+
   /** Tree-path schema for `events.props` (a JSON-string column):
     * nested object validation the fast path can't express.
     */

@@ -16,6 +16,8 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private lazy val documentSchema = Validate.compileSchema(Schemas.document)
+  private lazy val embeddingRowSchema = Validate.compileSchema(Schemas.embeddingRow)
+  private lazy val eventAttrsSchema = Validate.compileSchema(Schemas.eventAttrs)
   private lazy val documentStrictSchema = Validate.compileSchema(Schemas.documentStrict)
   private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
 
@@ -81,6 +83,22 @@ object SparkEntry {
         .select(col("doc_key").cast("long").as("doc_id"),
           col("keyword"), col("json_pointer"), col("message"))
     }),
+
+    // --- container columns on the Catalyst fast path -----------------
+    // array<float> `items` bounds with dynamic /embedding/<i> pointers —
+    // higher-order transform/filter expressions, no mapPartitions
+    // (plan-asserted in PlanShapeSpec)
+    "v_array_fast" -> ((s, dir) =>
+      Validate.violations(table(s, dir, "embeddings"), embeddingRowSchema, Seq("vec_id"))),
+
+    // map<string,double> object keywords: named property, runtime-key
+    // patternProperties, additionalProperties-schema routing
+    "v_map_fast" -> ((s, dir) =>
+      Validate.violations(
+        table(s, dir, "events").select(col("event_id"),
+          map(concat(lit("t_"), col("event_type")), col("value"),
+            lit("user"), col("user_id").cast("double")).as("attrs")),
+        eventAttrsSchema, Seq("event_id"))),
 
     // --- table-level constraints (SURVEY.md §2.3) --------------------
 
@@ -340,6 +358,39 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
         |  FROM documents WHERE n_chars > 500""".stripMargin,
+
+    // float elements compare through the shortest-string double bridge
+    // on both engines (CAST(e AS VARCHAR) — same lexical rule as the
+    // tree path), so values at the bound agree bit-for-bit
+    "v_array_fast" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT vec_id, 'maximum' AS keyword,
+        |       '/embedding/' || CAST(i - 1 AS VARCHAR) AS json_pointer,
+        |       'Value must be at most 0.3.' AS message
+        |  FROM el WHERE CAST(CAST(e AS VARCHAR) AS DOUBLE) > 0.3
+        |UNION ALL
+        |SELECT vec_id, 'minimum', '/embedding/' || CAST(i - 1 AS VARCHAR),
+        |       'Value must be at least -0.3.'
+        |  FROM el WHERE CAST(CAST(e AS VARCHAR) AS DOUBLE) < -0.3
+        |UNION ALL
+        |SELECT vec_id, 'maximum', '/label', 'Value must be at most 8.'
+        |  FROM embeddings WHERE label > 8""".stripMargin,
+
+    "v_map_fast" ->
+      """SELECT event_id, 'maximum' AS keyword,
+        |       '/attrs/t_' || event_type AS json_pointer,
+        |       'Value must be at most 150.' AS message
+        |  FROM events WHERE event_type IN ('view','error') AND value > 150
+        |UNION ALL
+        |SELECT event_id, 'maximum', '/attrs/t_' || event_type,
+        |       'Value must be at most 400.'
+        |  FROM events WHERE event_type NOT IN ('view','error') AND value > 400
+        |UNION ALL
+        |SELECT event_id, 'minimum', '/attrs/user', 'Value must be at least 1.'
+        |  FROM events WHERE CAST(user_id AS DOUBLE) < 1""".stripMargin,
 
     "v_doc_summary" ->
       """SELECT lang,

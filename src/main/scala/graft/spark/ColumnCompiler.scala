@@ -5,18 +5,53 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One fast-path check: a Catalyst boolean `pass` predicate plus the
-  * violation row it emits when false. All predicates are built from
-  * codegen'd built-ins (`rlike`, `length`, comparisons, `isin`) so the
-  * whole per-row pass stays inside WholeStageCodegen and string/enum
-  * predicates are eligible for parquet pushdown when used as filters.
+/** One fast-path check. Two shapes:
+  *
+  *  - [[PredCheck]]: a boolean `pass` predicate for a statically-known
+  *    (keyword, pointer) — at most one violation row per input row.
+  *    Built from codegen'd built-ins (`rlike`, `length`, comparisons,
+  *    `isin`) so the per-row pass stays inside WholeStageCodegen and
+  *    predicates are eligible for parquet pushdown when used as filters.
+  *  - [[ElemCheck]]: a dynamic multi-violation emitter for container
+  *    elements (array items, pattern/additional map keys), whose
+  *    pointers embed runtime indexes/keys. Rides higher-order array
+  *    expressions — only schemas that touch container internals pay for
+  *    it; a PredCheck-only schema keeps the original explode+filter hot
+  *    path.
   */
-final case class Check(keyword: String, pointer: String, message: String, pass: Column,
-                       messageCol: Option[Column] = None) {
+sealed trait Check {
+  /** Verdict conjunct: true ⇔ this check raises no violation. */
+  def pass: Column
+  /** Same check, raising nothing when `cond` holds (presence guards for
+    * schema-form dependencies).
+    */
+  def skipWhen(cond: Column): Check
+}
+
+final case class PredCheck(keyword: String, pointer: String, message: String, pass: Column,
+                           messageCol: Option[Column] = None) extends Check {
   /** Message as a Column — static literal unless the keyword needs a
     * runtime-computed message (oneOf reports the pass count).
     */
   def msg: Column = messageCol.getOrElse(lit(message))
+  def skipWhen(cond: Column): Check = copy(pass = cond || pass)
+}
+
+/** `violations`: non-null array<struct<keyword, json_pointer, message>>. */
+final case class ElemCheck(violations: Column) extends Check {
+  def pass: Column = size(violations) === 0
+  def skipWhen(cond: Column): Check =
+    ElemCheck(when(cond, Check.emptyViolations).otherwise(violations))
+}
+
+object Check {
+  /** One violation entry, field names matching the output schema. */
+  def violStruct(keyword: Column, pointer: Column, message: Column): Column =
+    struct(keyword.as("keyword"), pointer.as("json_pointer"), message.as("message"))
+
+  /** Empty array of the violation struct type. */
+  val emptyViolations: Column =
+    slice(array(violStruct(lit(""), lit(""), lit(""))), 1, 0)
 }
 
 /** Compiles a flat object schema (the north star's keyword subset over
@@ -63,12 +98,12 @@ object ColumnCompiler {
       case TypeK(types) =>
         // The row itself is always a JSON object.
         if (!types.contains("any") && !types.contains("object"))
-          out += Check("type", "/", Msg.typeErr(types, "object"), lit(false))
+          out += PredCheck("type", "/", Msg.typeErr(types, "object"), lit(false))
 
       case RequiredK(keys) =>
         keys.foreach { k =>
           val pass = if (colNames.contains(k)) col(k).isNotNull else lit(false)
-          out += Check("required", "/", Msg.required(k), pass)
+          out += PredCheck("required", "/", Msg.required(k), pass)
         }
 
       case pk: PropsK =>
@@ -76,34 +111,35 @@ object ColumnCompiler {
         // additionalProperties routing is resolved at compile time.
         colNames.foreach { name =>
           val field = struct(name)
+          val vptr = "/" + escPtr(name)
           var matched = false
           pk.props.get(name).foreach { sub =>
             matched = true
-            compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+            compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
           }
           pk.patterns.foreach { case (regex, sub) =>
             if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
               matched = true
-              compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+              compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
             }
           }
           if (!matched) pk.additional match {
             case AllowAll => ()
             case ForbidAdditional =>
-              out += Check("additionalProperties", s"/$name", Msg.additionalProperty(name), col(name).isNull)
+              out += PredCheck("additionalProperties", vptr, Msg.additionalProperty(name), col(name).isNull)
             case AdditionalSchema(sub) =>
-              compileValueChecks(sub, name, field.dataType, out).getOrElse(return None)
+              compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
           }
         }
 
       case MaxPropertiesK(n) =>
         // Present keys = non-null columns.
         val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += Check("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
+        out += PredCheck("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
 
       case MinPropertiesK(n) =>
         val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += Check("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
+        out += PredCheck("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
 
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
@@ -112,7 +148,7 @@ object ColumnCompiler {
               val pass =
                 if (colNames.contains(n)) col(k).isNull || col(n).isNotNull
                 else col(k).isNull
-              out += Check("dependencies", "/", s"Property '$k' requires property '$n'.", pass)
+              out += PredCheck("dependencies", "/", s"Property '$k' requires property '$n'.", pass)
             }
         }
         schemaDeps.foreach { case (k, sub) =>
@@ -121,7 +157,7 @@ object ColumnCompiler {
             // child's own violations surface, presence-guarded
             val b = Vector.newBuilder[Check]
             rootChecks(sub, struct, b, depth + 1).getOrElse(return None)
-            b.result().foreach(ch => out += ch.copy(pass = col(k).isNull || ch.pass))
+            b.result().foreach(ch => out += ch.skipWhen(col(k).isNull))
           }
         }
 
@@ -132,15 +168,15 @@ object ColumnCompiler {
       case AnyOfK(ss) =>
         val anyPass = ss.map(s => rootPass(s).getOrElse(return None))
           .reduceOption(_ || _).getOrElse(lit(false)) // empty anyOf: no schema can pass
-        out += Check("anyOf", "/", "Validation failed for each schema in 'anyOf'.", anyPass)
+        out += PredCheck("anyOf", "/", "Validation failed for each schema in 'anyOf'.", anyPass)
       case OneOfK(ss) =>
         val cnt = ss.map(s => rootPass(s).getOrElse(return None).cast("int"))
           .foldLeft(lit(0))(_ + _)
-        out += Check("oneOf", "/", "", cnt === 1,
+        out += PredCheck("oneOf", "/", "", cnt === 1,
           messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
             lit(" schemas in 'oneOf'."))))
       case NotK(s) =>
-        out += Check("not", "/", "The 'not' schema didn't raise an error.",
+        out += PredCheck("not", "/", "The 'not' schema didn't raise an error.",
           !rootPass(s).getOrElse(return None))
 
       case EnumK(_) |
@@ -162,33 +198,39 @@ object ColumnCompiler {
       case _               => Some(s)
     }
 
-  /** Checks for one property value bound to column `name` of type `dt`.
-    * Returns None ⇒ unsupported ⇒ caller falls back to the tree path.
+  /** `~`→`~0`, `/`→`~1` JSON-pointer token escaping for compile-time
+    * keys — mirrors [[graft.schema.Viol.jsonPointer]].
     */
-  private def compileValueChecks(schema0: CompiledSchema, name: String, dt: DataType,
-                                 out: scala.collection.mutable.Builder[Check, Vector[Check]],
-                                 depth: Int = 0): Option[Unit] = {
-    if (depth > 32) return None // $ref cycle through combinators → tree path
-    val schema = deref(schema0, 0).getOrElse(return None)
-    val c = col(name)
-    def guarded(pred: Column): Column = c.isNull || pred
-    val ptr = s"/$name"
+  private def escPtr(token: String): String =
+    token.replace("~", "~0").replace("/", "~1")
 
-    // JSON type of a present value, statically known from the column type.
-    val jsonType: String = dt match {
-      case StringType                                     => "string"
-      case LongType | IntegerType | ShortType | ByteType  => "integer"
-      case DoubleType | FloatType                         => "number"
-      // scale-0 decimals render without a fraction part, so the tree
-      // path's lexical rule calls them integer — match it statically
-      case d: DecimalType                                 => if (d.scale <= 0) "integer" else "number"
-      case BooleanType                                    => "boolean"
-      case _                                              => return None // arrays/structs/timestamps → tree path
-    }
-    val isNumeric = jsonType == "integer" || jsonType == "number"
+  /** The same escaping for runtime map keys. */
+  private def escPtrCol(token: Column): Column =
+    regexp_replace(regexp_replace(token, "~", "~0"), "/", "~1")
 
-    // ---- exact numeric comparison plumbing (parity with the tree
-    // path's BigDecimal semantics — SURVEY.md §2.1 #1/#2/#20) ----------
+  /** JSON type of a present value, statically known from the column
+    * type; None for types the fast path can't bind (timestamps, binary).
+    */
+  private def jsonTypeOf(dt: DataType): Option[String] = dt match {
+    case StringType                                    => Some("string")
+    case LongType | IntegerType | ShortType | ByteType => Some("integer")
+    case DoubleType | FloatType                        => Some("number")
+    // scale-0 decimals render without a fraction part, so the tree
+    // path's lexical rule calls them integer — match it statically
+    case d: DecimalType                                => Some(if (d.scale <= 0) "integer" else "number")
+    case BooleanType                                   => Some("boolean")
+    case _                                             => None
+  }
+
+  /** Exact numeric comparison plumbing per scalar column type (parity
+    * with the tree path's BigDecimal semantics — SURVEY.md §2.1
+    * #1/#2/#20). Shared by the top-level scalar compiler and the
+    * per-element compiler.
+    */
+  private final class ScalarOps(dt: DataType) {
+    val jsonType: String = jsonTypeOf(dt).get
+    val isNumeric: Boolean = jsonType == "integer" || jsonType == "number"
+
     def fitsLong(d: BigDecimal): Boolean =
       d.isWhole && d >= BigDecimal(Long.MinValue) && d <= BigDecimal(Long.MaxValue)
     // bound is exactly representable as the double its text parses to
@@ -196,10 +238,11 @@ object ColumnCompiler {
     def doubleExact(d: BigDecimal): Boolean =
       try BigDecimal(d.toDouble.toString).compare(d) == 0
       catch { case _: NumberFormatException => false }
-    // float columns widen via their shortest string repr — the same
+    // float values widen via their shortest string repr — the same
     // lexical bridge the tree path uses (0.1f must compare as 0.1, not
     // as the widened 0.10000000149...)
-    def numValue: Column = if (dt == FloatType) c.cast(StringType).cast(DoubleType) else c
+    def numValue(c: Column): Column =
+      if (dt == FloatType) c.cast(StringType).cast(DoubleType) else c
     // exact literal for a bound against this column type; None ⇒ the
     // fast path cannot compare exactly ⇒ whole schema → tree path
     def boundLit(b: BigDecimal): Option[Column] = dt match {
@@ -217,7 +260,7 @@ object ColumnCompiler {
     // in the column's comparison domain; the dropped ones cannot equal
     // any value of this column under the tree path's decimal equality
     // either, so drop ≡ no-match (1 == 1.0 still holds)
-    def enumPred(values: Vector[graft.json.JValue]): Column = {
+    def enumPred(values: Vector[graft.json.JValue], c: Column): Column = {
       // numeric member domain keys off the COLUMN type (a scale-0
       // decimal is JSON "integer" but still needs the exact-decimal
       // member representation)
@@ -236,16 +279,59 @@ object ColumnCompiler {
           }
         }
       if (members.isEmpty) lit(false)
-      else if (isNumeric) numValue.isin(members: _*)
+      else if (isNumeric) numValue(c).isin(members: _*)
       else c.isin(members: _*)
     }
+  }
+
+  /** Checks for one JSON value bound to Column `c` of type `dt`, its
+    * violations rooted at JSON pointer `ptr`. A NULL `c` means the
+    * value is ABSENT from its parent object (every check is
+    * presence-guarded) — inside containers NULL is instead a present
+    * JSON null, handled by [[elemConds]]. Returns None ⇒ unsupported ⇒
+    * caller falls back to the tree path.
+    */
+  private def compileValueChecks(schema0: CompiledSchema, c: Column, dt: DataType, ptr: String,
+                                 out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                                 depth: Int = 0): Option[Unit] = {
+    if (depth > 32) return None // $ref cycle through combinators → tree path
+    val schema = deref(schema0, 0).getOrElse(return None)
+    dt match {
+      case at: ArrayType  => arrayChecks(schema, c, at, ptr, out, depth)
+      case mt: MapType    => mapChecks(schema, c, mt, ptr, out, depth)
+      case st: StructType => structChecks(schema, c, st, ptr, out, depth)
+      case _              => scalarChecks(schema, c, dt, ptr, out, depth)
+    }
+  }
+
+  /** Verdict-only conjunction of a subschema's checks against this
+    * value — the Catalyst analogue of `validateAt(sub, v, path).isEmpty`
+    * for container-typed values (anyOf/oneOf/not composition).
+    */
+  private def subPassOf(sub: CompiledSchema, c: Column, dt: DataType, ptr: String,
+                        depth: Int): Option[Column] = {
+    val b = Vector.newBuilder[Check]
+    compileValueChecks(sub, c, dt, ptr, b, depth + 1)
+      .map(_ => b.result().map(_.pass).reduceOption(_ && _).getOrElse(lit(true)))
+  }
+
+  // ---- scalar values ------------------------------------------------------
+
+  private def scalarChecks(schema: CompiledSchema, c: Column, dt: DataType, ptr: String,
+                           out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                           depth: Int): Option[Unit] = {
+    val ops = new ScalarOps(jsonTypeOf(dt) match {
+      case Some(_) => dt
+      case None    => return None // timestamps/binary → tree path
+    })
+    import ops._
+    def guarded(pred: Column): Column = c.isNull || pred
 
     // Verdict-only pass predicate of a combinator child applied to this
-    // (present) scalar value — the Catalyst analogue of
-    // `validateAt(sub, v, path).isEmpty`. None ⇒ not expressible ⇒ the
-    // whole schema falls back to the tree path. Container/object
-    // keywords skip on a scalar instance (draft-04), contributing no
-    // conjunct, exactly like the tree evaluator.
+    // (present) scalar value. None ⇒ not expressible ⇒ the whole schema
+    // falls back to the tree path. Container/object keywords skip on a
+    // scalar instance (draft-04), contributing no conjunct, exactly
+    // like the tree evaluator.
     def passPred(sub0: CompiledSchema, d: Int): Option[Column] = {
       if (d > 32) return None
       val sub = deref(sub0, 0).getOrElse(return None)
@@ -254,14 +340,14 @@ object ColumnCompiler {
         case TypeK(types) =>
           preds += lit(types.contains("any") || types.contains(jsonType) ||
             (jsonType == "integer" && types.contains("number")))
-        case EnumK(values) => preds += enumPred(values)
+        case EnumK(values) => preds += enumPred(values, c)
         case MaximumK(bound, exclusive) if isNumeric =>
           val b = boundLit(bound).getOrElse(return None)
-          preds += (if (exclusive) numValue < b else numValue <= b)
+          preds += (if (exclusive) numValue(c) < b else numValue(c) <= b)
         case _: MaximumK => ()
         case MinimumK(bound, exclusive) if isNumeric =>
           val b = boundLit(bound).getOrElse(return None)
-          preds += (if (exclusive) numValue > b else numValue >= b)
+          preds += (if (exclusive) numValue(c) > b else numValue(c) >= b)
         case _: MinimumK => ()
         case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
           preds += (pmod(c, lit(m.toLong)) === 0)
@@ -298,44 +384,44 @@ object ColumnCompiler {
         val ok = types.contains("any") || types.contains(jsonType) ||
           (jsonType == "integer" && types.contains("number"))
         if (!ok)
-          out += Check("type", ptr, Msg.typeErr(types, jsonType), c.isNull)
+          out += PredCheck("type", ptr, Msg.typeErr(types, jsonType), c.isNull)
 
       case EnumK(values) =>
-        out += Check("enum", ptr, Msg.enumErr, guarded(enumPred(values)))
+        out += PredCheck("enum", ptr, Msg.enumErr, guarded(enumPred(values, c)))
 
       case MaximumK(bound, exclusive) if isNumeric =>
         val b = boundLit(bound).getOrElse(return None)
-        val pred = if (exclusive) numValue < b else numValue <= b
-        out += Check("maximum", ptr, Msg.maximum(bound, exclusive), guarded(pred))
+        val pred = if (exclusive) numValue(c) < b else numValue(c) <= b
+        out += PredCheck("maximum", ptr, Msg.maximum(bound, exclusive), guarded(pred))
       case _: MaximumK => () // non-numeric column: skips
 
       case MinimumK(bound, exclusive) if isNumeric =>
         val b = boundLit(bound).getOrElse(return None)
-        val pred = if (exclusive) numValue > b else numValue >= b
-        out += Check("minimum", ptr, Msg.minimum(bound, exclusive), guarded(pred))
+        val pred = if (exclusive) numValue(c) > b else numValue(c) >= b
+        out += PredCheck("minimum", ptr, Msg.minimum(bound, exclusive), guarded(pred))
       case _: MinimumK => ()
 
       case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
-        out += Check("multipleOf", ptr, Msg.multipleOf(m), guarded(pmod(c, lit(m.toLong)) === 0))
+        out += PredCheck("multipleOf", ptr, Msg.multipleOf(m), guarded(pmod(c, lit(m.toLong)) === 0))
       case MultipleOfK(_) if isNumeric => return None // float modulo: exact-decimal tree path only
       case _: MultipleOfK => ()
 
       case MaxLengthK(n) if jsonType == "string" =>
-        out += Check("maxLength", ptr, Msg.maxLength(n), guarded(length(c) <= n))
+        out += PredCheck("maxLength", ptr, Msg.maxLength(n), guarded(length(c) <= n))
       case _: MaxLengthK => ()
 
       case MinLengthK(n) if jsonType == "string" =>
-        out += Check("minLength", ptr, Msg.minLength(n), guarded(length(c) >= n))
+        out += PredCheck("minLength", ptr, Msg.minLength(n), guarded(length(c) >= n))
       case _: MinLengthK => ()
 
       case p: PatternK if jsonType == "string" =>
         // Spark RLike = java.util.regex unanchored find — same semantics
         // as the tree path and Go MatchString (val_string.go:63).
-        out += Check("pattern", ptr, Msg.pattern(p.regex), guarded(c.rlike(p.regex)))
+        out += PredCheck("pattern", ptr, Msg.pattern(p.regex), guarded(c.rlike(p.regex)))
       case _: PatternK => ()
 
       case FormatK(fmt) if jsonType == "string" =>
-        out += Check("format", ptr, Msg.format(fmt), guarded(formatPredicate(fmt, c)))
+        out += PredCheck("format", ptr, Msg.format(fmt), guarded(formatPredicate(fmt, c)))
       case _: FormatK => ()
 
       // Container keywords against a scalar column: skip (draft-04).
@@ -347,23 +433,402 @@ object ColumnCompiler {
       // messages); anyOf/oneOf/not compose verdict-only predicates and
       // emit the combinator's own single error, like the evaluator.
       case AllOfK(ss) =>
-        ss.foreach(s => compileValueChecks(s, name, dt, out, depth + 1).getOrElse(return None))
+        ss.foreach(s => compileValueChecks(s, c, dt, ptr, out, depth + 1).getOrElse(return None))
       case RefK(t) =>
-        compileValueChecks(t, name, dt, out, depth + 1).getOrElse(return None)
+        compileValueChecks(t, c, dt, ptr, out, depth + 1).getOrElse(return None)
       case AnyOfK(ss) =>
         val anyPass = ss.map(s => passPred(s, depth + 1).getOrElse(return None))
           .reduceOption(_ || _).getOrElse(lit(false))
-        out += Check("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
+        out += PredCheck("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
           guarded(anyPass))
       case OneOfK(ss) =>
         val cnt = ss.map(s => passPred(s, depth + 1).getOrElse(return None).cast("int"))
           .foldLeft(lit(0))(_ + _)
-        out += Check("oneOf", ptr, "", guarded(cnt === 1),
+        out += PredCheck("oneOf", ptr, "", guarded(cnt === 1),
           messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
             lit(" schemas in 'oneOf'."))))
       case NotK(s) =>
-        out += Check("not", ptr, "The 'not' schema didn't raise an error.",
+        out += PredCheck("not", ptr, "The 'not' schema didn't raise an error.",
           guarded(!passPred(s, depth + 1).getOrElse(return None)))
+    }
+    Some(())
+  }
+
+  // ---- container elements (array items, map values) -----------------------
+
+  /** One null-AWARE per-value condition: `fail(x)` is true when the
+    * value in `x` violates `keyword` — where a NULL `x` is a PRESENT
+    * JSON null (array element / map value), not an absent key. Both
+    * builders always produce non-null boolean/string columns.
+    */
+  private final case class ElemCond(keyword: String,
+                                    msg: Column => Column,
+                                    fail: Column => Column)
+
+  /** Compile a subschema against JSON values of scalar type `dt` held
+    * in container slots. Returns None ⇒ not fast-path expressible
+    * (nested containers, tuple items, inexact bounds) ⇒ tree path.
+    */
+  private def elemConds(schema0: CompiledSchema, dt: DataType,
+                        depth: Int): Option[Vector[ElemCond]] = {
+    if (depth > 32) return None
+    val schema = deref(schema0, 0).getOrElse(return None)
+    val jt = jsonTypeOf(dt).getOrElse(return None) // container elements of container type → tree path
+    val ops = new ScalarOps(dt)
+
+    def passOf(sub: CompiledSchema): Option[Column => Column] =
+      elemConds(sub, dt, depth + 1).map(cs => (x: Column) =>
+        cs.map(cond => !cond.fail(x)).reduceOption(_ && _).getOrElse(lit(true)))
+
+    val out = Vector.newBuilder[ElemCond]
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any")) {
+          val okPresent = types.contains(jt) || (jt == "integer" && types.contains("number"))
+          val okNull = types.contains("null")
+          if (!okPresent || !okNull)
+            out += ElemCond("type",
+              x => when(x.isNull, lit(Msg.typeErr(types, "null")))
+                .otherwise(lit(Msg.typeErr(types, jt))),
+              x => when(x.isNull, lit(!okNull)).otherwise(lit(!okPresent)))
+        }
+      case EnumK(values) =>
+        val nullOk = values.contains(graft.json.JNull)
+        out += ElemCond("enum", _ => lit(Msg.enumErr),
+          x => when(x.isNull, lit(!nullOk)).otherwise(!ops.enumPred(values, x)))
+      case MaximumK(bound, exclusive) if ops.isNumeric =>
+        val b = ops.boundLit(bound).getOrElse(return None)
+        out += ElemCond("maximum", _ => lit(Msg.maximum(bound, exclusive)),
+          x => x.isNotNull && !(if (exclusive) ops.numValue(x) < b else ops.numValue(x) <= b))
+      case _: MaximumK => ()
+      case MinimumK(bound, exclusive) if ops.isNumeric =>
+        val b = ops.boundLit(bound).getOrElse(return None)
+        out += ElemCond("minimum", _ => lit(Msg.minimum(bound, exclusive)),
+          x => x.isNotNull && !(if (exclusive) ops.numValue(x) > b else ops.numValue(x) >= b))
+      case _: MinimumK => ()
+      case MultipleOfK(m) if jt == "integer" && m.isWhole =>
+        out += ElemCond("multipleOf", _ => lit(Msg.multipleOf(m)),
+          x => x.isNotNull && !(pmod(x, lit(m.toLong)) === 0))
+      case MultipleOfK(_) if ops.isNumeric => return None
+      case _: MultipleOfK => ()
+      case MaxLengthK(n) if jt == "string" =>
+        out += ElemCond("maxLength", _ => lit(Msg.maxLength(n)),
+          x => x.isNotNull && !(length(x) <= n))
+      case _: MaxLengthK => ()
+      case MinLengthK(n) if jt == "string" =>
+        out += ElemCond("minLength", _ => lit(Msg.minLength(n)),
+          x => x.isNotNull && !(length(x) >= n))
+      case _: MinLengthK => ()
+      case p: PatternK if jt == "string" =>
+        out += ElemCond("pattern", _ => lit(Msg.pattern(p.regex)),
+          x => x.isNotNull && !x.rlike(p.regex))
+      case _: PatternK => ()
+      case FormatK(fmt) if jt == "string" =>
+        out += ElemCond("format", _ => lit(Msg.format(fmt)),
+          x => x.isNotNull && !formatPredicate(fmt, x))
+      case _: FormatK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => out ++= elemConds(s, dt, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        out ++= elemConds(t, dt, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        out += ElemCond("anyOf", _ => lit("Validation failed for each schema in 'anyOf'."),
+          x => !passes.map(_(x)).reduceOption(_ || _).getOrElse(lit(false)))
+      case OneOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        def cnt(x: Column) = passes.map(_(x).cast("int")).foldLeft(lit(0))(_ + _)
+        out += ElemCond("oneOf",
+          x => concat(lit("Validation passed for "), cnt(x).cast("string"),
+            lit(" schemas in 'oneOf'.")),
+          x => cnt(x) =!= 1)
+      case NotK(s) =>
+        val p = passOf(s).getOrElse(return None)
+        out += ElemCond("not", _ => lit("The 'not' schema didn't raise an error."), x => p(x))
+      // container/object keywords: skip on a scalar value
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case _: PropsK | _: RequiredK | _: DependenciesK |
+           _: MaxPropertiesK | _: MinPropertiesK => ()
+    }
+    Some(out.result())
+  }
+
+  // ---- array columns (SURVEY §2.1 #8-12 over typed arrays) ----------------
+
+  private def arrayChecks(schema: CompiledSchema, c: Column, at: ArrayType, ptr: String,
+                          out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                          depth: Int): Option[Unit] = {
+    val et = at.elementType
+    def guarded(pred: Column): Column = c.isNull || pred
+    def subPass(sub: CompiledSchema): Option[Column] = subPassOf(sub, c, at, ptr, depth)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any") && !types.contains("array"))
+          out += PredCheck("type", ptr, Msg.typeErr(types, "array"), c.isNull)
+      case MaxItemsK(n) =>
+        out += PredCheck("maxItems", ptr, s"Array must have at most $n items.",
+          guarded(size(c) <= n))
+      case MinItemsK(n) =>
+        out += PredCheck("minItems", ptr, s"Array must have at least $n items.",
+          guarded(size(c) >= n))
+      case UniqueItemsK =>
+        // same-typed elements ⇒ Spark equality ≡ deepEqual (incl. NaN
+        // and null elements; -0.0 == 0.0 matches decimal comparison)
+        out += PredCheck("uniqueItems", ptr, "Array items must be unique.",
+          guarded(size(array_distinct(c)) === size(c)))
+      case ItemsListK(sub) =>
+        // one higher-order pass per keyword: transform tags failing
+        // elements with their /ptr/<index> violation, filter keeps them
+        val conds = elemConds(sub, et, depth + 1).getOrElse(return None)
+        conds.foreach { cond =>
+          val viols = filter(
+            transform(c, (x, i) => when(cond.fail(x),
+              Check.violStruct(lit(cond.keyword),
+                concat(lit(ptr + "/"), i.cast("string")), cond.msg(x)))),
+            v => v.isNotNull)
+          out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+        }
+      case _: ItemsTupleK => return None // tuple form → tree path
+      case EnumK(_)       => return None // deep array equality → tree path
+      // scalar keywords skip on an array instance (draft-04)
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: PropsK | _: RequiredK | _: DependenciesK | _: MaxPropertiesK | _: MinPropertiesK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => compileValueChecks(s, c, at, ptr, out, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        compileValueChecks(t, c, at, ptr, out, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val anyPass = ss.map(s => subPass(s).getOrElse(return None))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        out += PredCheck("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
+          guarded(anyPass))
+      case OneOfK(ss) =>
+        val cnt = ss.map(s => subPass(s).getOrElse(return None).cast("int"))
+          .foldLeft(lit(0))(_ + _)
+        out += PredCheck("oneOf", ptr, "", guarded(cnt === 1),
+          messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
+            lit(" schemas in 'oneOf'."))))
+      case NotK(s) =>
+        out += PredCheck("not", ptr, "The 'not' schema didn't raise an error.",
+          guarded(!subPass(s).getOrElse(return None)))
+    }
+    Some(())
+  }
+
+  // ---- map columns (dynamic-key JSON objects, SURVEY §2.1 #13-19) ---------
+
+  private def mapChecks(schema: CompiledSchema, c: Column, mt: MapType, ptr: String,
+                        out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                        depth: Int): Option[Unit] = {
+    if (mt.keyType != StringType) return None // non-string keys aren't a JSON object
+    val vt = mt.valueType
+    def guarded(pred: Column): Column = c.isNull || pred
+    def subPass(sub: CompiledSchema): Option[Column] = subPassOf(sub, c, mt, ptr, depth)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any") && !types.contains("object"))
+          out += PredCheck("type", ptr, Msg.typeErr(types, "object"), c.isNull)
+      case RequiredK(keys) =>
+        // presence = key in map, even with a null (JSON null) value —
+        // same convention as the row bridge
+        keys.foreach { k =>
+          out += PredCheck("required", ptr, Msg.required(k), guarded(map_contains_key(c, k)))
+        }
+      case MaxPropertiesK(n) =>
+        out += PredCheck("maxProperties", ptr, s"Object must have at most $n properties.",
+          guarded(size(c) <= n))
+      case MinPropertiesK(n) =>
+        out += PredCheck("minProperties", ptr, s"Object must have at least $n properties.",
+          guarded(size(c) >= n))
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          needed.foreach { n =>
+            out += PredCheck("dependencies", ptr, s"Property '$k' requires property '$n'.",
+              guarded(!map_contains_key(c, k) || map_contains_key(c, n)))
+          }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          val b = Vector.newBuilder[Check]
+          compileValueChecks(sub, c, mt, ptr, b, depth + 1).getOrElse(return None)
+          b.result().foreach(ch => out += ch.skipWhen(c.isNull || !map_contains_key(c, k)))
+        }
+      case pk: PropsK =>
+        // named properties: value at a known key — static pointer
+        pk.props.foreach { case (k, sub) =>
+          val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
+          val x = c.getItem(k)
+          val present = map_contains_key(c, k)
+          conds.foreach { cond =>
+            out += PredCheck(cond.keyword, ptr + "/" + escPtr(k), "",
+              guarded(!present || !cond.fail(x)),
+              messageCol = Some(cond.msg(x)))
+          }
+        }
+        // patternProperties iterate the runtime key set
+        pk.patterns.foreach { case (re, sub) =>
+          val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
+          conds.foreach { cond =>
+            val viols = filter(
+              transform(map_entries(c), e => when(e("key").rlike(re) && cond.fail(e("value")),
+                Check.violStruct(lit(cond.keyword),
+                  concat(lit(ptr + "/"), escPtrCol(e("key"))), cond.msg(e("value"))))),
+              v => v.isNotNull)
+            out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+          }
+        }
+        if (pk.additional != AllowAll) {
+          val propKeys = pk.props.keys.toSeq
+          def matched(key: Column): Column = {
+            val inProps = if (propKeys.isEmpty) lit(false) else key.isin(propKeys: _*)
+            pk.patterns.map { case (re, _) => key.rlike(re) }.foldLeft(inProps)(_ || _)
+          }
+          pk.additional match {
+            case ForbidAdditional =>
+              val viols = filter(
+                transform(map_entries(c), e => when(!matched(e("key")),
+                  Check.violStruct(lit("additionalProperties"),
+                    concat(lit(ptr + "/"), escPtrCol(e("key"))),
+                    concat(lit("Additional property '"), e("key"), lit("' is not allowed."))))),
+                v => v.isNotNull)
+              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+            case AdditionalSchema(sub) =>
+              val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
+              conds.foreach { cond =>
+                val viols = filter(
+                  transform(map_entries(c), e => when(!matched(e("key")) && cond.fail(e("value")),
+                    Check.violStruct(lit(cond.keyword),
+                      concat(lit(ptr + "/"), escPtrCol(e("key"))), cond.msg(e("value"))))),
+                  v => v.isNotNull)
+                out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+              }
+            case AllowAll => ()
+          }
+        }
+      case EnumK(_) => return None // deep object equality → tree path
+      // scalar/array keywords skip on an object instance
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => compileValueChecks(s, c, mt, ptr, out, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        compileValueChecks(t, c, mt, ptr, out, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val anyPass = ss.map(s => subPass(s).getOrElse(return None))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        out += PredCheck("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
+          guarded(anyPass))
+      case OneOfK(ss) =>
+        val cnt = ss.map(s => subPass(s).getOrElse(return None).cast("int"))
+          .foldLeft(lit(0))(_ + _)
+        out += PredCheck("oneOf", ptr, "", guarded(cnt === 1),
+          messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
+            lit(" schemas in 'oneOf'."))))
+      case NotK(s) =>
+        out += PredCheck("not", ptr, "The 'not' schema didn't raise an error.",
+          guarded(!subPass(s).getOrElse(return None)))
+    }
+    Some(())
+  }
+
+  // ---- struct columns (static-key nested objects) --------------------------
+
+  private def structChecks(schema: CompiledSchema, c: Column, st: StructType, ptr: String,
+                           out: scala.collection.mutable.Builder[Check, Vector[Check]],
+                           depth: Int): Option[Unit] = {
+    val names = st.fields.map(_.name).toVector
+    def fld(f: String): Column = c.getField(f)
+    def guarded(pred: Column): Column = c.isNull || pred
+    def subPass(sub: CompiledSchema): Option[Column] = subPassOf(sub, c, st, ptr, depth)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any") && !types.contains("object"))
+          out += PredCheck("type", ptr, Msg.typeErr(types, "object"), c.isNull)
+      case RequiredK(keys) =>
+        // NULL field = absent key (same convention as top-level columns)
+        keys.foreach { k =>
+          val pass = if (names.contains(k)) fld(k).isNotNull else lit(false)
+          out += PredCheck("required", ptr, Msg.required(k), guarded(pass))
+        }
+      case pk: PropsK =>
+        // field set is static ⇒ routing resolved at compile time, like
+        // the root object
+        names.foreach { name =>
+          val fdt = st(name).dataType
+          val vptr = ptr + "/" + escPtr(name)
+          var matched = false
+          pk.props.get(name).foreach { sub =>
+            matched = true
+            compileValueChecks(sub, fld(name), fdt, vptr, out, depth + 1).getOrElse(return None)
+          }
+          pk.patterns.foreach { case (regex, sub) =>
+            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+              matched = true
+              compileValueChecks(sub, fld(name), fdt, vptr, out, depth + 1).getOrElse(return None)
+            }
+          }
+          if (!matched) pk.additional match {
+            case AllowAll => ()
+            case ForbidAdditional =>
+              out += PredCheck("additionalProperties", vptr, Msg.additionalProperty(name),
+                guarded(fld(name).isNull))
+            case AdditionalSchema(sub) =>
+              compileValueChecks(sub, fld(name), fdt, vptr, out, depth + 1).getOrElse(return None)
+          }
+        }
+      case MaxPropertiesK(n) =>
+        val cnt = names.map(f => when(fld(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        out += PredCheck("maxProperties", ptr, s"Object must have at most $n properties.",
+          guarded(cnt <= n))
+      case MinPropertiesK(n) =>
+        val cnt = names.map(f => when(fld(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        out += PredCheck("minProperties", ptr, s"Object must have at least $n properties.",
+          guarded(cnt >= n))
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          if (names.contains(k)) // absent field ⇒ dep never triggers
+            needed.foreach { n =>
+              val pass =
+                if (names.contains(n)) fld(k).isNull || fld(n).isNotNull
+                else fld(k).isNull
+              out += PredCheck("dependencies", ptr, s"Property '$k' requires property '$n'.",
+                guarded(pass))
+            }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          if (names.contains(k)) {
+            val b = Vector.newBuilder[Check]
+            compileValueChecks(sub, c, st, ptr, b, depth + 1).getOrElse(return None)
+            b.result().foreach(ch => out += ch.skipWhen(c.isNull || fld(k).isNull))
+          }
+        }
+      case EnumK(_) => return None // deep object equality → tree path
+      // scalar/array keywords skip on an object instance
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => compileValueChecks(s, c, st, ptr, out, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        compileValueChecks(t, c, st, ptr, out, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val anyPass = ss.map(s => subPass(s).getOrElse(return None))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        out += PredCheck("anyOf", ptr, "Validation failed for each schema in 'anyOf'.",
+          guarded(anyPass))
+      case OneOfK(ss) =>
+        val cnt = ss.map(s => subPass(s).getOrElse(return None).cast("int"))
+          .foldLeft(lit(0))(_ + _)
+        out += PredCheck("oneOf", ptr, "", guarded(cnt === 1),
+          messageCol = Some(concat(lit("Validation passed for "), cnt.cast("string"),
+            lit(" schemas in 'oneOf'."))))
+      case NotK(s) =>
+        out += PredCheck("not", ptr, "The 'not' schema didn't raise an error.",
+          guarded(!subPass(s).getOrElse(return None)))
     }
     Some(())
   }

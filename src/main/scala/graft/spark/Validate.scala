@@ -48,21 +48,45 @@ object Validate {
       lit("").as("json_pointer") :+ lit("").as("message"): _*)
       .where(lit(false))
 
-  /** Assemble violation rows from fast-path checks: explode an array of
-    * (keyword, pointer, message, pass) structs, keep the failing ones.
-    * explode + where (rather than a higher-order `filter` lambda) keeps
-    * the whole pipeline inside whole-stage codegen.
+  /** Assemble violation rows from fast-path checks. With only
+    * [[PredCheck]]s (every scalar-column schema — the hot path):
+    * explode an array of (keyword, pointer, message, pass) structs and
+    * keep the failing ones — explode + where (rather than a
+    * higher-order `filter` lambda) keeps the whole pipeline inside
+    * whole-stage codegen. Schemas that reach into containers add
+    * [[ElemCheck]] violation arrays, concatenated in before one shared
+    * explode — only those schemas pay the higher-order-function cost.
     */
   def fastViolations(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
     require(checks.nonEmpty, "no checks compiled")
-    val arr = array(checks.map { ch =>
-      struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-        ch.msg.as("message"), ch.pass.as("pass"))
-    }: _*)
-    df.select(keyCols.map(col) :+ explode(arr).as("v"): _*)
-      .where(!col("v.pass"))
-      .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
-        col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+    val preds = checks.collect { case p: PredCheck => p }
+    val elems = checks.collect { case e: ElemCheck => e }
+    if (elems.isEmpty) {
+      val arr = array(preds.map { ch =>
+        struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+          ch.msg.as("message"), ch.pass.as("pass"))
+      }: _*)
+      df.select(keyCols.map(col) :+ explode(arr).as("v"): _*)
+        .where(!col("v.pass"))
+        .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
+          col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+    } else {
+      val predViols: Seq[Column] = if (preds.isEmpty) Nil else Seq {
+        val arr = array(preds.map { ch =>
+          struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+            ch.msg.as("message"), ch.pass.as("pass"))
+        }: _*)
+        transform(filter(arr, v => !v("pass")),
+          v => Check.violStruct(v("keyword"), v("json_pointer"), v("message")))
+      }
+      val all = (predViols ++ elems.map(_.violations)) match {
+        case Seq(one) => one
+        case many     => concat(many: _*)
+      }
+      df.select(keyCols.map(col) :+ explode(all).as("v"): _*)
+        .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
+          col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+    }
   }
 
   /** One boolean verdict column from fast-path checks (no checks ⇒

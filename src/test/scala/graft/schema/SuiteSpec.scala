@@ -92,6 +92,14 @@ class SuiteSpec extends AnyFunSuite {
     assert(Viol("x", Nil, "").jsonPointer == "/")
   }
 
+  test("dot-notation rendering joins tokens with '.' (jsonschema_test.go:25-33)") {
+    // the reference's two keypath unit cases, applied to both renderers
+    val kp = List("foo", "bar", "10", "baz")
+    assert(Viol("x", kp, "").jsonPointer == "/foo/bar/10/baz")
+    assert(Viol("x", kp, "").dotNotation == "foo.bar.10.baz")
+    assert(Viol("x", Nil, "").dotNotation == "")
+  }
+
   test("lexical numbers survive parsing") {
     val JArr(v) = (Json.parse("[1, 1.0, 1e2, 0.5]"): @unchecked)
     assert(v.map(_.asInstanceOf[JNum].text) == Vector("1", "1.0", "1e2", "0.5"))

@@ -123,4 +123,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p) // banding itself is pure per-row work
     assert(p.contains("Generate"), p) // posexplode generator
   }
+
+  test("container-column validation queries stay on the codegen fast path") {
+    // the SparkEntry container queries (array items / map object
+    // keywords) must compile to higher-order Catalyst expressions —
+    // never the interpreted mapPartitions tree fallback, and no
+    // shuffle: per-row work only
+    for (q <- Seq("v_array_fast", "v_map_fast")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("MapPartitions"), s"$q fell back to the tree path:\n$p")
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q scans more than once:\n$p")
+    }
+  }
 }

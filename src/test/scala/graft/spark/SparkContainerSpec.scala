@@ -1,0 +1,220 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container-typed columns (array / map / struct) on the Catalyst fast
+  * path: per-element checks with dynamic JSON pointers, map-object
+  * keywords, nested-struct recursion — each asserted row-identical to
+  * the tree evaluator and plan-asserted free of the interpreted
+  * `mapPartitions` fallback.
+  */
+class SparkContainerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def parity(df: DataFrame, schemaJson: String,
+                     expectFast: Boolean = true): (DataFrame, DataFrame) = {
+    val s = Validate.compileSchema(schemaJson)
+    val checks = ColumnCompiler.compile(s, df.schema)
+    assert(checks.isDefined == expectFast,
+      s"fast-path compile: got ${checks.isDefined}, want $expectFast")
+    val tree = Validate.treeViolations(df, s, Seq("id"))
+    if (!expectFast) return (tree, tree)
+    val fast =
+      if (checks.get.isEmpty) Validate.emptyViolations(df, Seq("id"))
+      else Validate.fastViolations(df, checks.get, Seq("id"))
+    val extra = fast.exceptAll(tree).collect()
+    val missing = tree.exceptAll(fast).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"fast-only=${extra.mkString(";")} tree-only=${missing.mkString(";")}")
+    val p = fast.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("MapPartitions"), s"interpreted fallback in plan:\n$p")
+    (fast, tree)
+  }
+
+  // ---- arrays --------------------------------------------------------------
+
+  private lazy val arrDf = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(LongType, containsNull = true), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(1L, 2L, 3L), Seq("alpha", "beta")),
+      Row(2L, Seq(0L, 50L, -7L), Seq("x", "toolongtagvalue")),
+      Row(3L, Seq[Any](4L, null, 4L), Seq[Any](null, "ok")),
+      Row(4L, null, null),
+      Row(5L, Seq.empty[Long], Seq.empty[String]),
+      Row(6L, Seq(9L, 9L, 9L, 9L), Seq("alpha", "alpha")))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("array items: per-element bounds with /col/<i> pointers, fast ≡ tree") {
+    val (fast, _) = parity(arrDf,
+      """{"properties": {
+        |  "xs": {"items": {"type": "integer", "minimum": 0, "maximum": 10},
+        |         "minItems": 1, "maxItems": 3, "uniqueItems": true},
+        |  "tags": {"items": {"type": "string", "maxLength": 8, "pattern": "^[a-z]+$"}}
+        |}}""".stripMargin)
+    val rows = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains((2L, "maximum", "/xs/1")))  // 50 > 10
+    assert(rows.contains((2L, "minimum", "/xs/2")))  // -7 < 0
+    assert(rows.contains((3L, "type", "/xs/1")))     // null element
+    assert(rows.contains((3L, "uniqueItems", "/xs"))) // [4, null, 4]
+    assert(rows.contains((5L, "minItems", "/xs")))
+    assert(rows.contains((6L, "maxItems", "/xs")))
+    assert(rows.contains((2L, "maxLength", "/tags/1")))
+    assert(!rows.exists(_._1 == 4L)) // null container: everything skips
+  }
+
+  test("array combinators (anyOf/not over items+size), fast ≡ tree") {
+    parity(arrDf,
+      """{"properties": {
+        |  "xs": {"anyOf": [{"maxItems": 0},
+        |                   {"items": {"minimum": 1}}],
+        |         "not": {"minItems": 5}}
+        |}}""".stripMargin)
+  }
+
+  test("array enum / tuple items fall back to the tree path") {
+    val s1 = Validate.compileSchema("""{"properties": {"xs": {"enum": [[1, 2]]}}}""")
+    assert(ColumnCompiler.compile(s1, arrDf.schema).isEmpty)
+    val s2 = Validate.compileSchema(
+      """{"properties": {"xs": {"items": [{"type": "integer"}]}}}""")
+    assert(ColumnCompiler.compile(s2, arrDf.schema).isEmpty)
+  }
+
+  // ---- maps ----------------------------------------------------------------
+
+  private lazy val mapDf = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Map("k" -> 5L, "extra" -> 1L)),
+      Row(2L, Map("k" -> 99L)),
+      Row(3L, Map("other" -> 1L, "w_1" -> -3L, "w_2" -> 2L)),
+      Row(4L, null),
+      Row(5L, Map[String, Any]("k" -> null)),
+      Row(6L, Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "k" -> 0L)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("map object keywords: required/properties/patternProperties/additional, fast ≡ tree") {
+    val (fast, _) = parity(mapDf,
+      """{"properties": {"m": {
+        |  "type": "object",
+        |  "required": ["k"],
+        |  "properties": {"k": {"type": "integer", "maximum": 50}},
+        |  "patternProperties": {"^w_": {"minimum": 0}},
+        |  "additionalProperties": false,
+        |  "maxProperties": 3
+        |}}}""".stripMargin)
+    val rows = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains((1L, "additionalProperties", "/m/extra")))
+    assert(rows.contains((2L, "maximum", "/m/k")))
+    assert(rows.contains((3L, "required", "/m")))
+    assert(rows.contains((3L, "minimum", "/m/w_1")))
+    assert(rows.contains((3L, "additionalProperties", "/m/other")))
+    assert(rows.contains((5L, "type", "/m/k"))) // present null value is JSON null
+    assert(rows.contains((6L, "maxProperties", "/m")))
+    assert(!rows.exists(_._1 == 4L))
+  }
+
+  test("map dependencies (property + schema form), fast ≡ tree") {
+    parity(mapDf,
+      """{"properties": {"m": {
+        |  "dependencies": {"extra": ["k", "missing"],
+        |                   "other": {"required": ["w_9"], "maxProperties": 2}}
+        |}}}""".stripMargin)
+  }
+
+  // ---- structs ---------------------------------------------------------------
+
+  private lazy val structDf = {
+    val meta = StructType(Seq(
+      StructField("lang", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("n", LongType, nullable = true))), nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", meta, nullable = true)))
+    val rows = Seq(
+      Row(1L, Row("en", 0.5, Row(3L))),
+      Row(2L, Row("zz", 1.5, Row(-1L))),
+      Row(3L, Row(null, null, null)),
+      Row(4L, null),
+      Row(5L, Row("de", 0.25, Row(null: Any))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("nested struct: recursive properties/required with /a/b pointers, fast ≡ tree") {
+    val (fast, _) = parity(structDf,
+      """{"properties": {"meta": {
+        |  "required": ["lang"],
+        |  "properties": {
+        |    "lang":  {"enum": ["en", "de", "fr"]},
+        |    "score": {"maximum": 1.0},
+        |    "inner": {"required": ["n"], "properties": {"n": {"minimum": 0}}}
+        |  },
+        |  "minProperties": 2
+        |}}}""".stripMargin)
+    val rows = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains((2L, "enum", "/meta/lang")))
+    assert(rows.contains((2L, "maximum", "/meta/score")))
+    assert(rows.contains((2L, "minimum", "/meta/inner/n")))
+    assert(rows.contains((3L, "required", "/meta")))
+    assert(rows.contains((3L, "minProperties", "/meta")))
+    assert(rows.contains((5L, "required", "/meta/inner")))
+    assert(!rows.exists(_._1 == 4L))
+  }
+
+  test("struct additionalProperties + dependencies + combinators, fast ≡ tree") {
+    parity(structDf,
+      """{"properties": {"meta": {
+        |  "properties": {"lang": {"type": "string"}},
+        |  "patternProperties": {"^sc": {"minimum": 0.3}},
+        |  "additionalProperties": false,
+        |  "dependencies": {"score": ["lang"], "lang": {"minProperties": 2}},
+        |  "oneOf": [{"required": ["inner"]}, {"required": ["score"]}]
+        |}}}""".stripMargin)
+  }
+
+  test("arrays inside structs recurse onto the fast path") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("doc", StructType(Seq(
+        StructField("words", ArrayType(StringType, containsNull = true), nullable = true))),
+        nullable = true)))
+    val rows = Seq(
+      Row(1L, Row(Seq("ab", "abc"))),
+      Row(2L, Row(Seq("x", "waytoolongword"))),
+      Row(3L, Row(null: Any)),
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"doc": {"properties":
+        |  {"words": {"items": {"minLength": 2, "maxLength": 8}}}}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "minLength", "/doc/words/0"), (2L, "maxLength", "/doc/words/1")))
+  }
+
+  test("empty-violation helper really is an empty typed array") {
+    val r = spark.range(1).select(Check.emptyViolations.as("v")).head()
+    assert(r.getSeq[Row](0).isEmpty)
+  }
+
+  test("mixed scalar + container checks share one pass (PredChecks still emitted)") {
+    val (fast, _) = parity(arrDf,
+      """{"required": ["xs"],
+        |  "properties": {"xs": {"items": {"maximum": 10}},
+        |                 "tags": {"maxItems": 5}}}""".stripMargin)
+    val rows = fast.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows.contains((4L, "required"))) // static PredCheck next to ElemChecks
+    assert(rows.contains((2L, "maximum")))
+  }
+}

@@ -178,6 +178,103 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       }
     }
 
+  // -- container fuzzer: array / map / struct columns -----------------------
+  // Random container schemas (items with null-aware element checks,
+  // map required/properties/patternProperties/additionalProperties,
+  // nested struct properties) over rows with null elements, null
+  // containers, JSON-null map values, and pointer-escaping keys.
+
+  private val genElemLeaf: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(-5, 8).map(n => s"""{"minimum": $n}"""),
+    Gen.chooseNum(-5, 8).map(n => s"""{"maximum": $n}"""),
+    Gen.oneOf(""""integer"""", """"string"""", """["integer","null"]""",
+      """"null"""", """"any"""").map(t => s"""{"type": $t}"""),
+    Gen.const("""{"enum": [1, 2, null, "en"]}"""),
+    Gen.chooseNum(0, 3).map(n => s"""{"minLength": $n}"""),
+    Gen.chooseNum(0, 3).map(n => s"""{"maxLength": $n}"""),
+    Gen.oneOf("^e", "[0-9]").map(p => s"""{"pattern": "$p"}"""))
+
+  private val genElemSchema: Gen[String] = Gen.frequency(
+    4 -> genElemLeaf,
+    1 -> Gen.zip(genElemLeaf, genElemLeaf).map { case (a, b) => s"""{"anyOf": [$a, $b]}""" },
+    1 -> Gen.zip(genElemLeaf, genElemLeaf).map { case (a, b) => s"""{"oneOf": [$a, $b]}""" },
+    1 -> genElemLeaf.map(s => s"""{"not": $s}"""))
+
+  private val genArraySchema: Gen[String] = for {
+    it <- genElemSchema
+    extra <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""",
+      """, "uniqueItems": true""", """, "minItems": 1, "maxItems": 3, "uniqueItems": true""")
+  } yield s"""{"items": $it$extra}"""
+
+  private val genMapSchema: Gen[String] = for {
+    v <- genElemSchema
+    pat <- genElemSchema
+    extra <- Gen.oneOf("", """, "required": ["k"]""",
+      """, "additionalProperties": false""", """, "maxProperties": 2""",
+      """, "minProperties": 1""", """, "dependencies": {"k": ["w_1"]}""")
+  } yield s"""{"properties": {"k": $v}, "patternProperties": {"^w_": $pat}$extra}"""
+
+  private val genStructSchema: Gen[String] = for {
+    a <- genValueSchema(1)
+    b <- genValueSchema(1)
+    extra <- Gen.oneOf("", """, "required": ["a"]""",
+      """, "additionalProperties": false""", """, "minProperties": 1""")
+  } yield s"""{"properties": {"a": $a, "b": $b}$extra}"""
+
+  private val containerRowSchema = StructType(Seq(
+    StructField("xs", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("m", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+    StructField("st", StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", StringType, nullable = true))), nullable = true)))
+
+  private val genXs: Gen[Any] = Gen.oneOf(
+    Gen.resize(4, Gen.listOf(Gen.oneOf[Any](
+      Gen.chooseNum(-5L, 12L).map(Long.box), Gen.const(null)))).map(l => l: Seq[Any]),
+    Gen.const(null))
+
+  private val genMapVal: Gen[Any] = Gen.oneOf("en", "e7", "", "xx", null)
+  private val genM: Gen[Any] = Gen.oneOf(
+    Gen.resize(4, Gen.listOf(Gen.zip(
+      Gen.oneOf("k", "w_1", "w_2", "zz", "a/b", "t~e"), genMapVal)))
+      .map(kvs => kvs.toMap: Map[String, Any]),
+    Gen.const(null))
+
+  private val genSt: Gen[Any] = Gen.oneOf(
+    Gen.zip(Gen.oneOf[Any](Gen.chooseNum(-5L, 8L).map(Long.box), Gen.const(null)),
+      Gen.oneOf[Any]("en", "", "e9", null)).map { case (a, b) => Row(a, b) },
+    Gen.const(null))
+
+  private val genContainerRow: Gen[Row] =
+    Gen.zip(genXs, genM, genSt).map { case (xs, m, st) => Row(xs, m, st) }
+
+  property("fast path ≡ tree path on container columns under random schemas") =
+    org.scalacheck.Prop.forAllNoShrink(genArraySchema, genMapSchema, genStructSchema,
+      Gen.listOfN(40, genContainerRow)) { (sa, sm, sst, rows) =>
+      val schemaJson =
+        s"""{"properties": {"xs": $sa, "m": $sm, "st": $sst}}"""
+      val schema = Validate.compileSchema(schemaJson)
+      val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tagged, 4),
+        StructType(StructField("row_tag", LongType, nullable = false) +: containerRowSchema.fields))
+      def collect(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+          .toVector.sorted
+      val compiled = ColumnCompiler.compile(schema, df.schema)
+      org.scalacheck.Prop.classify(compiled.isDefined, "fast-path", "tree-only") {
+        compiled match {
+          case None => true
+          case Some(checks) =>
+            val fast =
+              if (checks.isEmpty) Vector.empty[(Long, String, String, String)]
+              else collect(Validate.fastViolations(df, checks, Seq("row_tag")))
+            val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
+            fast == tree
+        }
+      }
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(5) // each case = one full Spark job over 150 rows
 }
