@@ -48,11 +48,26 @@ object StreamingValidate {
     * `mapGroupsWithState` — custom state (not a windowed aggregate):
     * each micro-batch folds its rows into the key's persistent
     * (rows_seen, rows_failed) totals and emits the updated rate.
-    * State size is O(distinct keys); use a timeout variant when the
-    * key universe is unbounded.
+    *
+    * Without `idleTtl`, state is O(distinct keys) forever — fine for a
+    * bounded key universe (languages, sources). For UNBOUNDED keys
+    * (user ids, repo names at 100 TB ingest) pass an `idleTtl` (e.g.
+    * "1 hour"): keys idle longer than the TTL are EVICTED — their final
+    * totals are emitted once more at eviction, and a re-arriving key
+    * restarts from zero — bounding state by the active-key working set
+    * instead of the all-time key count.
+    *
+    * Trigger note: with `ProcessingTimeTimeout` Spark's micro-batch
+    * engine always schedules another batch (processing time always
+    * advances, so expired timeouts may need firing) — run the query
+    * with an explicit `Trigger.ProcessingTime(...)` to pace those
+    * no-data batches; the default as-fast-as-possible trigger would
+    * busy-loop them, and `processAllAvailable()` (which waits for
+    * quiescence) never returns on such a query.
     */
   def runningViolationRates(stream: DataFrame, schema: CompiledSchema,
-                            keyCol: String): Dataset[KeyTotals] = {
+                            keyCol: String,
+                            idleTtl: Option[String] = None): Dataset[KeyTotals] = {
     val checks = ColumnCompiler.compile(schema, stream.schema)
       .getOrElse(sys.error("streaming validation requires the fast path"))
     val keyed = stream.select(
@@ -61,17 +76,28 @@ object StreamingValidate {
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean)
     implicit val outEnc = Encoders.product[KeyTotals]
     implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed.as[(String, Boolean)]
       .groupByKey(_._1)(Encoders.STRING)
-      .mapGroupsWithState[(Long, Long), KeyTotals](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, Long), KeyTotals](timeoutConf) {
         (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) =>
-          var (seen, failed) = state.getOption.getOrElse((0L, 0L))
-          rows.foreach { case (_, pass) =>
-            seen += 1
-            if (!pass) failed += 1
+          if (state.hasTimedOut) {
+            // idle past the TTL: emit the final totals and evict
+            val (seen, failed) = state.getOption.getOrElse((0L, 0L))
+            state.remove()
+            KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
+          } else {
+            var (seen, failed) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { case (_, pass) =>
+              seen += 1
+              if (!pass) failed += 1
+            }
+            state.update((seen, failed))
+            idleTtl.foreach(state.setTimeoutDuration)
+            KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
           }
-          state.update((seen, failed))
-          KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
       }
   }
 

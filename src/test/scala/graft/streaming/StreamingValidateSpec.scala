@@ -71,6 +71,38 @@ class StreamingValidateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-TTL evicts per-key state; a re-arriving key restarts from zero") {
+    // ProcessingTimeTimeout ⇒ the engine always schedules another batch
+    // (see runningViolationRates scaladoc), so processAllAvailable would
+    // never return — poll the sink for the expected rows instead.
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingValidate
+      .runningViolationRates(mem.toDF(), schema, "lang", idleTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("stream_rates_ttl")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def enRows = spark.table("stream_rates_ttl").where(col("key") === "en")
+      .select("rows_seen", "rows_failed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      mem.addData(rows.take(2): _*) // two 'en' rows, one failing
+      waitFor("initial (2,1) totals")(enRows.contains((2L, 1L)))
+      Thread.sleep(4000)            // let 'en' idle past the 2s TTL;
+                                    // paced no-data batches fire the timeout
+      mem.addData(rows(3))          // 'en' re-arrives AFTER eviction
+      // (1,1) proves the re-arrival restarted from zero — the state
+      // really was removed rather than carried to (3,2)
+      waitFor("restart-from-zero (1,1) after eviction")(enRows.contains((1L, 1L)))
+      assert(!enRows.contains((3L, 2L)), s"state survived the TTL: $enRows")
+    } finally q.stop()
+  }
+
   test("tree path validates a JSON-string column on a stream") {
     val mem = MemoryStream[PropsEvent]
     mem.addData(
