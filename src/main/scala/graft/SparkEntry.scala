@@ -570,6 +570,55 @@ object SparkEntry {
         |  SELECT 'pattern' FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
         |  UNION ALL
         |  SELECT 'maximum' FROM documents WHERE n_chars > 500
-        |) GROUP BY keyword""".stripMargin
+        |) GROUP BY keyword""".stripMargin,
+
+    // the stub codec derives every decoded value from sha-256 of the
+    // payload bytes, so the whole multimodal pipeline replays in SQL
+    // (Spark sha2 ≡ DuckDB sha256 over the same UTF-8 bytes)
+    "m_media_decode" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+         |         sha256(text) AS h
+         |  FROM documents)
+         |SELECT media_id, modality,
+         |  CAST(16 + CAST('0x' || substr(h, 1, 4) AS INT) % 1920 AS INT) AS width,
+         |  CAST(16 + CAST('0x' || substr(h, 5, 4) AS INT) % 1080 AS INT) AS height,
+         |  CAST(CASE WHEN modality = 'video'
+         |       THEN 1 + CAST('0x' || substr(h, 9, 4) AS INT) % 300
+         |       ELSE 1 END AS INT) AS n_frames,
+         |  ${(0 until 8).map(i =>
+              s"CAST(CAST(CAST('0x' || substr(h, ${13 + 3 * i}, 3) AS INT) AS FLOAT) AS VARCHAR)")
+              .mkString(" || ',' || ")} AS features
+         |FROM m""".stripMargin,
+
+    "m_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + CAST('0x' || substr(sha256(text), 1, 4) AS INT) % 1920 AS INT) AS width,
+        |    CAST(16 + CAST('0x' || substr(sha256(text), 5, 4) AS INT) % 1080 AS INT) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE WHEN GREATEST(width, height) > 256
+        |                 THEN CAST(256.0 AS DOUBLE) / GREATEST(width, height)
+        |                 ELSE CAST(1.0 AS DOUBLE) END AS sc
+        |  FROM f)
+        |SELECT media_id, width, height,
+        |  CAST(GREATEST(FLOOR(width * sc), 1) AS INT) AS resized_width,
+        |  CAST(GREATEST(FLOOR(height * sc), 1) AS INT) AS resized_height
+        |FROM s""".stripMargin,
+
+    "m_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |         sha256(text) AS h
+        |  FROM documents)
+        |SELECT media_id, modality, CAST(unnest(generate_series(0,
+        |         CAST('0x' || substr(h, 9, 4) AS INT) % 300, 30)) AS INT) AS frame_idx
+        |  FROM m WHERE modality = 'video'
+        |UNION ALL
+        |SELECT media_id, modality, CAST(-1 AS INT) AS frame_idx
+        |  FROM m WHERE modality <> 'video'""".stripMargin
   )
 }

@@ -104,15 +104,25 @@ object Multimodal {
 object StubCodec {
   final case class Decoded(width: Int, height: Int, nFrames: Int, features: Array[Float])
 
+  /** Everything derives from the sha-256 hex of the payload — a hash
+    * any engine can reproduce (`sha2` in Spark, `sha256` in DuckDB),
+    * so the stubbed pipeline stays end-to-end oracle-checkable.
+    * Features are small whole numbers (0..4095) stored as floats: their
+    * string rendering ("123.0") is identical across engines, unlike
+    * arbitrary float fractions.
+    */
   def decode(modality: String, bytes: Array[Byte]): Decoded = {
-    val h = java.util.Arrays.hashCode(bytes) // deterministic over content
-    val w = 16 + math.floorMod(h, 1920)
-    val ht = 16 + math.floorMod(h >> 8, 1080)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    def hexInt(from: Int, len: Int): Int =
+      Integer.parseInt(hex.substring(from, from + len), 16)
+    val w = 16 + hexInt(0, 4) % 1920
+    val ht = 16 + hexInt(4, 4) % 1080
     val frames = modality match {
-      case "video" => 1 + math.floorMod(h >> 16, 300)
+      case "video" => 1 + hexInt(8, 4) % 300
       case _       => 1
     }
-    val feat = Array.tabulate(8)(i => math.floorMod(h >> i, 1000) / 1000.0f)
+    val feat = Array.tabulate(8)(i => hexInt(12 + 3 * i, 3).toFloat)
     Decoded(w, ht, frames, feat)
   }
 }

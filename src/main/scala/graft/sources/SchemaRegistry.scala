@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.json.{JObj, JStr, Json}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the offline uri→document registry [[graft.schema.SchemaCompiler]]
+  * resolves external `$ref`s against — the production analogue of the
+  * reference's remote fetch (/root/reference/reference.go:143-155),
+  * loading from files or a table instead of the network (this engine
+  * never fetches; all documents must be staged ahead of compile).
+  *
+  * Registries are driver-side maps by design: schema compilation
+  * happens once on the driver and the compiled schema is broadcast
+  * with the job, so the registry is bounded by the schema corpus (KBs
+  * to MBs), never by data volume.
+  */
+object SchemaRegistry {
+
+  /** Every `*.json` under `dir` (recursive; any Hadoop-visible
+    * filesystem). Each document registers under its root `id` when it
+    * has one — the uri `$ref`s use — and always under its `file:`/
+    * storage uri as a fallback key.
+    */
+  def fromDirectory(spark: SparkSession, dir: String): Map[String, String] = {
+    val rows = spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .text(dir)
+      .select(input_file_name().as("uri"), col("value"))
+      .collect()
+    rows.iterator.flatMap { r =>
+      val (uri, text) = (r.getString(0), r.getString(1))
+      (uri -> text) :: rootId(text).map(_ -> text).toList
+    }.toMap
+  }
+
+  /** A two-column (uri, document-text) table — e.g. a parquet-backed
+    * schema catalog maintained by another pipeline.
+    */
+  def fromTable(df: DataFrame, uriCol: String, textCol: String): Map[String, String] =
+    df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+      .collect()
+      .iterator
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
+  /** The document's root `id`, when present and a string. */
+  private def rootId(text: String): Option[String] =
+    Json.parseOpt(text) match {
+      case Some(o: JObj) => o.get("id").collect { case JStr(s) => s }
+      case _             => None
+    }
+}

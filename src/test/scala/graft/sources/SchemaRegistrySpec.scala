@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.spark.{SparkTestSession, Validate}
+import graft.schema.Evaluator
+import graft.json.Json
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** File- and table-backed registry loading feeding external `$ref`
+  * resolution (the offline analogue of reference.go:143-155).
+  */
+class SchemaRegistrySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val personDoc =
+    """{"id": "http://graft.local/defs/person",
+      |  "type": "object",
+      |  "required": ["name"],
+      |  "properties": {"name": {"type": "string", "minLength": 1},
+      |                 "age": {"$ref": "http://graft.local/defs/age"}}}""".stripMargin
+  private val ageDoc =
+    """{"id": "http://graft.local/defs/age", "type": "integer", "minimum": 0}""".stripMargin
+  private val noIdDoc =
+    """{"type": "string", "maxLength": 3}"""
+
+  private def validateWith(registry: Map[String, String]): Unit = {
+    val schema = Validate.compileSchema(
+      """{"$ref": "http://graft.local/defs/person"}""", registry)
+    assert(Evaluator.validate(schema, Json.parse("""{"name": "ada", "age": 36}""")).isEmpty)
+    val errs = Evaluator.validate(schema, Json.parse("""{"name": "", "age": -1}"""))
+    assert(errs.map(_.keyword).sorted == List("minLength", "minimum"), errs.toString)
+  }
+
+  test("fromDirectory keys documents by root id and by file uri") {
+    val dir = Files.createTempDirectory("graft_registry")
+    val sub = Files.createDirectory(dir.resolve("nested"))
+    Files.writeString(dir.resolve("person.json"), personDoc)
+    Files.writeString(sub.resolve("age.json"), ageDoc)         // recursive lookup
+    Files.writeString(dir.resolve("anon.json"), noIdDoc)       // no id ⇒ file-uri key only
+    Files.writeString(dir.resolve("notes.txt"), "not a schema") // filtered by glob
+
+    val reg = SchemaRegistry.fromDirectory(spark, dir.toString)
+    validateWith(reg)
+    assert(reg.contains("http://graft.local/defs/person"))
+    assert(reg.contains("http://graft.local/defs/age"))
+    val fileKeys = reg.keys.filter(_.startsWith("file:"))
+    assert(fileKeys.exists(_.endsWith("anon.json")), reg.keys.toString)
+    assert(fileKeys.exists(_.endsWith("nested/age.json")))
+    assert(!reg.keys.exists(_.endsWith("notes.txt")))
+  }
+
+  test("fromTable loads a (uri, text) schema catalog") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("http://graft.local/defs/person", personDoc),
+      ("http://graft.local/defs/age", ageDoc)).toDF("uri", "doc")
+    validateWith(SchemaRegistry.fromTable(catalog, "uri", "doc"))
+  }
+}
