@@ -53,13 +53,34 @@ object Dedup {
   // ---- exact -----------------------------------------------------------
 
   /** Exact duplicate groups by full-content hash: (content_hash,
-    * n_rows, doc_ids). 64-bit xxhash64 stands in for the sha-256 used
-    * at production scale — the group-by shape is identical.
+    * n_rows, ids). 64-bit xxhash64 stands in for the sha-256 used at
+    * production scale — the group-by shape is identical.
+    *
+    * `n_rows` is always the exact multiplicity; `ids` carries at most
+    * `maxIdsPerGroup` (smallest-first) members. A degenerate corpus —
+    * billions of copies of one boilerplate document — must not
+    * materialize a single group's full id list as one aggregation row
+    * (the same giant-row hazard [[graft.operators.Pairs]] blocks for
+    * pair expansion), so ids are rank-capped BEFORE any collect: the
+    * count aggregates first (constant-size state), duplicate groups
+    * semi-join back, and a sort-window row_number keeps the cap's
+    * worth of members streaming through the hot group's task instead
+    * of accumulating in memory.
     */
-  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("n_rows"), sort_array(collect_list(col(idCol))).as("ids"))
-      .where(col("n_rows") > 1)
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
+                      maxIdsPerGroup: Int = 1000): DataFrame = {
+    val hashed = df.select(xxhash64(col(textCol)).as("content_hash"), col(idCol).as("__id"))
+    val dups = hashed.groupBy("content_hash")
+      .agg(count(lit(1)).as("n_rows")).where(col("n_rows") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("__id")
+    hashed.join(dups, Seq("content_hash"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxIdsPerGroup)
+      .groupBy(col("content_hash"), col("n_rows"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .select("content_hash", "n_rows", "ids")
+  }
 
   // ---- MinHash + LSH ---------------------------------------------------
 

@@ -88,6 +88,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val groups = Dedup.exactDuplicates(docs, "id", "text").collect()
     assert(groups.length == 1)
     assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toList == List(1L, 2L))
+    assert(groups(0).getAs[Long]("n_rows") == 2L)
+  }
+
+  test("exact dedup rank-caps a mega-group's id list but keeps the exact count") {
+    val many = Seq.tabulate(50)(i => (i.toLong, "identical boilerplate")).toDF("id", "text")
+    val g = Dedup.exactDuplicates(many, "id", "text", maxIdsPerGroup = 7).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_rows") == 50L) // multiplicity stays exact
+    assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toList == (0L to 6L).toList)
   }
 
   test("bucket cap is opt-in: default emits all pairs, capped run surfaces declines") {
