@@ -460,20 +460,35 @@ object ColumnCompiler {
     * value in `x` violates `keyword` — where a NULL `x` is a PRESENT
     * JSON null (array element / map value), not an absent key. Both
     * builders always produce non-null boolean/string columns.
+    * `suffix` extends the element's dynamic pointer with a static tail
+    * (struct-element field paths: `/col/<i>` + `/field`).
     */
   private final case class ElemCond(keyword: String,
                                     msg: Column => Column,
-                                    fail: Column => Column)
+                                    fail: Column => Column,
+                                    suffix: String = "")
 
-  /** Compile a subschema against JSON values of scalar type `dt` held
-    * in container slots. Returns None ⇒ not fast-path expressible
-    * (nested containers, tuple items, inexact bounds) ⇒ tree path.
+  /** Compile a subschema against JSON values of type `dt` held in
+    * container slots. Returns None ⇒ not fast-path expressible
+    * (nested array/map element types, tuple items, inexact bounds) ⇒
+    * tree path. Struct element types (the array-of-objects shape)
+    * compile via [[structElemConds]].
     */
   private def elemConds(schema0: CompiledSchema, dt: DataType,
                         depth: Int): Option[Vector[ElemCond]] = {
     if (depth > 32) return None
     val schema = deref(schema0, 0).getOrElse(return None)
-    val jt = jsonTypeOf(dt).getOrElse(return None) // container elements of container type → tree path
+    dt match {
+      case st: StructType                => structElemConds(schema, st, depth)
+      case _ if jsonTypeOf(dt).isDefined => scalarElemConds(schema, dt, depth)
+      case _                             => None // array/map element types → tree path
+    }
+  }
+
+  /** Scalar-typed container elements. */
+  private def scalarElemConds(schema: CompiledSchema, dt: DataType,
+                              depth: Int): Option[Vector[ElemCond]] = {
+    val jt = jsonTypeOf(dt).get
     val ops = new ScalarOps(dt)
 
     def passOf(sub: CompiledSchema): Option[Column => Column] =
@@ -553,6 +568,134 @@ object ColumnCompiler {
     Some(out.result())
   }
 
+  /** Struct-typed container elements — the list-of-objects shape
+    * (`array<struct>`, `map<string, struct>`). Field set is static, so
+    * properties routing resolves at compile time and violation pointers
+    * are the element's dynamic pointer + a static `/field` suffix. A
+    * NULL element is a present JSON null (object keywords skip); a NULL
+    * FIELD is an absent key (bridge convention, SparkBridge.anyToJValue).
+    */
+  private def structElemConds(schema: CompiledSchema, st: StructType,
+                              depth: Int): Option[Vector[ElemCond]] = {
+    val names = st.fields.map(_.name).toVector
+
+    def passOf(sub: CompiledSchema): Option[Column => Column] =
+      elemConds(sub, st, depth + 1).map(cs => (x: Column) =>
+        cs.map(cond => !cond.fail(x)).reduceOption(_ && _).getOrElse(lit(true)))
+
+    /** Field-value conds lifted to element conds: absent (NULL) field ⇒
+      * every check on it skips, like a top-level absent column.
+      */
+    def fieldConds(sub: CompiledSchema, name: String): Option[Vector[ElemCond]] =
+      elemConds(sub, st(name).dataType, depth + 1).map(_.map { sc =>
+        ElemCond(sc.keyword,
+          x => sc.msg(x.getField(name)),
+          x => x.isNotNull && x.getField(name).isNotNull && sc.fail(x.getField(name)),
+          "/" + escPtr(name) + sc.suffix)
+      })
+
+    val out = Vector.newBuilder[ElemCond]
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any")) {
+          val okPresent = types.contains("object")
+          val okNull = types.contains("null")
+          if (!okPresent || !okNull)
+            out += ElemCond("type",
+              x => when(x.isNull, lit(Msg.typeErr(types, "null")))
+                .otherwise(lit(Msg.typeErr(types, "object"))),
+              x => when(x.isNull, lit(!okNull)).otherwise(lit(!okPresent)))
+        }
+      case RequiredK(keys) =>
+        keys.foreach { k =>
+          val missing: Column => Column =
+            if (names.contains(k)) x => x.isNotNull && x.getField(k).isNull
+            else x => x.isNotNull
+          out += ElemCond("required", _ => lit(Msg.required(k)), missing)
+        }
+      case MaxPropertiesK(n) =>
+        def cnt(x: Column) =
+          names.map(f => when(x.getField(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        out += ElemCond("maxProperties",
+          _ => lit(s"Object must have at most $n properties."),
+          x => x.isNotNull && !(cnt(x) <= n))
+      case MinPropertiesK(n) =>
+        def cnt(x: Column) =
+          names.map(f => when(x.getField(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        out += ElemCond("minProperties",
+          _ => lit(s"Object must have at least $n properties."),
+          x => x.isNotNull && !(cnt(x) >= n))
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          if (names.contains(k))
+            needed.foreach { n =>
+              val fail: Column => Column =
+                if (names.contains(n)) x => x.isNotNull && x.getField(k).isNotNull && x.getField(n).isNull
+                else x => x.isNotNull && x.getField(k).isNotNull
+              out += ElemCond("dependencies",
+                _ => lit(s"Property '$k' requires property '$n'."), fail)
+            }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          if (names.contains(k)) {
+            val conds = elemConds(sub, st, depth + 1).getOrElse(return None)
+            conds.foreach { sc =>
+              out += ElemCond(sc.keyword, sc.msg,
+                x => x.isNotNull && x.getField(k).isNotNull && sc.fail(x), sc.suffix)
+            }
+          }
+        }
+      case pk: PropsK =>
+        names.foreach { name =>
+          var matched = false
+          pk.props.get(name).foreach { sub =>
+            matched = true
+            out ++= fieldConds(sub, name).getOrElse(return None)
+          }
+          pk.patterns.foreach { case (regex, sub) =>
+            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+              matched = true
+              out ++= fieldConds(sub, name).getOrElse(return None)
+            }
+          }
+          if (!matched) pk.additional match {
+            case AllowAll => ()
+            case ForbidAdditional =>
+              out += ElemCond("additionalProperties",
+                _ => lit(Msg.additionalProperty(name)),
+                x => x.isNotNull && x.getField(name).isNotNull,
+                "/" + escPtr(name))
+            case AdditionalSchema(sub) =>
+              out ++= fieldConds(sub, name).getOrElse(return None)
+          }
+        }
+      case EnumK(_) => return None // deep object equality → tree path
+      // scalar/array keywords skip on an object value
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => out ++= elemConds(s, st, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        out ++= elemConds(t, st, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        out += ElemCond("anyOf", _ => lit("Validation failed for each schema in 'anyOf'."),
+          x => !passes.map(_(x)).reduceOption(_ || _).getOrElse(lit(false)))
+      case OneOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        def cnt(x: Column) = passes.map(_(x).cast("int")).foldLeft(lit(0))(_ + _)
+        out += ElemCond("oneOf",
+          x => concat(lit("Validation passed for "), cnt(x).cast("string"),
+            lit(" schemas in 'oneOf'.")),
+          x => cnt(x) =!= 1)
+      case NotK(s) =>
+        val p = passOf(s).getOrElse(return None)
+        out += ElemCond("not", _ => lit("The 'not' schema didn't raise an error."), x => p(x))
+    }
+    Some(out.result())
+  }
+
   // ---- array columns (SURVEY §2.1 #8-12 over typed arrays) ----------------
 
   private def arrayChecks(schema: CompiledSchema, c: Column, at: ArrayType, ptr: String,
@@ -585,7 +728,7 @@ object ColumnCompiler {
           val viols = filter(
             transform(c, (x, i) => when(cond.fail(x),
               Check.violStruct(lit(cond.keyword),
-                concat(lit(ptr + "/"), i.cast("string")), cond.msg(x)))),
+                concat(lit(ptr + "/"), i.cast("string"), lit(cond.suffix)), cond.msg(x)))),
             v => v.isNotNull)
           out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
         }
@@ -662,7 +805,7 @@ object ColumnCompiler {
           val x = c.getItem(k)
           val present = map_contains_key(c, k)
           conds.foreach { cond =>
-            out += PredCheck(cond.keyword, ptr + "/" + escPtr(k), "",
+            out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
               guarded(!present || !cond.fail(x)),
               messageCol = Some(cond.msg(x)))
           }
@@ -674,7 +817,8 @@ object ColumnCompiler {
             val viols = filter(
               transform(map_entries(c), e => when(e("key").rlike(re) && cond.fail(e("value")),
                 Check.violStruct(lit(cond.keyword),
-                  concat(lit(ptr + "/"), escPtrCol(e("key"))), cond.msg(e("value"))))),
+                  concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
+                  cond.msg(e("value"))))),
               v => v.isNotNull)
             out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
           }
@@ -700,7 +844,8 @@ object ColumnCompiler {
                 val viols = filter(
                   transform(map_entries(c), e => when(!matched(e("key")) && cond.fail(e("value")),
                     Check.violStruct(lit(cond.keyword),
-                      concat(lit(ptr + "/"), escPtrCol(e("key"))), cond.msg(e("value"))))),
+                      concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
+                      cond.msg(e("value"))))),
                   v => v.isNotNull)
                 out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
               }

@@ -203,6 +203,94 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(got == Set((2L, "minLength", "/doc/words/0"), (2L, "maxLength", "/doc/words/1")))
   }
 
+  // ---- struct elements (list-of-objects) -----------------------------------
+
+  private lazy val arrStructDf = {
+    val item = StructType(Seq(
+      StructField("sku", StringType, nullable = true),
+      StructField("qty", LongType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lines", ArrayType(item, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Row("a-1", 2L), Row("b-2", 1L))),
+      Row(2L, Seq(Row("bad sku", 0L), Row(null, 5L))),     // pattern fail + absent sku
+      Row(3L, Seq[Any](null, Row("c-3", 900L))),           // null element + qty over max
+      Row(4L, null),
+      Row(5L, Seq.empty[Row]))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("array<struct> items: object keywords per element with /col/<i>/field pointers") {
+    val (fast, _) = parity(arrStructDf,
+      """{"properties": {"lines": {
+        |  "items": {
+        |    "type": "object",
+        |    "required": ["sku"],
+        |    "properties": {"sku": {"pattern": "^[a-z]-[0-9]$"},
+        |                   "qty": {"type": "integer", "minimum": 1, "maximum": 500}}
+        |  },
+        |  "minItems": 1
+        |}}}""".stripMargin)
+    val rows = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains((2L, "pattern", "/lines/0/sku")))
+    assert(rows.contains((2L, "minimum", "/lines/0/qty")))
+    assert(rows.contains((2L, "required", "/lines/1")))
+    assert(rows.contains((3L, "type", "/lines/0")))   // null element, object required
+    assert(rows.contains((3L, "maximum", "/lines/1/qty")))
+    assert(rows.contains((5L, "minItems", "/lines")))
+    assert(!rows.exists(_._1 == 1L) && !rows.exists(_._1 == 4L))
+  }
+
+  test("array<struct> items: dependencies/min-maxProperties/combinators per element") {
+    parity(arrStructDf,
+      """{"properties": {"lines": {
+        |  "items": {
+        |    "dependencies": {"qty": ["sku"], "sku": {"minProperties": 2}},
+        |    "maxProperties": 2,
+        |    "anyOf": [{"required": ["sku"]}, {"required": ["qty"]}],
+        |    "patternProperties": {"^s": {"minLength": 3}},
+        |    "additionalProperties": {"maximum": 100}
+        |  }
+        |}}}""".stripMargin)
+  }
+
+  test("map<string,struct> values compile with static field suffixes") {
+    val item = StructType(Seq(
+      StructField("n", LongType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, item, valueContainsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Map("a" -> Row(5L))),
+      Row(2L, Map("a" -> Row(-1L), "w_b" -> Row(200L))),
+      Row(3L, Map[String, Any]("a" -> null)),
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"m": {
+        |  "properties": {"a": {"required": ["n"], "properties": {"n": {"minimum": 0}}}},
+        |  "patternProperties": {"^w_": {"properties": {"n": {"maximum": 100}}}}
+        |}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got.contains((2L, "minimum", "/m/a/n")))
+    assert(got.contains((2L, "maximum", "/m/w_b/n")))
+    // row 3's map value is a present JSON null: object keywords skip
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
+  }
+
+  test("nested array inside a struct element still falls back to the tree path") {
+    val item = StructType(Seq(
+      StructField("xs", ArrayType(LongType, containsNull = true), nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lines", ArrayType(item, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L, null)), 1), schema)
+    val s = Validate.compileSchema(
+      """{"properties": {"lines": {"items": {"properties": {"xs": {"items": {"minimum": 0}}}}}}}""")
+    assert(ColumnCompiler.compile(s, df.schema).isEmpty)
+  }
+
   test("empty-violation helper really is an empty typed array") {
     val r = spark.range(1).select(Check.emptyViolations.as("v")).head()
     assert(r.getSeq[Row](0).isEmpty)

@@ -221,8 +221,25 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       """, "additionalProperties": false""", """, "minProperties": 1""")
   } yield s"""{"properties": {"a": $a, "b": $b}$extra}"""
 
+  // items-with-object-schema over array<struct> (list-of-objects)
+  private val genArrStructSchema: Gen[String] = for {
+    a <- genElemLeaf
+    b <- genElemLeaf
+    extra <- Gen.oneOf("", """, "required": ["a"]""",
+      """, "additionalProperties": false""", """, "minProperties": 1""",
+      """, "maxProperties": 1""", """, "dependencies": {"a": ["b"]}""",
+      """, "type": ["object", "null"]""")
+    items <- Gen.oneOf(
+      s"""{"properties": {"a": $a, "b": $b}$extra}""",
+      s"""{"anyOf": [{"required": ["a"]}, {"properties": {"b": $b}}]}""")
+    size <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""")
+  } yield s"""{"items": $items$size}"""
+
   private val containerRowSchema = StructType(Seq(
     StructField("xs", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("ls", ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", StringType, nullable = true))), containsNull = true), nullable = true),
     StructField("m", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
     StructField("st", StructType(Seq(
       StructField("a", LongType, nullable = true),
@@ -245,14 +262,18 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       Gen.oneOf[Any]("en", "", "e9", null)).map { case (a, b) => Row(a, b) },
     Gen.const(null))
 
+  private val genLs: Gen[Any] = Gen.oneOf(
+    Gen.resize(3, Gen.listOf(Gen.oneOf[Any](genSt, Gen.const(null)))).map(l => l: Seq[Any]),
+    Gen.const(null))
+
   private val genContainerRow: Gen[Row] =
-    Gen.zip(genXs, genM, genSt).map { case (xs, m, st) => Row(xs, m, st) }
+    Gen.zip(genXs, genLs, genM, genSt).map { case (xs, ls, m, st) => Row(xs, ls, m, st) }
 
   property("fast path ≡ tree path on container columns under random schemas") =
-    org.scalacheck.Prop.forAllNoShrink(genArraySchema, genMapSchema, genStructSchema,
-      Gen.listOfN(40, genContainerRow)) { (sa, sm, sst, rows) =>
+    org.scalacheck.Prop.forAllNoShrink(genArraySchema, genArrStructSchema, genMapSchema,
+      genStructSchema, Gen.listOfN(40, genContainerRow)) { (sa, sls, sm, sst, rows) =>
       val schemaJson =
-        s"""{"properties": {"xs": $sa, "m": $sm, "st": $sst}}"""
+        s"""{"properties": {"xs": $sa, "ls": $sls, "m": $sm, "st": $sst}}"""
       val schema = Validate.compileSchema(schemaJson)
       val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
       val df = spark.createDataFrame(
