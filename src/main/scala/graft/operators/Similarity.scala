@@ -147,6 +147,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF layout: the table written PARTITIONED BY
+    * cluster id. At 100 TB the coarse quantizer is not a per-query
+    * filter but the storage layout itself — each of the k clusters is
+    * a parquet partition directory, so a probe query's IN-list becomes
+    * source partition PRUNING (only nprobe/k of the corpus is listed,
+    * opened, or read). Assignment is one map-side pass.
+    */
+  def writeClustered(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+                     path: String): Unit =
+    df.withColumn("cluster_id", ivfClusterId(col(vecCol), centroids))
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
+  /** IVF ANN top-k over a [[writeClustered]] layout: the nprobe
+    * nearest-centroid ids resolve on the driver, the scan reads ONLY
+    * those cluster partitions (PartitionFilters, plan-asserted in
+    * PlanShapeSpec), and exact cosine rescoring + TakeOrderedAndProject
+    * run on that slice.
+    */
+  def clusteredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    vecCol: String, idCol: String, query: Array[Float], k: Int,
+                    centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    val qd = centroids.indices.map { i =>
+      i -> centroids(i).zip(query).map { case (a, b) => a.toDouble * b }.sum
+    }
+    val probe = qd.sortBy(-_._2).take(nprobe).map(_._1)
+    spark.read.parquet(path)
+      .where(col("cluster_id").isin(probe: _*)) // partition-column filter ⇒ pruning
+      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket
     * (exact-signature match on a `bits`-bit SRP bucket), verified with
     * exact cosine ≥ minCosine. Same single-computation

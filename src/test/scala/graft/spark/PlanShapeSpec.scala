@@ -124,6 +124,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // posexplode generator
   }
 
+  test("clustered IVF layout prunes partitions at the source") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, "embedding", k = 4, sampleN = 200)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/clustered"
+    Similarity.writeClustered(e, "embedding", cents, path)
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val topk = Similarity.clusteredTopK(spark, path, "embedding", "vec_id", q, 5, cents, nprobe = 2)
+    val p = plan(topk)
+    // the IN-list lands on the partition column: scanned partitions are
+    // the nprobe probed clusters, not the corpus
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // correctness: identical to the unmaterialized IVF probe on the same
+    // centroids (modulo the layout)
+    val direct = Similarity.ivfTopK(e, "embedding", "vec_id", q, 5, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val layered = topk.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(layered == direct, s"layered=$layered direct=$direct")
+    // the layout holds the full corpus (pruning is per-query, not lossy)
+    assert(spark.read.parquet(path).count() == e.count())
+  }
+
   test("container-column validation queries stay on the codegen fast path") {
     // the SparkEntry container queries (array items / map object
     // keywords) must compile to higher-order Catalyst expressions —
