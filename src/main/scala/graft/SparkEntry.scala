@@ -15,6 +15,22 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Recursive delete of a session-scoped temp dir at JVM exit — the
+    * per-applicationId jsonl staging copies must not accumulate one
+    * table-sized directory per session under /tmp.
+    */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+
   private lazy val documentSchema = Validate.compileSchema(Schemas.document)
   private lazy val embeddingRowSchema = Validate.compileSchema(Schemas.embeddingRow)
   private lazy val eventAttrsSchema = Validate.compileSchema(Schemas.eventAttrs)
@@ -73,8 +89,10 @@ object SparkEntry {
       // must not accumulate table-sized temp copies, and the session
       // suffix keeps concurrent bench + verify runs against the same
       // sfDir from racing on one directory
-      val tmp = sys.props("java.io.tmpdir") +
-        s"/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}/docs"
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}"
+      cleanupOnExit(root)
+      val tmp = s"$root/docs"
       table(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))

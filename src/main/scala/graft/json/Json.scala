@@ -17,7 +17,12 @@ object Json {
     // readValue/Evaluator.validate stack can survive on an executor
     // thread: an unbounded cap would let adversarial input trade a
     // graceful 'malformed' violation for a StackOverflowError that
-    // kills the whole Spark task.
+    // kills the whole Spark task. DOCUMENTED DIVERGENCE: Go's
+    // encoding/json accepts ~10000 levels, so the reference validates
+    // documents of depth 1501..10000 that this engine reports as
+    // 'malformed'. Executor threads share their stack with codegen and
+    // shuffle frames, so the conservative cap is deliberate; raise it
+    // only together with an iterative parse/validate.
     val constraints = com.fasterxml.jackson.core.StreamReadConstraints.builder()
       .maxStringLength(Int.MaxValue)
       .maxNestingDepth(1500)

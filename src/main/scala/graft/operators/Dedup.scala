@@ -57,18 +57,21 @@ object Dedup {
     * production scale — the group-by shape is identical.
     *
     * `n_rows` is always the exact multiplicity; `ids` carries at most
-    * `maxIdsPerGroup` (smallest-first) members. A degenerate corpus —
+    * `maxIdsPerGroup` (smallest-first) members, with `ids_truncated`
+    * flagging any group that hit the cap — like the pair-expansion
+    * `maxBucket` caps in this module, the bound is OPT-IN (default
+    * unbounded) and never silent. At 100 TB a degenerate corpus —
     * billions of copies of one boilerplate document — must not
     * materialize a single group's full id list as one aggregation row
-    * (the same giant-row hazard [[graft.operators.Pairs]] blocks for
-    * pair expansion), so ids are rank-capped BEFORE any collect: the
-    * count aggregates first (constant-size state), duplicate groups
+    * (the giant-row hazard [[graft.operators.Pairs]] blocks for pair
+    * expansion), so capped runs rank BEFORE any collect: the count
+    * aggregates first (constant-size state), duplicate groups
     * semi-join back, and a sort-window row_number keeps the cap's
     * worth of members streaming through the hot group's task instead
     * of accumulating in memory.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
-                      maxIdsPerGroup: Int = 1000): DataFrame = {
+                      maxIdsPerGroup: Int = Int.MaxValue): DataFrame = {
     val hashed = df.select(xxhash64(col(textCol)).as("content_hash"), col(idCol).as("__id"))
     val dups = hashed.groupBy("content_hash")
       .agg(count(lit(1)).as("n_rows")).where(col("n_rows") > 1)
@@ -79,7 +82,8 @@ object Dedup {
       .where(col("__rn") <= maxIdsPerGroup)
       .groupBy(col("content_hash"), col("n_rows"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
-      .select("content_hash", "n_rows", "ids")
+      .select(col("content_hash"), col("n_rows"), col("ids"),
+        (col("n_rows") > maxIdsPerGroup).as("ids_truncated"))
   }
 
   // ---- MinHash + LSH ---------------------------------------------------

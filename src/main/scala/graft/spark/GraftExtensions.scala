@@ -30,7 +30,14 @@ object GraftExtensions {
         val f = children.head
         if (!f.foldable)
           throw new IllegalArgumentException("format_is: format name must be a constant string")
-        String.valueOf(f.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        f.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          // NULL / non-string would stringify into the unknown-format
+          // bucket and silently validate every row — fail analysis instead
+          case other => throw new IllegalArgumentException(
+            s"format_is: format name must be a non-null string, got $other")
+        }
       }, children(1))),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

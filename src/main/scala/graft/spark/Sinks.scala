@@ -24,25 +24,45 @@ object Sinks {
     */
   def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit = {
     // Stage the FULL sink (data + sidecar) in a temp directory, then
-    // swap it in with a directory rename — atomic on HDFS/local, so a
-    // crashed or concurrent run never exposes a half-written sink (a
-    // naive in-place overwrite has a window where the old sidecar is
-    // deleted and a zero-violation write has produced no files at all).
-    // On rename-less object stores the production analogue is a table
-    // format commit (Iceberg snapshot), not this directory swap.
+    // retire the previous sink with a rename and rename the staged one
+    // into place. Each rename is atomic (HDFS/local), but the swap as a
+    // whole is NOT: a crash between the two renames leaves the target
+    // briefly missing — the previous data is still intact in the
+    // `.retired-*` dir (recoverable), unlike a delete-then-rename where
+    // a crash destroys the old sink outright. Stale `.inprogress-*` /
+    // `.retired-*` leftovers from crashed runs are swept on the next
+    // write. Concurrent writers to ONE sink path still need external
+    // coordination; on rename-less object stores the production
+    // analogue is a table-format commit (Iceberg snapshot), which makes
+    // both windows vanish.
     val hconf = violations.sparkSession.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + ".inprogress-" + java.util.UUID.randomUUID().toString.take(8))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress-" + token)
+    val parent = target.getParent
+    if (parent != null && fs.exists(parent)) {
+      val stale = fs.listStatus(parent).map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith(target.getName + ".inprogress-") ||
+          n.startsWith(target.getName + ".retired-")
+      }
+      stale.foreach(fs.delete(_, true))
+    }
     violations
       .repartition((("keyword") +: keyCols).map(col): _*)
       .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
       .write.mode("overwrite").partitionBy("keyword").parquet(tmp.toString)
     violations.limit(0).write.mode("overwrite").parquet(tmp.toString + "/_schema")
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    val retired = new org.apache.hadoop.fs.Path(path + ".retired-" + token)
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, retired))
+      throw new java.io.IOException(s"could not retire previous sink at $target")
+    if (!fs.rename(tmp, target)) {
+      if (hadOld) fs.rename(retired, target) // restore before failing
       throw new java.io.IOException(s"could not move staged sink $tmp into place at $target")
+    }
+    if (hadOld) fs.delete(retired, true)
   }
 
   /** Read back one keyword's violations — prunes to a single partition

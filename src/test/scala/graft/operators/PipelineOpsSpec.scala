@@ -97,6 +97,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(g.length == 1)
     assert(g(0).getAs[Long]("n_rows") == 50L) // multiplicity stays exact
     assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toList == (0L to 6L).toList)
+    assert(g(0).getAs[Boolean]("ids_truncated")) // cap is never silent
+    // default run: unbounded, flag false
+    val full = Dedup.exactDuplicates(many, "id", "text").collect()
+    assert(full(0).getAs[scala.collection.Seq[Long]]("ids").length == 50)
+    assert(!full(0).getAs[Boolean]("ids_truncated"))
   }
 
   test("bucket cap is opt-in: default emits all pairs, capped run surfaces declines") {
