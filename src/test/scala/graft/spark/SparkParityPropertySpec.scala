@@ -232,7 +232,8 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     items <- Gen.oneOf(
       s"""{"properties": {"a": $a, "b": $b}$extra}""",
       s"""{"anyOf": [{"required": ["a"]}, {"properties": {"b": $b}}]}""")
-    size <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""")
+    size <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""",
+      """, "uniqueItems": true""") // struct equality ≟ deepEqual (null fields, dup Rows)
   } yield s"""{"items": $items$size}"""
 
   private val containerRowSchema = StructType(Seq(
