@@ -696,6 +696,217 @@ object ColumnCompiler {
     Some(out.result())
   }
 
+  // ---- nested container elements (array-of-arrays / array-of-maps) --------
+
+  /** Violations emitter for one VALUE of container type at a fully
+    * DYNAMIC pointer: `(value, pointer) => array<violStruct>`.
+    * Generalizes [[ElemCond]] — whose pointers are dynamic only in the
+    * last component — to container-typed container elements, where
+    * pointers need two or more runtime components (`/col/<i>/<j>`,
+    * `/col/<i>/<key>`). A NULL value is a present JSON null: container
+    * keywords skip, type checks see "null". Leaf (scalar/struct)
+    * element types lift their ElemCond vector, so arbitrarily deep
+    * array/map nests bottom out on the existing machinery.
+    */
+  private type ElemViols = (Column, Column) => Column
+
+  private def nestedElemViols(schema0: CompiledSchema, dt: DataType,
+                              depth: Int): Option[ElemViols] = {
+    if (depth > 32) return None
+    val schema = deref(schema0, 0).getOrElse(return None)
+    dt match {
+      case at: ArrayType => nestedArrayViols(schema, at, depth)
+      case mt: MapType   => nestedMapViols(schema, mt, depth)
+      case _ =>
+        elemConds(schema, dt, depth).map { conds => (x: Column, ptr: Column) =>
+          if (conds.isEmpty) Check.emptyViolations
+          else filter(array(conds.map(cnd => when(cnd.fail(x),
+            Check.violStruct(lit(cnd.keyword), concat(ptr, lit(cnd.suffix)), cnd.msg(x)))): _*),
+            v => v.isNotNull)
+        }
+    }
+  }
+
+  /** Concatenate per-keyword emitters into one. */
+  private def combineViols(parts: Vector[ElemViols]): ElemViols = (x, ptr) =>
+    parts.map(_(x, ptr)) match {
+      case Vector()    => Check.emptyViolations
+      case Vector(one) => one
+      case many        => concat(many: _*)
+    }
+
+  private def nestedArrayViols(schema: CompiledSchema, at: ArrayType,
+                               depth: Int): Option[ElemViols] = {
+    val parts = Vector.newBuilder[ElemViols]
+    def one(keyword: String, fail: Column => Column, msg: Column => Column): Unit =
+      parts += ((x, ptr) => filter(array(when(fail(x),
+        Check.violStruct(lit(keyword), ptr, msg(x)))), v => v.isNotNull))
+    def passOf(sub: CompiledSchema): Option[Column => Column] =
+      nestedElemViols(sub, at, depth + 1).map(e => (x: Column) => size(e(x, lit(""))) === 0)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any")) {
+          val okPresent = types.contains("array")
+          val okNull = types.contains("null")
+          if (!okPresent || !okNull)
+            one("type",
+              x => when(x.isNull, lit(!okNull)).otherwise(lit(!okPresent)),
+              x => when(x.isNull, lit(Msg.typeErr(types, "null")))
+                .otherwise(lit(Msg.typeErr(types, "array"))))
+        }
+      case MaxItemsK(n) =>
+        one("maxItems", x => x.isNotNull && !(size(x) <= n),
+          _ => lit(s"Array must have at most $n items."))
+      case MinItemsK(n) =>
+        one("minItems", x => x.isNotNull && !(size(x) >= n),
+          _ => lit(s"Array must have at least $n items."))
+      case UniqueItemsK =>
+        one("uniqueItems", x => x.isNotNull && !(size(array_distinct(x)) === size(x)),
+          _ => lit("Array items must be unique."))
+      case ItemsListK(sub) =>
+        val inner = nestedElemViols(sub, at.elementType, depth + 1).getOrElse(return None)
+        parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+          flatten(transform(x, (e, i) => inner(e, concat(ptr, lit("/"), i.cast("string")))))))
+      case _: ItemsTupleK => return None // tuple form → tree path
+      case EnumK(_)       => return None // deep array equality → tree path
+      // scalar/object keywords skip on an array value
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: PropsK | _: RequiredK | _: DependenciesK |
+           _: MaxPropertiesK | _: MinPropertiesK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => parts += nestedElemViols(s, at, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        parts += nestedElemViols(t, at, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        one("anyOf", x => !passes.map(_(x)).reduceOption(_ || _).getOrElse(lit(false)),
+          _ => lit("Validation failed for each schema in 'anyOf'."))
+      case OneOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        def cnt(x: Column) = passes.map(_(x).cast("int")).foldLeft(lit(0))(_ + _)
+        one("oneOf", x => cnt(x) =!= 1,
+          x => concat(lit("Validation passed for "), cnt(x).cast("string"),
+            lit(" schemas in 'oneOf'.")))
+      case NotK(s) =>
+        val p = passOf(s).getOrElse(return None)
+        one("not", x => p(x), _ => lit("The 'not' schema didn't raise an error."))
+    }
+    Some(combineViols(parts.result()))
+  }
+
+  private def nestedMapViols(schema: CompiledSchema, mt: MapType,
+                             depth: Int): Option[ElemViols] = {
+    if (mt.keyType != StringType) return None
+    val vt = mt.valueType
+    val parts = Vector.newBuilder[ElemViols]
+    def one(keyword: String, fail: Column => Column, msg: Column => Column): Unit =
+      parts += ((x, ptr) => filter(array(when(fail(x),
+        Check.violStruct(lit(keyword), ptr, msg(x)))), v => v.isNotNull))
+    def passOf(sub: CompiledSchema): Option[Column => Column] =
+      nestedElemViols(sub, mt, depth + 1).map(e => (x: Column) => size(e(x, lit(""))) === 0)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any")) {
+          val okPresent = types.contains("object")
+          val okNull = types.contains("null")
+          if (!okPresent || !okNull)
+            one("type",
+              x => when(x.isNull, lit(!okNull)).otherwise(lit(!okPresent)),
+              x => when(x.isNull, lit(Msg.typeErr(types, "null")))
+                .otherwise(lit(Msg.typeErr(types, "object"))))
+        }
+      case RequiredK(keys) =>
+        keys.foreach { k =>
+          one("required", x => x.isNotNull && !map_contains_key(x, k),
+            _ => lit(Msg.required(k)))
+        }
+      case MaxPropertiesK(n) =>
+        one("maxProperties", x => x.isNotNull && !(size(x) <= n),
+          _ => lit(s"Object must have at most $n properties."))
+      case MinPropertiesK(n) =>
+        one("minProperties", x => x.isNotNull && !(size(x) >= n),
+          _ => lit(s"Object must have at least $n properties."))
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          needed.foreach { n =>
+            one("dependencies",
+              x => x.isNotNull && map_contains_key(x, k) && !map_contains_key(x, n),
+              _ => lit(s"Property '$k' requires property '$n'."))
+          }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          val e = nestedElemViols(sub, mt, depth + 1).getOrElse(return None)
+          parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
+            Check.emptyViolations).otherwise(e(x, ptr)))
+        }
+      case pk: PropsK =>
+        pk.props.foreach { case (k, sub) =>
+          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+          parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
+            Check.emptyViolations).otherwise(
+              inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
+        }
+        pk.patterns.foreach { case (re, sub) =>
+          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+          parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+            flatten(transform(map_entries(x), e =>
+              when(e("key").rlike(re),
+                inner(e("value"), concat(ptr, lit("/"), escPtrCol(e("key")))))
+                .otherwise(Check.emptyViolations)))))
+        }
+        if (pk.additional != AllowAll) {
+          val propKeys = pk.props.keys.toSeq
+          def matched(key: Column): Column = {
+            val inProps = if (propKeys.isEmpty) lit(false) else key.isin(propKeys: _*)
+            pk.patterns.map { case (re, _) => key.rlike(re) }.foldLeft(inProps)(_ || _)
+          }
+          pk.additional match {
+            case ForbidAdditional =>
+              parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+                filter(transform(map_entries(x), e => when(!matched(e("key")),
+                  Check.violStruct(lit("additionalProperties"),
+                    concat(ptr, lit("/"), escPtrCol(e("key"))),
+                    concat(lit("Additional property '"), e("key"), lit("' is not allowed."))))),
+                  v => v.isNotNull)))
+            case AdditionalSchema(sub) =>
+              val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+              parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+                flatten(transform(map_entries(x), e =>
+                  when(!matched(e("key")),
+                    inner(e("value"), concat(ptr, lit("/"), escPtrCol(e("key")))))
+                    .otherwise(Check.emptyViolations)))))
+            case AllowAll => ()
+          }
+        }
+      case EnumK(_) => return None // deep object equality → tree path
+      // scalar/array keywords skip on an object value
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => parts += nestedElemViols(s, mt, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        parts += nestedElemViols(t, mt, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        one("anyOf", x => !passes.map(_(x)).reduceOption(_ || _).getOrElse(lit(false)),
+          _ => lit("Validation failed for each schema in 'anyOf'."))
+      case OneOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        def cnt(x: Column) = passes.map(_(x).cast("int")).foldLeft(lit(0))(_ + _)
+        one("oneOf", x => cnt(x) =!= 1,
+          x => concat(lit("Validation passed for "), cnt(x).cast("string"),
+            lit(" schemas in 'oneOf'.")))
+      case NotK(s) =>
+        val p = passOf(s).getOrElse(return None)
+        one("not", x => p(x), _ => lit("The 'not' schema didn't raise an error."))
+    }
+    Some(combineViols(parts.result()))
+  }
+
   // ---- array columns (SURVEY §2.1 #8-12 over typed arrays) ----------------
 
   private def arrayChecks(schema: CompiledSchema, c: Column, at: ArrayType, ptr: String,
@@ -721,16 +932,28 @@ object ColumnCompiler {
         out += PredCheck("uniqueItems", ptr, "Array items must be unique.",
           guarded(size(array_distinct(c)) === size(c)))
       case ItemsListK(sub) =>
-        // one higher-order pass per keyword: transform tags failing
-        // elements with their /ptr/<index> violation, filter keeps them
-        val conds = elemConds(sub, et, depth + 1).getOrElse(return None)
-        conds.foreach { cond =>
-          val viols = filter(
-            transform(c, (x, i) => when(cond.fail(x),
-              Check.violStruct(lit(cond.keyword),
-                concat(lit(ptr + "/"), i.cast("string"), lit(cond.suffix)), cond.msg(x)))),
-            v => v.isNotNull)
-          out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+        elemConds(sub, et, depth + 1) match {
+          case Some(conds) =>
+            // one higher-order pass per keyword: transform tags failing
+            // elements with their /ptr/<index> violation, filter keeps them
+            conds.foreach { cond =>
+              val viols = filter(
+                transform(c, (x, i) => when(cond.fail(x),
+                  Check.violStruct(lit(cond.keyword),
+                    concat(lit(ptr + "/"), i.cast("string"), lit(cond.suffix)), cond.msg(x)))),
+                v => v.isNotNull)
+              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+            }
+          case None => et match {
+            case _: ArrayType | _: MapType =>
+              // container elements: the nested emitter with fully
+              // dynamic /ptr/<i>/<...> pointers
+              val inner = nestedElemViols(sub, et, depth + 1).getOrElse(return None)
+              val viols = flatten(transform(c, (x, i) =>
+                inner(x, concat(lit(ptr + "/"), i.cast("string")))))
+              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+            case _ => return None
+          }
         }
       case _: ItemsTupleK => return None // tuple form → tree path
       case EnumK(_)       => return None // deep array equality → tree path
@@ -799,28 +1022,48 @@ object ColumnCompiler {
           b.result().foreach(ch => out += ch.skipWhen(c.isNull || !map_contains_key(c, k)))
         }
       case pk: PropsK =>
+        // container-typed values route through the nested emitter
+        def containerValue(sub: CompiledSchema): Option[ElemViols] = vt match {
+          case _: ArrayType | _: MapType => nestedElemViols(sub, vt, depth + 1)
+          case _                         => None
+        }
         // named properties: value at a known key — static pointer
         pk.props.foreach { case (k, sub) =>
-          val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
           val x = c.getItem(k)
           val present = map_contains_key(c, k)
-          conds.foreach { cond =>
-            out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
-              guarded(!present || !cond.fail(x)),
-              messageCol = Some(cond.msg(x)))
+          elemConds(sub, vt, depth + 1) match {
+            case Some(conds) =>
+              conds.foreach { cond =>
+                out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
+                  guarded(!present || !cond.fail(x)),
+                  messageCol = Some(cond.msg(x)))
+              }
+            case None =>
+              val inner = containerValue(sub).getOrElse(return None)
+              out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
+                .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
           }
         }
         // patternProperties iterate the runtime key set
         pk.patterns.foreach { case (re, sub) =>
-          val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
-          conds.foreach { cond =>
-            val viols = filter(
-              transform(map_entries(c), e => when(e("key").rlike(re) && cond.fail(e("value")),
-                Check.violStruct(lit(cond.keyword),
-                  concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
-                  cond.msg(e("value"))))),
-              v => v.isNotNull)
-            out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+          elemConds(sub, vt, depth + 1) match {
+            case Some(conds) =>
+              conds.foreach { cond =>
+                val viols = filter(
+                  transform(map_entries(c), e => when(e("key").rlike(re) && cond.fail(e("value")),
+                    Check.violStruct(lit(cond.keyword),
+                      concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
+                      cond.msg(e("value"))))),
+                  v => v.isNotNull)
+                out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+              }
+            case None =>
+              val inner = containerValue(sub).getOrElse(return None)
+              val viols = flatten(transform(map_entries(c), e =>
+                when(e("key").rlike(re),
+                  inner(e("value"), concat(lit(ptr + "/"), escPtrCol(e("key")))))
+                  .otherwise(Check.emptyViolations)))
+              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
           }
         }
         if (pk.additional != AllowAll) {
@@ -839,15 +1082,24 @@ object ColumnCompiler {
                 v => v.isNotNull)
               out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
             case AdditionalSchema(sub) =>
-              val conds = elemConds(sub, vt, depth + 1).getOrElse(return None)
-              conds.foreach { cond =>
-                val viols = filter(
-                  transform(map_entries(c), e => when(!matched(e("key")) && cond.fail(e("value")),
-                    Check.violStruct(lit(cond.keyword),
-                      concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
-                      cond.msg(e("value"))))),
-                  v => v.isNotNull)
-                out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+              elemConds(sub, vt, depth + 1) match {
+                case Some(conds) =>
+                  conds.foreach { cond =>
+                    val viols = filter(
+                      transform(map_entries(c), e => when(!matched(e("key")) && cond.fail(e("value")),
+                        Check.violStruct(lit(cond.keyword),
+                          concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
+                          cond.msg(e("value"))))),
+                      v => v.isNotNull)
+                    out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+                  }
+                case None =>
+                  val inner = containerValue(sub).getOrElse(return None)
+                  val viols = flatten(transform(map_entries(c), e =>
+                    when(!matched(e("key")),
+                      inner(e("value"), concat(lit(ptr + "/"), escPtrCol(e("key")))))
+                      .otherwise(Check.emptyViolations)))
+                  out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
               }
             case AllowAll => ()
           }

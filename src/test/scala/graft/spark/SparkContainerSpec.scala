@@ -279,6 +279,88 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
   }
 
+  // ---- nested containers (array-of-arrays / array-of-maps) -----------------
+
+  test("array<array> items recurse with two dynamic pointer components") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grid", ArrayType(ArrayType(LongType, containsNull = true),
+        containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Seq(1L, 2L), Seq(3L))),
+      Row(2L, Seq(Seq(1L, 99L), Seq[Any](null), Seq.empty[Long])),
+      Row(3L, Seq[Any](null, Seq(4L))),
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"grid": {
+        |  "items": {"type": "array",
+        |            "items": {"type": "integer", "maximum": 10},
+        |            "minItems": 1}
+        |}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got.contains((2L, "maximum", "/grid/0/1")))  // 99 at [0][1]
+    assert(got.contains((2L, "type", "/grid/1/0")))     // null inner element
+    assert(got.contains((2L, "minItems", "/grid/2")))   // empty inner array
+    assert(got.contains((3L, "type", "/grid/0")))       // null inner array
+    assert(!got.exists(_._1 == 1L) && !got.exists(_._1 == 4L))
+  }
+
+  test("array<map> items apply object keywords per element") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ms", ArrayType(MapType(StringType, LongType, valueContainsNull = true),
+        containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Map("k" -> 1L))),
+      Row(2L, Seq(Map("k" -> 99L), Map("z" -> 1L))),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"ms": {
+        |  "items": {"required": ["k"], "properties": {"k": {"maximum": 50}}}
+        |}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "maximum", "/ms/0/k"), (2L, "required", "/ms/1")))
+  }
+
+  test("map<string,array> values validate through named and pattern properties") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, ArrayType(LongType, containsNull = true),
+        valueContainsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Map("k" -> Seq(1L, 2L), "w_a" -> Seq(3L))),
+      Row(2L, Map("k" -> Seq(1L, 2L, 3L), "w_b" -> Seq(-5L))),
+      Row(3L, Map[String, Any]("k" -> null)),
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"m": {
+        |  "properties": {"k": {"maxItems": 2}},
+        |  "patternProperties": {"^w_": {"items": {"minimum": 0}}}
+        |}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "maxItems", "/m/k"), (2L, "minimum", "/m/w_b/0")))
+  }
+
+  test("deep nest: array<array<struct>> bottoms out on the struct machinery") {
+    val item = StructType(Seq(StructField("v", LongType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", ArrayType(ArrayType(item, containsNull = true),
+        containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Seq(Row(5L)))),
+      Row(2L, Seq(Seq(Row(-1L), Row(null: Any)))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"g": {"items": {"items":
+        |  {"required": ["v"], "properties": {"v": {"minimum": 0}}}}}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "minimum", "/g/0/0/v"), (2L, "required", "/g/0/1")))
+  }
+
   test("nested array inside a struct element still falls back to the tree path") {
     val item = StructType(Seq(
       StructField("xs", ArrayType(LongType, containsNull = true), nullable = true)))

@@ -236,8 +236,18 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       """, "uniqueItems": true""") // struct equality ≟ deepEqual (null fields, dup Rows)
   } yield s"""{"items": $items$size}"""
 
+  // nested containers: array<array<long>> with per-inner-array checks
+  private val genGridSchema: Gen[String] = for {
+    innerLeaf <- genElemLeaf
+    innerExtra <- Gen.oneOf("", """, "minItems": 1""", """, "uniqueItems": true""",
+      """, "type": ["array", "null"]""")
+    outerExtra <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""")
+  } yield s"""{"items": {"items": $innerLeaf$innerExtra}$outerExtra}"""
+
   private val containerRowSchema = StructType(Seq(
     StructField("xs", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("grid", ArrayType(ArrayType(LongType, containsNull = true),
+      containsNull = true), nullable = true),
     StructField("ls", ArrayType(StructType(Seq(
       StructField("a", LongType, nullable = true),
       StructField("b", StringType, nullable = true))), containsNull = true), nullable = true),
@@ -263,18 +273,25 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       Gen.oneOf[Any]("en", "", "e9", null)).map { case (a, b) => Row(a, b) },
     Gen.const(null))
 
+  private val genGrid: Gen[Any] = Gen.oneOf(
+    Gen.resize(3, Gen.listOf(Gen.oneOf[Any](genXs, Gen.const(null)))).map(l => l: Seq[Any]),
+    Gen.const(null))
+
   private val genLs: Gen[Any] = Gen.oneOf(
     Gen.resize(3, Gen.listOf(Gen.oneOf[Any](genSt, Gen.const(null)))).map(l => l: Seq[Any]),
     Gen.const(null))
 
   private val genContainerRow: Gen[Row] =
-    Gen.zip(genXs, genLs, genM, genSt).map { case (xs, ls, m, st) => Row(xs, ls, m, st) }
+    Gen.zip(genXs, genGrid, genLs, genM, genSt)
+      .map { case (xs, g, ls, m, st) => Row(xs, g, ls, m, st) }
 
   property("fast path ≡ tree path on container columns under random schemas") =
-    org.scalacheck.Prop.forAllNoShrink(genArraySchema, genArrStructSchema, genMapSchema,
-      genStructSchema, Gen.listOfN(40, genContainerRow)) { (sa, sls, sm, sst, rows) =>
+    org.scalacheck.Prop.forAllNoShrink(genArraySchema, genGridSchema,
+      Gen.zip(genArrStructSchema, genMapSchema, genStructSchema),
+      Gen.listOfN(40, genContainerRow)) { (sa, sg, rest, rows) =>
+      val (sls, sm, sst) = rest
       val schemaJson =
-        s"""{"properties": {"xs": $sa, "ls": $sls, "m": $sm, "st": $sst}}"""
+        s"""{"properties": {"xs": $sa, "grid": $sg, "ls": $sls, "m": $sm, "st": $sst}}"""
       val schema = Validate.compileSchema(schemaJson)
       val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
       val df = spark.createDataFrame(
