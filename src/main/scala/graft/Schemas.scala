@@ -103,6 +103,23 @@ object Schemas {
       |  }
       |}""".stripMargin
 
+  /** Nested-container schema for an `array<array<double>>` column
+    * derived from `events`: inner arrays validated recursively with
+    * fully dynamic two-component pointers (`/grid/<i>/<j>`) — the
+    * container-typed-element arm of the Catalyst fast path.
+    */
+  val eventGrid: String =
+    """{
+      |  "type": "object",
+      |  "properties": {
+      |    "grid": {
+      |      "type": "array",
+      |      "items": {"type": "array", "minItems": 1,
+      |                "items": {"type": "number", "maximum": 300}}
+      |    }
+      |  }
+      |}""".stripMargin
+
   /** Tree-path schema for `events.props` (a JSON-string column):
     * nested object validation the fast path can't express.
     */

@@ -34,6 +34,7 @@ object SparkEntry {
   private lazy val documentSchema = Validate.compileSchema(Schemas.document)
   private lazy val embeddingRowSchema = Validate.compileSchema(Schemas.embeddingRow)
   private lazy val eventAttrsSchema = Validate.compileSchema(Schemas.eventAttrs)
+  private lazy val eventGridSchema = Validate.compileSchema(Schemas.eventGrid)
   private lazy val documentStrictSchema = Validate.compileSchema(Schemas.documentStrict)
   private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
 
@@ -117,6 +118,19 @@ object SparkEntry {
           map(concat(lit("t_"), col("event_type")), col("value"),
             lit("user"), col("user_id").cast("double")).as("attrs")),
         eventAttrsSchema, Seq("event_id"))),
+
+    // array<array<double>> nested-container elements: inner arrays
+    // recurse through the dynamic-pointer emitter (/grid/<i>/<j>),
+    // incl. a null inner array hitting the element type check
+    "v_nested_fast" -> ((s, dir) =>
+      Validate.violations(
+        table(s, dir, "events").select(col("event_id"),
+          array(
+            array(col("value")),
+            array(col("value") * 2, col("user_id").cast("double")),
+            when(col("user_id") % 7 === 0, lit(null))
+              .otherwise(array(col("value") / 4))).as("grid")),
+        eventGridSchema, Seq("event_id"))),
 
     // --- table-level constraints (SURVEY.md §2.3) --------------------
 
@@ -409,6 +423,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, 'minimum', '/attrs/user', 'Value must be at least 1.'
         |  FROM events WHERE CAST(user_id AS DOUBLE) < 1""".stripMargin,
+
+    "v_nested_fast" ->
+      """SELECT event_id, 'maximum' AS keyword, '/grid/0/0' AS json_pointer,
+        |       'Value must be at most 300.' AS message
+        |  FROM events WHERE value > 300
+        |UNION ALL
+        |SELECT event_id, 'maximum', '/grid/1/0', 'Value must be at most 300.'
+        |  FROM events WHERE value * 2 > 300
+        |UNION ALL
+        |SELECT event_id, 'maximum', '/grid/1/1', 'Value must be at most 300.'
+        |  FROM events WHERE CAST(user_id AS DOUBLE) > 300
+        |UNION ALL
+        |SELECT event_id, 'type', '/grid/2',
+        |       'Value must be one of these types: [array]. Got null'
+        |  FROM events WHERE user_id % 7 = 0""".stripMargin,
 
     "v_doc_summary" ->
       """SELECT lang,

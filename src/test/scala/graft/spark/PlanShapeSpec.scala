@@ -151,7 +151,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // keywords) must compile to higher-order Catalyst expressions —
     // never the interpreted mapPartitions tree fallback, and no
     // shuffle: per-row work only
-    for (q <- Seq("v_array_fast", "v_map_fast")) {
+    for (q <- Seq("v_array_fast", "v_map_fast", "v_nested_fast")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       assert(!p.contains("MapPartitions"), s"$q fell back to the tree path:\n$p")
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
