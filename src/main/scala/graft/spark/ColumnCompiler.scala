@@ -849,13 +849,14 @@ object ColumnCompiler {
             Check.emptyViolations).otherwise(
               inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
         }
+        // patternProperties + additionalProperties fuse into one
+        // map_entries pass (same shape as [[mapChecks]])
+        val entryParts = Vector.newBuilder[(Column, Column, Column) => Column]
         pk.patterns.foreach { case (re, sub) =>
           val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-          parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
-            flatten(transform(map_entries(x), e =>
-              when(e("key").rlike(re),
-                inner(e("value"), concat(ptr, lit("/"), escPtrCol(e("key")))))
-                .otherwise(Check.emptyViolations)))))
+          entryParts += ((key, v, ptr) => when(key.rlike(re),
+            inner(v, concat(ptr, lit("/"), escPtrCol(key))))
+            .otherwise(Check.emptyViolations))
         }
         if (pk.additional != AllowAll) {
           val propKeys = pk.props.keys.toSeq
@@ -865,21 +866,28 @@ object ColumnCompiler {
           }
           pk.additional match {
             case ForbidAdditional =>
-              parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
-                filter(transform(map_entries(x), e => when(!matched(e("key")),
-                  Check.violStruct(lit("additionalProperties"),
-                    concat(ptr, lit("/"), escPtrCol(e("key"))),
-                    concat(lit("Additional property '"), e("key"), lit("' is not allowed."))))),
-                  v => v.isNotNull)))
+              entryParts += ((key, _, ptr) => when(!matched(key),
+                array(Check.violStruct(lit("additionalProperties"),
+                  concat(ptr, lit("/"), escPtrCol(key)),
+                  concat(lit("Additional property '"), key, lit("' is not allowed.")))))
+                .otherwise(Check.emptyViolations))
             case AdditionalSchema(sub) =>
               val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-              parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
-                flatten(transform(map_entries(x), e =>
-                  when(!matched(e("key")),
-                    inner(e("value"), concat(ptr, lit("/"), escPtrCol(e("key")))))
-                    .otherwise(Check.emptyViolations)))))
+              entryParts += ((key, v, ptr) => when(!matched(key),
+                inner(v, concat(ptr, lit("/"), escPtrCol(key))))
+                .otherwise(Check.emptyViolations))
             case AllowAll => ()
           }
+        }
+        entryParts.result() match {
+          case Vector() => ()
+          case eps =>
+            parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+              flatten(transform(map_entries(x), e =>
+                eps.map(p => p(e("key"), e("value"), ptr)) match {
+                  case Vector(one) => one
+                  case many        => concat(many: _*)
+                }))))
         }
       case EnumK(_) => return None // deep object equality → tree path
       // scalar/array keywords skip on an object value
@@ -1022,11 +1030,6 @@ object ColumnCompiler {
           b.result().foreach(ch => out += ch.skipWhen(c.isNull || !map_contains_key(c, k)))
         }
       case pk: PropsK =>
-        // container-typed values route through the nested emitter
-        def containerValue(sub: CompiledSchema): Option[ElemViols] = vt match {
-          case _: ArrayType | _: MapType => nestedElemViols(sub, vt, depth + 1)
-          case _                         => None
-        }
         // named properties: value at a known key — static pointer
         pk.props.foreach { case (k, sub) =>
           val x = c.getItem(k)
@@ -1039,32 +1042,21 @@ object ColumnCompiler {
                   messageCol = Some(cond.msg(x)))
               }
             case None =>
-              val inner = containerValue(sub).getOrElse(return None)
+              val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
               out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
                 .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
           }
         }
-        // patternProperties iterate the runtime key set
+        // patternProperties + additionalProperties: ONE fused pass over
+        // map_entries — per entry, every applicable subschema's
+        // violations concatenate (HOFs are interpreted, so each extra
+        // pass is a full map traversal worth fusing away)
+        val entryParts = Vector.newBuilder[(Column, Column) => Column]
         pk.patterns.foreach { case (re, sub) =>
-          elemConds(sub, vt, depth + 1) match {
-            case Some(conds) =>
-              conds.foreach { cond =>
-                val viols = filter(
-                  transform(map_entries(c), e => when(e("key").rlike(re) && cond.fail(e("value")),
-                    Check.violStruct(lit(cond.keyword),
-                      concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
-                      cond.msg(e("value"))))),
-                  v => v.isNotNull)
-                out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
-              }
-            case None =>
-              val inner = containerValue(sub).getOrElse(return None)
-              val viols = flatten(transform(map_entries(c), e =>
-                when(e("key").rlike(re),
-                  inner(e("value"), concat(lit(ptr + "/"), escPtrCol(e("key")))))
-                  .otherwise(Check.emptyViolations)))
-              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
-          }
+          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+          entryParts += ((key, v) => when(key.rlike(re),
+            inner(v, concat(lit(ptr + "/"), escPtrCol(key))))
+            .otherwise(Check.emptyViolations))
         }
         if (pk.additional != AllowAll) {
           val propKeys = pk.props.keys.toSeq
@@ -1074,35 +1066,28 @@ object ColumnCompiler {
           }
           pk.additional match {
             case ForbidAdditional =>
-              val viols = filter(
-                transform(map_entries(c), e => when(!matched(e("key")),
-                  Check.violStruct(lit("additionalProperties"),
-                    concat(lit(ptr + "/"), escPtrCol(e("key"))),
-                    concat(lit("Additional property '"), e("key"), lit("' is not allowed."))))),
-                v => v.isNotNull)
-              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
+              entryParts += ((key, _) => when(!matched(key),
+                array(Check.violStruct(lit("additionalProperties"),
+                  concat(lit(ptr + "/"), escPtrCol(key)),
+                  concat(lit("Additional property '"), key, lit("' is not allowed.")))))
+                .otherwise(Check.emptyViolations))
             case AdditionalSchema(sub) =>
-              elemConds(sub, vt, depth + 1) match {
-                case Some(conds) =>
-                  conds.foreach { cond =>
-                    val viols = filter(
-                      transform(map_entries(c), e => when(!matched(e("key")) && cond.fail(e("value")),
-                        Check.violStruct(lit(cond.keyword),
-                          concat(lit(ptr + "/"), escPtrCol(e("key")), lit(cond.suffix)),
-                          cond.msg(e("value"))))),
-                      v => v.isNotNull)
-                    out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
-                  }
-                case None =>
-                  val inner = containerValue(sub).getOrElse(return None)
-                  val viols = flatten(transform(map_entries(c), e =>
-                    when(!matched(e("key")),
-                      inner(e("value"), concat(lit(ptr + "/"), escPtrCol(e("key")))))
-                      .otherwise(Check.emptyViolations)))
-                  out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
-              }
+              val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+              entryParts += ((key, v) => when(!matched(key),
+                inner(v, concat(lit(ptr + "/"), escPtrCol(key))))
+                .otherwise(Check.emptyViolations))
             case AllowAll => ()
           }
+        }
+        entryParts.result() match {
+          case Vector() => ()
+          case parts =>
+            val perEntry = (e: Column) => parts.map(p => p(e("key"), e("value"))) match {
+              case Vector(one) => one
+              case many        => concat(many: _*)
+            }
+            out += ElemCheck(when(c.isNull, Check.emptyViolations)
+              .otherwise(flatten(transform(map_entries(c), perEntry))))
         }
       case EnumK(_) => return None // deep object equality → tree path
       // scalar/array keywords skip on an object instance

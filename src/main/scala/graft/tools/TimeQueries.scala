@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev timing probe: run named `SparkEntry.queries` entries (all when no
+  * names given) against a testdata dir and print per-query wall times.
+  * Unlike [[graft.Bench]] this runs no scaling ladder and writes no
+  * files — safe for quick before/after comparisons while iterating.
+  *
+  * {{{
+  * sbt -batch "runMain graft.tools.TimeQueries /root/testdata/sf0.1 v_map_fast v_nested_fast"
+  * }}}
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: TimeQueries <sfDir> [query ...]")
+    val sfDir = args.head
+    val names = if (args.length > 1) args.tail.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the parquet footer / codegen caches so the first timed query
+    // doesn't absorb session start-up
+    spark.read.parquet(s"$sfDir/events.parquet").count()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      val walls = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, n)
+      }
+      val best = walls.map(_._1).min
+      println(f"$name%-20s best $best%6.3f s  (rows ${walls.head._2}, samples ${walls.map(w => f"${w._1}%.3f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}
