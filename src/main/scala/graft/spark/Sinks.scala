@@ -1,5 +1,6 @@
 package graft.spark
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,6 +10,8 @@ import org.apache.spark.sql.functions._
   * in-memory list.
   */
 object Sinks {
+
+  private val Manifest = "_current"
 
   /** Write violations partitioned by `keyword` (directory pruning: a
     * "show me all pattern failures" read touches one partition) and
@@ -21,48 +24,78 @@ object Sinks {
     * discovery) carries the schema so a zero-violation run still leaves
     * a readable sink (`partitionBy` of an empty frame writes no data
     * files at all).
+    *
+    * Commit protocol: a miniature table-format snapshot. Data lands in
+    * a fresh `v-<token>/` version directory under the sink path; the
+    * live version is the one named by the single-line `_current`
+    * manifest, which is published with ONE atomic single-file rename
+    * (`FileContext.rename(OVERWRITE)`). Readers resolve the manifest
+    * and never observe a missing or half-written sink — there is no
+    * multi-rename window. A crash before publish leaves the old
+    * version live and an orphan `v-*` dir; orphans and the superseded
+    * previous version are swept at the START of the next write, so a
+    * reader that resolved the old version keeps a one-write grace
+    * period (the same contract as table-format snapshot expiry).
+    * Concurrent writers to ONE sink path still need external
+    * coordination — last manifest published wins.
     */
   def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit = {
-    // Stage the FULL sink (data + sidecar) in a temp directory, then
-    // retire the previous sink with a rename and rename the staged one
-    // into place. Each rename is atomic (HDFS/local), but the swap as a
-    // whole is NOT: a crash between the two renames leaves the target
-    // briefly missing — the previous data is still intact in the
-    // `.retired-*` dir (recoverable), unlike a delete-then-rename where
-    // a crash destroys the old sink outright. Stale `.inprogress-*` /
-    // `.retired-*` leftovers from crashed runs are swept on the next
-    // write. Concurrent writers to ONE sink path still need external
-    // coordination; on rename-less object stores the production
-    // analogue is a table-format commit (Iceberg snapshot), which makes
-    // both windows vanish.
     val hconf = violations.sparkSession.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(hconf)
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress-" + token)
-    val parent = target.getParent
-    if (parent != null && fs.exists(parent)) {
-      val stale = fs.listStatus(parent).map(_.getPath).filter { p =>
+
+    // sweep: anything that is neither the live version nor the manifest
+    // is a crashed write's orphan or a superseded version
+    val live = currentVersion(fs, root)
+    if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath).foreach { p =>
         val n = p.getName
-        n.startsWith(target.getName + ".inprogress-") ||
-          n.startsWith(target.getName + ".retired-")
+        val keep = n == Manifest || live.contains(n)
+        if (!keep) fs.delete(p, true)
       }
-      stale.foreach(fs.delete(_, true))
     }
+
+    val versionDir = new Path(root, "v-" + token)
     violations
       .repartition((("keyword") +: keyCols).map(col): _*)
       .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
-      .write.mode("overwrite").partitionBy("keyword").parquet(tmp.toString)
-    violations.limit(0).write.mode("overwrite").parquet(tmp.toString + "/_schema")
-    val retired = new org.apache.hadoop.fs.Path(path + ".retired-" + token)
-    val hadOld = fs.exists(target)
-    if (hadOld && !fs.rename(target, retired))
-      throw new java.io.IOException(s"could not retire previous sink at $target")
-    if (!fs.rename(tmp, target)) {
-      if (hadOld) fs.rename(retired, target) // restore before failing
-      throw new java.io.IOException(s"could not move staged sink $tmp into place at $target")
+      .write.mode("overwrite").partitionBy("keyword").parquet(versionDir.toString)
+    violations.limit(0).write.mode("overwrite").parquet(versionDir.toString + "/_schema")
+
+    // publish: single-file atomic replace of the manifest
+    val tmpManifest = new Path(root, Manifest + ".tmp-" + token)
+    val out = fs.create(tmpManifest, true)
+    try out.write(("v-" + token).getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, hconf)
+      .rename(tmpManifest, new Path(root, Manifest), Options.Rename.OVERWRITE)
+  }
+
+  /** The live version dir name from the manifest, if any. */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[String] = {
+    val m = new Path(root, Manifest)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim).filter(_.nonEmpty)
+      } finally in.close()
     }
-    if (hadOld) fs.delete(retired, true)
+  }
+
+  /** Resolve the live data directory of a sink: the manifest's version
+    * dir, or (legacy / externally-written layout) the path itself when
+    * no manifest exists.
+    */
+  def resolveDataDir(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentVersion(fs, root) match {
+      case Some(v) => new Path(root, v).toString
+      case None    => path
+    }
   }
 
   /** Read back one keyword's violations — prunes to a single partition
@@ -70,12 +103,14 @@ object Sinks {
     * reads as the empty frame via the `_schema` sidecar.
     */
   def readKeyword(spark: org.apache.spark.sql.SparkSession, path: String,
-                  keyword: String): DataFrame =
-    try spark.read.parquet(path).where(col("keyword") === keyword)
+                  keyword: String): DataFrame = {
+    val data = resolveDataDir(spark, path)
+    try spark.read.parquet(data).where(col("keyword") === keyword)
     catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
            e.getMessage.contains("Unable to infer schema") =>
-        spark.read.parquet(s"$path/_schema").where(col("keyword") === keyword)
+        spark.read.parquet(s"$data/_schema").where(col("keyword") === keyword)
     }
+  }
 }

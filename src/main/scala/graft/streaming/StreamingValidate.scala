@@ -4,7 +4,7 @@ import graft.schema.CompiledSchema
 import graft.spark.{ColumnCompiler, Validate}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Running per-key validation totals — the custom state carried across
   * micro-batches by [[StreamingValidate.runningViolationRates]].
@@ -52,10 +52,13 @@ object StreamingValidate {
     * Without `idleTtl`, state is O(distinct keys) forever — fine for a
     * bounded key universe (languages, sources). For UNBOUNDED keys
     * (user ids, repo names at 100 TB ingest) pass an `idleTtl` (e.g.
-    * "1 hour"): keys idle longer than the TTL are EVICTED — their final
-    * totals are emitted once more at eviction, and a re-arriving key
-    * restarts from zero — bounding state by the active-key working set
-    * instead of the all-time key count.
+    * "1 hour"): keys idle longer than the TTL are EVICTED silently —
+    * their totals were already emitted with their last data batch, so
+    * eviction emits nothing (`flatMapGroupsWithState` with an empty
+    * iterator; a duplicate final-totals row would double-count in any
+    * downstream aggregation) — and a re-arriving key restarts from
+    * zero, bounding state by the active-key working set instead of the
+    * all-time key count.
     *
     * Trigger note: with `ProcessingTimeTimeout` Spark's micro-batch
     * engine always schedules another batch (processing time always
@@ -81,13 +84,14 @@ object StreamingValidate {
       else GroupStateTimeout.NoTimeout
     keyed.as[(String, Boolean)]
       .groupByKey(_._1)(Encoders.STRING)
-      .mapGroupsWithState[(Long, Long), KeyTotals](timeoutConf) {
+      .flatMapGroupsWithState[(Long, Long), KeyTotals](
+        OutputMode.Update, timeoutConf) {
         (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
-            // idle past the TTL: emit the final totals and evict
-            val (seen, failed) = state.getOption.getOrElse((0L, 0L))
+            // idle past the TTL: evict silently — the final totals were
+            // already emitted with the key's last data batch
             state.remove()
-            KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
+            Iterator.empty
           } else {
             var (seen, failed) = state.getOption.getOrElse((0L, 0L))
             rows.foreach { case (_, pass) =>
@@ -96,7 +100,8 @@ object StreamingValidate {
             }
             state.update((seen, failed))
             idleTtl.foreach(state.setTimeoutDuration)
-            KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen)
+            Iterator.single(
+              KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen))
           }
       }
   }

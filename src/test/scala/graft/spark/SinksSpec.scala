@@ -28,8 +28,9 @@ class SinksSpec extends AnyFunSuite {
 
     Sinks.writeViolations(v, path, Seq("doc_id"))
 
-    // one directory per emitted keyword
-    val dirs = Files.list(Paths.get(path)).iterator()
+    // one directory per emitted keyword, under the manifest's live version
+    val data = Sinks.resolveDataDir(spark, path)
+    val dirs = Files.list(Paths.get(data)).iterator()
     val keywordDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
       .map(_.getFileName.toString).filter(_.startsWith("keyword=")).toSet
     val expected = v.select("keyword").distinct().collect()
@@ -37,7 +38,7 @@ class SinksSpec extends AnyFunSuite {
     assert(keywordDirs == expected, s"dirs=$keywordDirs")
 
     // round-trip is lossless
-    assert(spark.read.parquet(path).count() == v.count())
+    assert(spark.read.parquet(data).count() == v.count())
 
     // keyword filter prunes to a single partition directory
     val pruned = Sinks.readKeyword(spark, path, "pattern")
@@ -45,5 +46,51 @@ class SinksSpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") &&
       scan.contains("keyword"), s"no partition pruning:\n$scan")
+  }
+
+  test("manifest commit: rewrites republish atomically and sweep stale state") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val v = Validate.violations(docs, schema, Seq("doc_id"))
+    val path = Files.createTempDirectory("graft_sinkm").toString + "/violations"
+
+    Sinks.writeViolations(v, path, Seq("doc_id"))
+    val v1 = Sinks.resolveDataDir(spark, path)
+
+    // simulate a crashed write: an orphan version dir + a stray tmp manifest
+    Files.createDirectories(Paths.get(path, "v-deadbeef"))
+    Files.writeString(Paths.get(path, "_current.tmp-dead"), "v-deadbeef")
+
+    Sinks.writeViolations(v.limit(10), path, Seq("doc_id"))
+    val v2 = Sinks.resolveDataDir(spark, path)
+    assert(v2 != v1, "rewrite must publish a NEW version dir")
+    // the rewrite's sweep removed the crash debris; the previous live
+    // version survives one write (reader grace period)
+    val names = Files.list(Paths.get(path)).iterator()
+    val top = Iterator.continually(names).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toSet
+    assert(!top.contains("v-deadbeef") && !top.exists(_.startsWith("_current.tmp-")),
+      s"stale state not swept: $top")
+    assert(top.contains(Paths.get(v1).getFileName.toString), s"grace version gone: $top")
+    assert(spark.read.parquet(v2).count() == 10)
+
+    // a third write sweeps the first version
+    Sinks.writeViolations(v.limit(5), path, Seq("doc_id"))
+    val names3 = Files.list(Paths.get(path)).iterator()
+    val top3 = Iterator.continually(names3).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toSet
+    assert(!top3.contains(Paths.get(v1).getFileName.toString), s"v1 not expired: $top3")
+    assert(Sinks.readKeyword(spark, path, "pattern").count() <= 5)
+  }
+
+  test("legacy layout without a manifest still reads") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val v = Validate.violations(docs, schema, Seq("doc_id")).limit(7)
+    val dir = Files.createTempDirectory("graft_sinkl").toString + "/violations"
+    v.write.partitionBy("keyword").parquet(dir) // externally-written plain layout
+    assert(Sinks.resolveDataDir(spark, dir) == dir)
+    val n = Sinks.readKeyword(spark, dir, "pattern").count()
+    assert(n == v.where(col("keyword") === "pattern").count())
   }
 }

@@ -100,6 +100,14 @@ class StreamingValidateSpec extends AnyFunSuite {
       // really was removed rather than carried to (3,2)
       waitFor("restart-from-zero (1,1) after eviction")(enRows.contains((1L, 1L)))
       assert(!enRows.contains((3L, 2L)), s"state survived the TTL: $enRows")
+      // eviction must be SILENT: the (2,1) totals were emitted once by
+      // their data batch; a second copy at timeout would double-count
+      // downstream. The memory sink appends update-mode rows per batch,
+      // so a duplicate emission would show as a second (2,1) row.
+      val n21 = spark.table("stream_rates_ttl")
+        .where(col("key") === "en" && col("rows_seen") === 2L && col("rows_failed") === 1L)
+        .count()
+      assert(n21 == 1L, s"eviction re-emitted final totals ($n21 copies of (2,1))")
     } finally q.stop()
   }
 
