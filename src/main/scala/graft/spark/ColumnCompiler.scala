@@ -717,15 +717,25 @@ object ColumnCompiler {
     dt match {
       case at: ArrayType => nestedArrayViols(schema, at, depth)
       case mt: MapType   => nestedMapViols(schema, mt, depth)
-      case _ =>
-        elemConds(schema, dt, depth).map { conds => (x: Column, ptr: Column) =>
-          if (conds.isEmpty) Check.emptyViolations
-          else filter(array(conds.map(cnd => when(cnd.fail(x),
-            Check.violStruct(lit(cnd.keyword), concat(ptr, lit(cnd.suffix)), cnd.msg(x)))): _*),
-            v => v.isNotNull)
-        }
+      case st: StructType =>
+        // all-static struct (scalar fields only) lifts its ElemCond
+        // vector; container-typed FIELDS need the recursive emitter
+        liftLeafViols(schema, st, depth).orElse(nestedStructViols(schema, st, depth))
+      case _ => liftLeafViols(schema, dt, depth)
     }
   }
+
+  /** Lift a static ElemCond vector to an emitter (pointers become
+    * `concat(dynamic prefix, static suffix)`).
+    */
+  private def liftLeafViols(schema: CompiledSchema, dt: DataType,
+                            depth: Int): Option[ElemViols] =
+    elemConds(schema, dt, depth).map { conds => (x: Column, ptr: Column) =>
+      if (conds.isEmpty) Check.emptyViolations
+      else filter(array(conds.map(cnd => when(cnd.fail(x),
+        Check.violStruct(lit(cnd.keyword), concat(ptr, lit(cnd.suffix)), cnd.msg(x)))): _*),
+        v => v.isNotNull)
+    }
 
   /** Concatenate per-keyword emitters into one. */
   private def combineViols(parts: Vector[ElemViols]): ElemViols = (x, ptr) =>
@@ -768,8 +778,14 @@ object ColumnCompiler {
         val inner = nestedElemViols(sub, at.elementType, depth + 1).getOrElse(return None)
         parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
           flatten(transform(x, (e, i) => inner(e, concat(ptr, lit("/"), i.cast("string")))))))
-      case _: ItemsTupleK => return None // tuple form → tree path
-      case EnumK(_)       => return None // deep array equality → tree path
+      case tk: ItemsTupleK =>
+        val e = tupleViols(tk, at.elementType, depth).getOrElse(return None)
+        parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(e(x, ptr)))
+      case EnumK(values) =>
+        val pred = arrayEnumPred(values, at).getOrElse(return None)
+        val nullOk = values.contains(graft.json.JNull)
+        one("enum", x => when(x.isNull, lit(!nullOk)).otherwise(!pred(x)),
+          _ => lit(Msg.enumErr))
       // scalar/object keywords skip on an array value
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()
@@ -915,6 +931,241 @@ object ColumnCompiler {
     Some(combineViols(parts.result()))
   }
 
+  /** Struct-typed container elements whose FIELDS are themselves
+    * containers (e.g. `array<struct<xs: array<long>>>`) — the shape
+    * [[structElemConds]] cannot express statically. Field routing still
+    * resolves at compile time (the field set is static); only the
+    * violation pointers inside container fields are dynamic. A NULL
+    * element is a present JSON null; a NULL FIELD is an absent key
+    * (bridge convention), so every check on it skips.
+    */
+  private def nestedStructViols(schema: CompiledSchema, st: StructType,
+                                depth: Int): Option[ElemViols] = {
+    val names = st.fields.map(_.name).toVector
+    val parts = Vector.newBuilder[ElemViols]
+    def one(keyword: String, fail: Column => Column, msg: Column => Column): Unit =
+      parts += ((x, ptr) => filter(array(when(fail(x),
+        Check.violStruct(lit(keyword), ptr, msg(x)))), v => v.isNotNull))
+    def passOf(sub: CompiledSchema): Option[Column => Column] =
+      nestedElemViols(sub, st, depth + 1).map(e => (x: Column) => size(e(x, lit(""))) === 0)
+    /** One field's subschema applied at `x.getField(name)`; absent
+      * (NULL) field ⇒ skip.
+      */
+    def fieldViols(sub: CompiledSchema, name: String): Option[ElemViols] =
+      nestedElemViols(sub, st(name).dataType, depth + 1).map { inner => (x, ptr) =>
+        when(x.isNull || x.getField(name).isNull, Check.emptyViolations)
+          .otherwise(inner(x.getField(name), concat(ptr, lit("/" + escPtr(name)))))
+      }
+    def cnt(x: Column) =
+      names.map(f => when(x.getField(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+
+    schema.keywords.foreach {
+      case TypeK(types) =>
+        if (!types.contains("any")) {
+          val okPresent = types.contains("object")
+          val okNull = types.contains("null")
+          if (!okPresent || !okNull)
+            one("type",
+              x => when(x.isNull, lit(!okNull)).otherwise(lit(!okPresent)),
+              x => when(x.isNull, lit(Msg.typeErr(types, "null")))
+                .otherwise(lit(Msg.typeErr(types, "object"))))
+        }
+      case RequiredK(keys) =>
+        keys.foreach { k =>
+          val missing: Column => Column =
+            if (names.contains(k)) x => x.isNotNull && x.getField(k).isNull
+            else x => x.isNotNull
+          one("required", missing, _ => lit(Msg.required(k)))
+        }
+      case MaxPropertiesK(n) =>
+        one("maxProperties", x => x.isNotNull && !(cnt(x) <= n),
+          _ => lit(s"Object must have at most $n properties."))
+      case MinPropertiesK(n) =>
+        one("minProperties", x => x.isNotNull && !(cnt(x) >= n),
+          _ => lit(s"Object must have at least $n properties."))
+      case DependenciesK(schemaDeps, propDeps) =>
+        propDeps.foreach { case (k, needed) =>
+          if (names.contains(k))
+            needed.foreach { n =>
+              val fail: Column => Column =
+                if (names.contains(n))
+                  x => x.isNotNull && x.getField(k).isNotNull && x.getField(n).isNull
+                else x => x.isNotNull && x.getField(k).isNotNull
+              one("dependencies", fail, _ => lit(s"Property '$k' requires property '$n'."))
+            }
+        }
+        schemaDeps.foreach { case (k, sub) =>
+          if (names.contains(k)) {
+            val e = nestedElemViols(sub, st, depth + 1).getOrElse(return None)
+            parts += ((x, ptr) => when(x.isNull || x.getField(k).isNull,
+              Check.emptyViolations).otherwise(e(x, ptr)))
+          }
+        }
+      case pk: PropsK =>
+        names.foreach { name =>
+          var matched = false
+          pk.props.get(name).foreach { sub =>
+            matched = true
+            parts += fieldViols(sub, name).getOrElse(return None)
+          }
+          pk.patterns.foreach { case (regex, sub) =>
+            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+              matched = true
+              parts += fieldViols(sub, name).getOrElse(return None)
+            }
+          }
+          if (!matched) pk.additional match {
+            case AllowAll => ()
+            case ForbidAdditional =>
+              parts += ((x, ptr) => filter(array(
+                when(x.isNotNull && x.getField(name).isNotNull,
+                  Check.violStruct(lit("additionalProperties"),
+                    concat(ptr, lit("/" + escPtr(name))),
+                    lit(Msg.additionalProperty(name))))), v => v.isNotNull))
+            case AdditionalSchema(sub) =>
+              parts += fieldViols(sub, name).getOrElse(return None)
+          }
+        }
+      case EnumK(_) => return None // deep object equality → tree path
+      // scalar/array keywords skip on an object value
+      case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
+           _: PatternK | _: FormatK => ()
+      case _: ItemsListK | _: ItemsTupleK | _: MaxItemsK | _: MinItemsK | UniqueItemsK => ()
+      case AllOfK(ss) =>
+        ss.foreach(s => parts += nestedElemViols(s, st, depth + 1).getOrElse(return None))
+      case RefK(t) =>
+        parts += nestedElemViols(t, st, depth + 1).getOrElse(return None)
+      case AnyOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        one("anyOf", x => !passes.map(_(x)).reduceOption(_ || _).getOrElse(lit(false)),
+          _ => lit("Validation failed for each schema in 'anyOf'."))
+      case OneOfK(ss) =>
+        val passes = ss.map(s => passOf(s).getOrElse(return None))
+        def pcnt(x: Column) = passes.map(_(x).cast("int")).foldLeft(lit(0))(_ + _)
+        one("oneOf", x => pcnt(x) =!= 1,
+          x => concat(lit("Validation passed for "), pcnt(x).cast("string"),
+            lit(" schemas in 'oneOf'.")))
+      case NotK(s) =>
+        val p = passOf(s).getOrElse(return None)
+        one("not", x => p(x), _ => lit("The 'not' schema didn't raise an error."))
+    }
+    Some(combineViols(parts.result()))
+  }
+
+  // ---- container enum (deep equality compiled to array literals) ----------
+
+  /** Float elements widen through the lexical double bridge (same as
+    * [[ScalarOps.numValue]]) so enum literals — doubles — compare
+    * exactly; identity for other element types.
+    */
+  private def enumNormType(dt: DataType): DataType = dt match {
+    case FloatType            => DoubleType
+    case ArrayType(et, n)     => ArrayType(enumNormType(et), n)
+    case _                    => dt
+  }
+  private def enumNorm(c: Column, dt: DataType): Column = dt match {
+    case FloatType => c.cast(StringType).cast(DoubleType)
+    case ArrayType(et, _) if enumNormType(et) != et => transform(c, x => enumNorm(x, et))
+    case _ => c
+  }
+
+  /** A Spark literal for one enum member in the NORMALIZED domain of
+    * `dt`. `Right(Some)` = representable, `Right(None)` = provably
+    * never equal to any value of this type (safe to drop — same rule
+    * as [[ScalarOps.enumPred]]'s member filter), `Left` = undecidable
+    * (struct/map/decimal members) ⇒ the whole schema takes the tree
+    * path.
+    */
+  private def enumMemberLit(v: graft.json.JValue, dt: DataType): Either[Unit, Option[Column]] = {
+    import graft.json._
+    def decide(n: JNum): Option[Column] = dt match {
+      case LongType =>
+        n.decimalOpt.filter(d => d.isWhole &&
+          d >= BigDecimal(Long.MinValue) && d <= BigDecimal(Long.MaxValue))
+          .map(d => lit(d.toLongExact))
+      case IntegerType =>
+        n.decimalOpt.filter(d => d.isWhole &&
+          d >= BigDecimal(Int.MinValue) && d <= BigDecimal(Int.MaxValue))
+          .map(d => lit(d.toIntExact))
+      case DoubleType =>
+        n.decimalOpt.filter { d =>
+          try BigDecimal(d.toDouble.toString).compare(d) == 0
+          catch { case _: NumberFormatException => false }
+        }.map(d => lit(d.toDouble))
+      case _ => None
+    }
+    (v, dt) match {
+      case (JNull, _)                     => Right(Some(lit(null).cast(dt)))
+      case (JStr(s), StringType)          => Right(Some(lit(s)))
+      case (JBool(b), BooleanType)        => Right(Some(lit(b)))
+      case (n: JNum, LongType | IntegerType | DoubleType) => Right(decide(n))
+      case (JArr(items), at: ArrayType) =>
+        val ls = items.map(i => enumMemberLit(i, at.elementType) match {
+          case Left(())     => return Left(())
+          case Right(None)  => return Right(None) // one unmatchable element sinks the member
+          case Right(Some(c)) => c
+        })
+        Right(Some(if (ls.isEmpty) array().cast(at) else array(ls: _*)))
+      case (_, _: StructType | _: MapType | _: DecimalType | FloatType) => Left(())
+      case _ => Right(None) // cross-type member (tree deepEqual is false)
+    }
+  }
+
+  /** Enum over an array VALUE: each array-shaped member becomes one
+    * array literal; equality is Spark's structural complex-type
+    * equality (ordered, null-elements-equal — the same semantics as
+    * the tree path's deepEqual given the member filter above).
+    */
+  private def arrayEnumPred(values: Vector[graft.json.JValue],
+                            at: ArrayType): Option[Column => Column] = {
+    val nat = enumNormType(at).asInstanceOf[ArrayType]
+    val members = Vector.newBuilder[Column]
+    values.foreach { v =>
+      enumMemberLit(v, nat) match {
+        case Left(())       => return None
+        case Right(Some(m)) if v.isInstanceOf[graft.json.JArr] => members += m
+        case Right(_)       => () // non-array or unrepresentable member: never equal
+      }
+    }
+    val ms = members.result()
+    Some(x => ms.map(m => enumNorm(x, at) === m).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  /** Tuple-form `items` + `additionalItems` over an array VALUE —
+    * per-index subschemas resolve statically (`element_at`), extras run
+    * one higher-order pass, and `additionalItems: false` emits the
+    * reference's single wholesale error at the ARRAY's pointer
+    * (val_array.go:116-118 semantics, mirrored by the tree evaluator).
+    */
+  private def tupleViols(tk: ItemsTupleK, et: DataType,
+                         depth: Int): Option[ElemViols] = {
+    val len = tk.schemas.length
+    val perIdx = tk.schemas.map(s => nestedElemViols(s, et, depth + 1).getOrElse(return None))
+    val extra: Option[ElemViols] = tk.additional match {
+      case Some(Left(_)) => Some((c, ptr) =>
+        filter(array(when(size(c) > len,
+          Check.violStruct(lit("additionalItems"), ptr,
+            lit(s"Array must have at most $len items.")))), v => v.isNotNull))
+      case Some(Right(s)) =>
+        val inner = nestedElemViols(s, et, depth + 1).getOrElse(return None)
+        Some((c, ptr) => flatten(transform(c, (x, i) =>
+          when(i >= len, inner(x, concat(ptr, lit("/"), i.cast("string"))))
+            .otherwise(Check.emptyViolations))))
+      case None => None
+    }
+    Some { (c, ptr) =>
+      val idxParts = perIdx.zipWithIndex.map { case (e, i) =>
+        when(size(c) > i, e(element_at(c, lit(i + 1)), concat(ptr, lit(s"/$i"))))
+          .otherwise(Check.emptyViolations)
+      }
+      (idxParts ++ extra.map(_(c, ptr))) match {
+        case Seq()    => Check.emptyViolations
+        case Seq(one) => one
+        case many     => concat(many: _*)
+      }
+    }
+  }
+
   // ---- array columns (SURVEY §2.1 #8-12 over typed arrays) ----------------
 
   private def arrayChecks(schema: CompiledSchema, c: Column, at: ArrayType, ptr: String,
@@ -952,19 +1203,22 @@ object ColumnCompiler {
                 v => v.isNotNull)
               out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
             }
-          case None => et match {
-            case _: ArrayType | _: MapType =>
-              // container elements: the nested emitter with fully
-              // dynamic /ptr/<i>/<...> pointers
-              val inner = nestedElemViols(sub, et, depth + 1).getOrElse(return None)
-              val viols = flatten(transform(c, (x, i) =>
-                inner(x, concat(lit(ptr + "/"), i.cast("string")))))
-              out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
-            case _ => return None
-          }
+          case None =>
+            // container elements (or structs with container fields):
+            // the nested emitter with fully dynamic /ptr/<i>/<...>
+            // pointers
+            val inner = nestedElemViols(sub, et, depth + 1).getOrElse(return None)
+            val viols = flatten(transform(c, (x, i) =>
+              inner(x, concat(lit(ptr + "/"), i.cast("string")))))
+            out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(viols))
         }
-      case _: ItemsTupleK => return None // tuple form → tree path
-      case EnumK(_)       => return None // deep array equality → tree path
+      case tk: ItemsTupleK =>
+        val e = tupleViols(tk, et, depth).getOrElse(return None)
+        out += ElemCheck(when(c.isNull, Check.emptyViolations).otherwise(e(c, lit(ptr))))
+      case EnumK(values) =>
+        // root-level NULL column = absent key ⇒ skip (guarded)
+        val pred = arrayEnumPred(values, at).getOrElse(return None)
+        out += PredCheck("enum", ptr, Msg.enumErr, guarded(pred(c)))
       // scalar keywords skip on an array instance (draft-04)
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()

@@ -79,12 +79,16 @@ class SparkContainerSpec extends AnyFunSuite {
         |}}""".stripMargin)
   }
 
-  test("array enum / tuple items fall back to the tree path") {
-    val s1 = Validate.compileSchema("""{"properties": {"xs": {"enum": [[1, 2]]}}}""")
-    assert(ColumnCompiler.compile(s1, arrDf.schema).isEmpty)
-    val s2 = Validate.compileSchema(
-      """{"properties": {"xs": {"items": [{"type": "integer"}]}}}""")
-    assert(ColumnCompiler.compile(s2, arrDf.schema).isEmpty)
+  test("array enum compiles to structural equality against array literals") {
+    // deep equality: ordered, numeric-by-value (1 == 1.0), null
+    // elements equal, cross-type members never match
+    val (fast, _) = parity(arrDf,
+      """{"properties": {"xs": {"enum": [[1, 2], [5.0], [], [7, null], "nope", 3]}}}""")
+    val bad = fast.where(col("keyword") === "enum").collect().map(_.getLong(0)).toSet
+    val treeS = Validate.compileSchema(
+      """{"properties": {"xs": {"enum": [[1, 2], [5.0], [], [7, null], "nope", 3]}}}""")
+    assert(ColumnCompiler.compile(treeS, arrDf.schema).isDefined, "array enum should compile")
+    assert(bad.nonEmpty) // at least one row deviates from the member list
   }
 
   // ---- maps ----------------------------------------------------------------
@@ -361,16 +365,55 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(got == Set((2L, "minimum", "/g/0/0/v"), (2L, "required", "/g/0/1")))
   }
 
-  test("nested array inside a struct element still falls back to the tree path") {
+  test("nested array inside a struct element compiles (three dynamic/static pointer hops)") {
     val item = StructType(Seq(
       StructField("xs", ArrayType(LongType, containsNull = true), nullable = true)))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("lines", ArrayType(item, containsNull = true), nullable = true)))
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L, null)), 1), schema)
-    val s = Validate.compileSchema(
-      """{"properties": {"lines": {"items": {"properties": {"xs": {"items": {"minimum": 0}}}}}}}""")
-    assert(ColumnCompiler.compile(s, df.schema).isEmpty)
+    val rows = Seq(
+      Row(1L, Seq(Row(Seq(1L, 2L)))),
+      Row(2L, Seq(Row(Seq(1L, -9L)), Row(null), Row(Seq[Any](null)))),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"lines": {"items":
+        |  {"required": ["xs"],
+        |   "properties": {"xs": {"items": {"type": "integer", "minimum": 0}}}}}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "minimum", "/lines/0/xs/1"),   // -9 at lines[0].xs[1]
+      (2L, "required", "/lines/1"),       // struct with absent xs
+      (2L, "type", "/lines/2/xs/0")))     // null element inside xs
+  }
+
+  test("tuple items with additionalItems compile on the fast path") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t", ArrayType(LongType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(1L, 50L)),
+      Row(2L, Seq(-1L, 500L, 7L)),        // minimum@0, maximum@1, extra item
+      Row(3L, Seq(2L)),                   // fewer items: valid
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"t": {
+        |  "items": [{"minimum": 0}, {"maximum": 100}],
+        |  "additionalItems": false}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "minimum", "/t/0"),
+      (2L, "maximum", "/t/1"),
+      (2L, "additionalItems", "/t")))     // single wholesale error at the ARRAY
+
+    // additionalItems as a schema validates the extras at their index
+    val (fast2, _) = parity(df,
+      """{"properties": {"t": {
+        |  "items": [{}, {}],
+        |  "additionalItems": {"maximum": 5}}}}""".stripMargin)
+    val got2 = fast2.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 == Set((2L, "maximum", "/t/2"))) // 7 > 5 at index 2
   }
 
   test("empty-violation helper really is an empty typed array") {

@@ -200,11 +200,22 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     1 -> Gen.zip(genElemLeaf, genElemLeaf).map { case (a, b) => s"""{"oneOf": [$a, $b]}""" },
     1 -> genElemLeaf.map(s => s"""{"not": $s}"""))
 
-  private val genArraySchema: Gen[String] = for {
-    it <- genElemSchema
-    extra <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""",
-      """, "uniqueItems": true""", """, "minItems": 1, "maxItems": 3, "uniqueItems": true""")
-  } yield s"""{"items": $it$extra}"""
+  private val genArraySchema: Gen[String] = Gen.frequency(
+    3 -> (for {
+      it <- genElemSchema
+      extra <- Gen.oneOf("", """, "minItems": 1""", """, "maxItems": 2""",
+        """, "uniqueItems": true""", """, "minItems": 1, "maxItems": 3, "uniqueItems": true""")
+    } yield s"""{"items": $it$extra}"""),
+    // tuple form incl. the wholesale additionalItems:false error
+    1 -> (for {
+      a <- genElemLeaf
+      b <- genElemLeaf
+      extra <- Gen.oneOf("", """, "additionalItems": false""",
+        """, "additionalItems": {"minimum": 0}""")
+    } yield s"""{"items": [$a, $b]$extra}"""),
+    // array enum: structural deep equality against array literals
+    1 -> Gen.someOf("[0, 5]", "[5.0]", "[]", "[0, null]", "[null]", "\"zzz\"", "7")
+      .map(ms => s"""{"enum": [${ms.mkString(", ")}]}"""))
 
   private val genMapSchema: Gen[String] = for {
     v <- genElemSchema
@@ -236,6 +247,15 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
       """, "uniqueItems": true""") // struct equality ≟ deepEqual (null fields, dup Rows)
   } yield s"""{"items": $items$size}"""
 
+  // struct elements with a container FIELD: array<struct<a, xs:array>>
+  private val genWsSchema: Gen[String] = for {
+    a <- genElemLeaf
+    inner <- genElemLeaf
+    xsExtra <- Gen.oneOf("", """, "minItems": 1""")
+    objExtra <- Gen.oneOf("", """, "required": ["xs"]""",
+      """, "additionalProperties": false""", """, "required": ["a"]""")
+  } yield s"""{"items": {"properties": {"a": $a, "xs": {"items": $inner$xsExtra}}$objExtra}}"""
+
   // nested containers: array<array<long>> with per-inner-array checks
   private val genGridSchema: Gen[String] = for {
     innerLeaf <- genElemLeaf
@@ -254,7 +274,11 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     StructField("m", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
     StructField("st", StructType(Seq(
       StructField("a", LongType, nullable = true),
-      StructField("b", StringType, nullable = true))), nullable = true)))
+      StructField("b", StringType, nullable = true))), nullable = true),
+    StructField("ws", ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("xs", ArrayType(LongType, containsNull = true), nullable = true))),
+      containsNull = true), nullable = true)))
 
   private val genXs: Gen[Any] = Gen.oneOf(
     Gen.resize(4, Gen.listOf(Gen.oneOf[Any](
@@ -281,17 +305,24 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     Gen.resize(3, Gen.listOf(Gen.oneOf[Any](genSt, Gen.const(null)))).map(l => l: Seq[Any]),
     Gen.const(null))
 
+  private val genWsElem: Gen[Any] = Gen.oneOf(
+    Gen.zip(Gen.oneOf[Any](0L, 5L, -3L, null), genXs).map { case (a, xs) => Row(a, xs) },
+    Gen.const(null))
+  private val genWs: Gen[Any] = Gen.oneOf(
+    Gen.resize(3, Gen.listOf(genWsElem)).map(l => l: Seq[Any]),
+    Gen.const(null))
+
   private val genContainerRow: Gen[Row] =
-    Gen.zip(genXs, genGrid, genLs, genM, genSt)
-      .map { case (xs, g, ls, m, st) => Row(xs, g, ls, m, st) }
+    Gen.zip(genXs, genGrid, genLs, genM, genSt, genWs)
+      .map { case (xs, g, ls, m, st, ws) => Row(xs, g, ls, m, st, ws) }
 
   property("fast path ≡ tree path on container columns under random schemas") =
     org.scalacheck.Prop.forAllNoShrink(genArraySchema, genGridSchema,
-      Gen.zip(genArrStructSchema, genMapSchema, genStructSchema),
+      Gen.zip(genArrStructSchema, genMapSchema, genStructSchema, genWsSchema),
       Gen.listOfN(40, genContainerRow)) { (sa, sg, rest, rows) =>
-      val (sls, sm, sst) = rest
+      val (sls, sm, sst, sws) = rest
       val schemaJson =
-        s"""{"properties": {"xs": $sa, "grid": $sg, "ls": $sls, "m": $sm, "st": $sst}}"""
+        s"""{"properties": {"xs": $sa, "grid": $sg, "ls": $sls, "m": $sm, "st": $sst, "ws": $sws}}"""
       val schema = Validate.compileSchema(schemaJson)
       val tagged = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
       val df = spark.createDataFrame(
