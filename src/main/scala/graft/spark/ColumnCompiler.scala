@@ -1087,6 +1087,14 @@ object ColumnCompiler {
         n.decimalOpt.filter(d => d.isWhole &&
           d >= BigDecimal(Int.MinValue) && d <= BigDecimal(Int.MaxValue))
           .map(d => lit(d.toIntExact))
+      case ShortType =>
+        n.decimalOpt.filter(d => d.isWhole &&
+          d >= BigDecimal(Short.MinValue.toInt) && d <= BigDecimal(Short.MaxValue.toInt))
+          .map(d => lit(d.toShortExact))
+      case ByteType =>
+        n.decimalOpt.filter(d => d.isWhole &&
+          d >= BigDecimal(Byte.MinValue.toInt) && d <= BigDecimal(Byte.MaxValue.toInt))
+          .map(d => lit(d.toByteExact))
       case DoubleType =>
         n.decimalOpt.filter { d =>
           try BigDecimal(d.toDouble.toString).compare(d) == 0
@@ -1098,7 +1106,8 @@ object ColumnCompiler {
       case (JNull, _)                     => Right(Some(lit(null).cast(dt)))
       case (JStr(s), StringType)          => Right(Some(lit(s)))
       case (JBool(b), BooleanType)        => Right(Some(lit(b)))
-      case (n: JNum, LongType | IntegerType | DoubleType) => Right(decide(n))
+      case (n: JNum, LongType | IntegerType | ShortType | ByteType | DoubleType) =>
+        Right(decide(n))
       case (JArr(items), at: ArrayType) =>
         val ls = items.map(i => enumMemberLit(i, at.elementType) match {
           case Left(())     => return Left(())

@@ -45,14 +45,20 @@ object Sinks {
     val fs = root.getFileSystem(hconf)
     val token = java.util.UUID.randomUUID().toString.take(8)
 
-    // sweep: anything that is neither the live version nor the manifest
-    // is a crashed write's orphan or a superseded version
+    // sweep: with a committed version, anything that is neither it nor
+    // the manifest is a crashed write's orphan, a superseded version,
+    // or pre-manifest legacy debris. With NO committed version the root
+    // may BE a legacy (manifest-less) sink whose data must survive
+    // until the new version is published — only version-scheme
+    // artifacts (v-* dirs, tmp manifests) are known-ours to delete.
     val live = currentVersion(fs, root)
     if (fs.exists(root)) {
       fs.listStatus(root).map(_.getPath).foreach { p =>
         val n = p.getName
-        val keep = n == Manifest || live.contains(n)
-        if (!keep) fs.delete(p, true)
+        val stale =
+          if (live.isDefined) n != Manifest && !live.contains(n)
+          else isVersionArtifact(n)
+        if (stale) fs.delete(p, true)
       }
     }
 
@@ -71,30 +77,51 @@ object Sinks {
       .rename(tmpManifest, new Path(root, Manifest), Options.Rename.OVERWRITE)
   }
 
-  /** The live version dir name from the manifest, if any. */
+  private def isVersionArtifact(name: String): Boolean =
+    name.startsWith("v-") || name.startsWith(Manifest + ".tmp-")
+
+  /** The live version dir name from the manifest, if any. Loops the
+    * read: a single InputStream.read may legally return a partial
+    * buffer, and a truncated version name would mis-resolve (and let
+    * the sweep delete the live version).
+    */
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[String] = {
     val m = new Path(root, Manifest)
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
       try {
+        val acc = new java.io.ByteArrayOutputStream()
         val bytes = new Array[Byte](256)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim).filter(_.nonEmpty)
+        var n = in.read(bytes)
+        while (n >= 0 && acc.size <= 4096) { acc.write(bytes, 0, n); n = in.read(bytes) }
+        Some(acc.toString("UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
   }
 
   /** Resolve the live data directory of a sink: the manifest's version
     * dir, or (legacy / externally-written layout) the path itself when
-    * no manifest exists.
+    * no manifest exists. A root holding ONLY uncommitted version-scheme
+    * debris (a first write crashed before publishing its manifest) is
+    * rejected with a clear error instead of serving the partial data
+    * as if committed.
     */
   def resolveDataDir(spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     currentVersion(fs, root) match {
       case Some(v) => new Path(root, v).toString
-      case None    => path
+      case None =>
+        if (fs.exists(root)) {
+          val names = fs.listStatus(root).map(_.getPath.getName)
+          if (names.nonEmpty && names.forall(isVersionArtifact))
+            throw new IllegalStateException(
+              s"violation sink at $path has no committed version — " +
+                s"found only uncommitted write debris (${names.mkString(", ")}); " +
+                "the writer crashed before publishing its manifest")
+        }
+        path
     }
   }
 

@@ -93,4 +93,45 @@ class SinksSpec extends AnyFunSuite {
     val n = Sinks.readKeyword(spark, dir, "pattern").count()
     assert(n == v.where(col("keyword") === "pattern").count())
   }
+
+  test("upgrading a legacy sink never deletes its data before publish") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val v = Validate.violations(docs, schema, Seq("doc_id")).limit(7)
+    val dir = Files.createTempDirectory("graft_sinku").toString + "/violations"
+    v.write.partitionBy("keyword").parquet(dir) // pre-manifest layout
+
+    // a previous manifest-write crashed: orphan version dir + tmp manifest
+    Files.createDirectories(Paths.get(dir, "v-deadbeef"))
+    Files.writeString(Paths.get(dir, "_current.tmp-dead"), "v-deadbeef")
+    // legacy data is still the live sink for readers
+    assert(Sinks.resolveDataDir(spark, dir) == dir)
+
+    // first manifest write: sweeps ONLY version-scheme debris, keeps the
+    // legacy data intact until its own version is published
+    Sinks.writeViolations(v.limit(3), dir, Seq("doc_id"))
+    assert(Sinks.readKeyword(spark, dir, "pattern").count() <= 3)
+    val top = Files.list(Paths.get(dir)).iterator()
+    val names = Iterator.continually(top).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toSet
+    assert(!names.contains("v-deadbeef"), s"crash debris survived: $names")
+    assert(names.exists(_.startsWith("keyword=")),
+      s"legacy data deleted before a committed replacement existed: $names")
+
+    // second write retires the legacy debris now that a version is live
+    Sinks.writeViolations(v.limit(2), dir, Seq("doc_id"))
+    val top2 = Files.list(Paths.get(dir)).iterator()
+    val names2 = Iterator.continually(top2).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toSet
+    assert(!names2.exists(_.startsWith("keyword=")), s"legacy debris kept: $names2")
+    assert(Sinks.readKeyword(spark, dir, "pattern").count() <= 2)
+  }
+
+  test("a sink holding only uncommitted write debris fails loudly, not partially") {
+    val dir = Files.createTempDirectory("graft_sinkx").toString + "/violations"
+    Files.createDirectories(Paths.get(dir, "v-0rphan"))
+    Files.writeString(Paths.get(dir, "v-0rphan", "part-00000.parquet"), "partial")
+    val e = intercept[IllegalStateException](Sinks.resolveDataDir(spark, dir))
+    assert(e.getMessage.contains("no committed version"))
+  }
 }

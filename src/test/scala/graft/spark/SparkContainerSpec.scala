@@ -91,6 +91,27 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(bad.nonEmpty) // at least one row deviates from the member list
   }
 
+  test("array enum over short/byte element types matches the tree path") {
+    // regression: enumMemberLit once lacked Short/Byte arms, so every
+    // numeric member was silently dropped and the fast path emitted
+    // enum violations for rows the tree evaluator accepts
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", ArrayType(ShortType, containsNull = true), nullable = true),
+      StructField("b", ArrayType(ByteType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(5.toShort), Seq(2.toByte)),
+      Row(2L, Seq(6.toShort), Seq(3.toByte)),
+      Row(3L, Seq(5.toShort, 9.toShort), Seq[Any](null)),
+      Row(4L, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"s": {"enum": [[5], [5, 9]]},
+        |                "b": {"enum": [[2], [null], 7]}}}""".stripMargin)
+    val bad = fast.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(bad == Set((2L, "/s"), (2L, "/b")), s"got $bad")
+  }
+
   // ---- maps ----------------------------------------------------------------
 
   private lazy val mapDf = {
