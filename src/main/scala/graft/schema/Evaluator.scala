@@ -127,8 +127,13 @@ object Evaluator {
     case MultipleOfK(m) => v match {
       case n: JNum =>
         val isMultiple = n.decimalOpt match {
-          case Some(d) => d.remainder(m).compare(BigDecimal(0)) == 0
-          case None    => n.doubleValue % m.toDouble == 0.0 // NaN ⇒ false
+          // Extreme scale gaps (1e308 vs a sub-unit factor) overflow
+          // BigDecimal's integral-quotient digit budget; such a value
+          // is never an exact multiple, so the overflow means "no".
+          case Some(d) =>
+            try d.remainder(m).compare(BigDecimal(0)) == 0
+            catch { case _: ArithmeticException => false }
+          case None => n.doubleValue % m.toDouble == 0.0 // NaN ⇒ false
         }
         if (!isMultiple) out += Viol("multipleOf", path, Msg.multipleOf(m))
       case _ => ()

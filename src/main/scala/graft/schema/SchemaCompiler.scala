@@ -197,7 +197,12 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
       var cur: JValue = doc
       var curScope = docBase
       var atRoot = true // root's own id is already folded into docBase
-      val tokens = frag.split("/", -1).toList.drop(1).map(unescapeToken)
+      // Percent-decode the whole fragment BEFORE splitting (Go's
+      // url.Parse hands the reference a decoded Fragment,
+      // reference.go:156 — so `#/definitions/foo%22bar` walks to the
+      // key `foo"bar`, and an encoded %2F acts as a separator).
+      val tokens =
+        percentDecode(frag).split("/", -1).toList.drop(1).map(unescapeToken)
       tokens.foreach { tok =>
         cur match {
           case o: JObj =>
@@ -234,7 +239,31 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
   }
 
   private def unescapeToken(t: String): String =
-    t.replace("~1", "/").replace("~0", "~").replace("%25", "%")
+    t.replace("~1", "/").replace("~0", "~")
+
+  /** URI-fragment percent-decoding (UTF-8, malformed escapes pass
+    * through verbatim — Go's url.Parse rejects them, but a lenient
+    * pass-through degrades to "key not found" instead of a crash).
+    */
+  private def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    def hex(c: Char) = Character.digit(c, 16)
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else {
+        val b = c.toString.getBytes("UTF-8")
+        out.write(b, 0, b.length)
+        i += 1
+      }
+    }
+    out.toString("UTF-8")
+  }
 
   // ---------------------------------------------------------------
   // keyword construction (mirrors validatorMap, jsonschema.go:13-48)
@@ -252,8 +281,14 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
     }
 
     def asLong(v: JValue): Option[Long] = v match {
-      case n: JNum if n.isIntegral =>
-        try Some(n.text.toLong) catch { case _: NumberFormatException => None }
+      // Whole-valued decimals count (`maxLength: 2.0` enforces 2, the
+      // official suite's "decimal keyword value" groups). Divergence:
+      // the reference's `int`-typed keywords fail to decode `2.0` and
+      // the keyword is silently dropped (jsonschema.go:106-112).
+      case n: JNum =>
+        n.decimalOpt.filter(_.isWhole).flatMap { d =>
+          try Some(d.toLongExact) catch { case _: ArithmeticException => None }
+        }
       case _ => None
     }
 

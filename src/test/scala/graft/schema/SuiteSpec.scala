@@ -13,7 +13,9 @@ object Remotes {
     "http://localhost:1234/folderInteger.json"        -> """{"type":"integer"}""",
     "http://localhost:1234/integer.json"              -> """{"type":"integer"}""",
     "http://localhost:1234/subSchemas.json"           -> """{"integer":{"type":"integer"},"refToInteger":{"$ref":"#/integer"}}""",
-    "http://localhost:1234/folder/folderInteger.json" -> """{"type":"integer"}"""
+    "http://localhost:1234/folder/folderInteger.json" -> """{"type":"integer"}""",
+    "http://localhost:1234/name.json" ->
+      """{"definitions":{"orNull":{"anyOf":[{"type":"null"},{"$ref":"#"}]}},"type":"string"}"""
   )
 }
 
