@@ -27,7 +27,7 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, split: String = "4m"): SparkSession = {
     // SPARK_GRAFT_MASTER lets the same jar run under spark-submit on a
     // real multi-executor cluster ("%d" ← the level's core count); the
     // sandbox default is local-mode threads.
@@ -37,7 +37,7 @@ object Bench {
       // 2× cores: finer reduce tasks shorten stragglers' tails without
       // measurable per-task overhead at this scale
       .config("spark.sql.shuffle.partitions", 2 * cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // the constraint stages are ~8 concurrent jobs on one scheduler,
       // deliberately left on FIFO: per-stage FAIR pools were measured
@@ -47,12 +47,13 @@ object Bench {
       // jobs in near-sequence with full locality. The FIFO last-job
       // tail is handled by submitting stages longest-first (see
       // fullPass): the job left running alone is the cheapest one.
-      // the synthesized table compresses to ~100 MB/400k rows; default
-      // 128 MB splits would leave a 32-core level with 2 tasks — split
-      // small so BOTH levels run fully occupied (the cluster analogue:
-      // a 100 TB table has millions of row groups; split sizing is a
-      // per-core-occupancy knob, not a correctness one)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // split sizing is a per-core-occupancy knob, not a correctness
+      // one: default 128 MB splits would leave the small sf tables
+      // with 1-2 tasks a scan. Callers override per workload — the
+      // scaling levels use one split per 9 MB source file (the cluster
+      // analogue: a 100 TB table has millions of row groups)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", split))
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -71,71 +72,79 @@ object Bench {
     * fixed cost that caps scaling efficiency; on a real cluster the
     * stages of a validation suite are launched exactly like this.
     */
+  /** The pass's constraint stages as named thunks, LPT order. Each
+    * returns (rowsSeen, violationCount) — rowsSeen nonzero only for
+    * the summary stage. Shared by the concurrent measured pass and the
+    * sequential solo-diagnostic mode (SPARK_GRAFT_SOLO=1).
+    */
+  private def stageBodies(spark: SparkSession, df: DataFrame): Seq[(String, () => (Long, Long))] = {
+    val schema = Validate.compileSchema(Schemas.fileRow)
+    val checks = ColumnCompiler.compile(schema, df.schema)
+      .getOrElse(sys.error("fast path must compile for the flagship schema"))
+    val invariant = sha2(col("content"), 256) === col("content_sha256")
+    val pass = Validate.passColumn(checks) && invariant
+    val langDim = {
+      import spark.implicits._
+      SourceTable.langs.toDF("lang")
+    }
+    val lens = df.select(length(col("content")).cast("double").as("n_chars"),
+      (abs(xxhash64(col("repo"), col("path"), col("commit"))) % 2L).as("half"))
+    Seq(
+      "summary" -> (() => {
+        val s = Validate.partitionSummary(df, pass).agg(
+          sum("rows_seen").cast("long"), sum("rows_failed").cast("long")).head()
+        (s.getLong(0), s.getLong(1))
+      }),
+      "drift" -> (() => {
+        Drift.psiKs(Drift.histogramSplit(
+          lens, col("half") === 0L, "n_chars", 0, 11000, 22)).count()
+        (0L, 0L)
+      }),
+      "detail" -> (() =>
+        (0L, Validate.fastViolations(df, checks, Seq("repo", "path", "commit")).count())),
+      "stats-sketch" -> (() => { Stats.sketchStats(lens, Seq("n_chars")).count(); (0L, 0L) }),
+      "stats-exact" -> (() => { Stats.columnStats(lens, Seq("n_chars")).count(); (0L, 0L) }),
+      "uniq" -> (() =>
+        (0L, Uniqueness.duplicates(df, Seq("repo", "path", "commit")).count())),
+      "ref-commit" -> (() => (0L, Referential.shuffleOrphans(df, Seq("commit"),
+        SourceTable.knownCommits(df), Seq("commit")).count())),
+      "ref-lang" -> (() =>
+        (0L, Referential.broadcastOrphans(df, Seq("lang"), langDim, Seq("lang")).count()))
+    )
+  }
+
+  /** Sequential solo run of every stage — isolates each stage's
+    * intrinsic wall from concurrent-scheduling effects.
+    */
+  def soloPass(spark: SparkSession, df: DataFrame): Unit =
+    stageBodies(spark, df).foreach { case (name, body) =>
+      val (_, sec) = timed(body())
+      System.err.println(f"[bench]   solo $name: $sec%.1fs")
+    }
+
   def fullPass(spark: SparkSession, df: DataFrame): (Long, Long) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      val schema = Validate.compileSchema(Schemas.fileRow)
-      val checks = ColumnCompiler.compile(schema, df.schema)
-        .getOrElse(sys.error("fast path must compile for the flagship schema"))
-      val invariant = sha2(col("content"), 256) === col("content_sha256")
-      val pass = Validate.passColumn(checks) && invariant
-      val langDim = {
-        import spark.implicits._
-        SourceTable.langs.toDF("lang")
-      }
-      val lens = df.select(length(col("content")).cast("double").as("n_chars"),
-        (abs(xxhash64(col("repo"), col("path"), col("commit"))) % 2L).as("half"))
-
       def staged[A](name: String)(body: => A): Future[A] = Future {
         val t0 = System.nanoTime()
         val a = body
         System.err.println(f"[bench]   stage $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
         a
       }
-      // Submission = FIFO queue order, so stages go LONGEST-FIRST (the
-      // classic LPT makespan heuristic): the job whose remainder drains
-      // alone after the pack is the cheapest one, not a 10-second
-      // straggler that lands directly on the measured wall.
-
-      // per-row keyword pass + sha256 invariant + per-partition summary
-      val fSummary = staged("summary") {
-        val s = Validate.partitionSummary(df, pass).agg(
-          sum("rows_seen").cast("long"), sum("rows_failed").cast("long")).head()
-        (s.getLong(0), s.getLong(1))
+      // Submission = FIFO queue order, stages LONGEST-FIRST (LPT
+      // makespan heuristic; stageBodies is declared in that order) —
+      // though measured at 16 cores the local scheduler effectively
+      // fair-shares slots, so intrinsic stage cost, not queue order,
+      // decides which job drains last.
+      val futures = stageBodies(spark, df).map { case (name, body) =>
+        staged(name)(body())
       }
-      // violation detail rows (keyword, pointer, message)
-      val fDetail = staged("detail")(
-        Validate.fastViolations(df, checks, Seq("repo", "path", "commit")).count())
-      // single-pass column stats + sketches on content length — two
-      // INDEPENDENT jobs, so two futures: chaining them serialized the
-      // second into a solo tail after every other stage had drained
-      // (measured +10 s on the 4N wall — a fixed serial fraction that
-      // caps the efficiency ratio on both this box and a real cluster)
-      val fStatsSketch = staged("stats-sketch")(Stats.sketchStats(lens, Seq("n_chars")).count())
-      val fStatsExact = staged("stats-exact")(Stats.columnStats(lens, Seq("n_chars")).count())
-      // salted uniqueness on the identity triple
-      val fUniq = staged("uniq")(Uniqueness.duplicates(df, Seq("repo", "path", "commit")).count())
-      // sort-merge anti-join referential (commit → known commits)
-      val fCommit = staged("ref-commit")(Referential.shuffleOrphans(df, Seq("commit"),
-        SourceTable.knownCommits(df), Seq("commit")).count())
-      // drift between the table's two deterministic halves (PSI ≈ 0) —
-      // the single-scan conditional-aggregation form (the two filtered-
-      // frame scans of histogramCompare read the input twice)
-      val fDrift = staged("drift")(Drift.psiKs(Drift.histogramSplit(
-        lens, col("half") === 0L, "n_chars", 0, 11000, 22)).count())
-      // broadcast anti-join referential (lang → allowed langs) — the
-      // cheapest stage, queued last on purpose
-      val fLang = staged("ref-lang")(
-        Referential.broadcastOrphans(df, Seq("lang"), langDim, Seq("lang")).count())
-
-      val (rows, failed) = Await.result(fSummary, 15.minutes)
-      val viols = failed +
-        Seq(fDetail, fUniq, fLang, fCommit).map(Await.result(_, 15.minutes)).sum
-      Await.result(fStatsExact, 15.minutes); Await.result(fStatsSketch, 15.minutes)
-      Await.result(fDrift, 15.minutes)
+      val results = futures.map(Await.result(_, 15.minutes))
+      val rows = results.map(_._1).sum
+      val viols = results.map(_._2).sum
       (rows, viols)
     } finally pool.shutdown()
   }
@@ -151,6 +160,12 @@ object Bench {
     // both levels (≈12 concurrent jobs; see fullPass) — generation is
     // one-time (cached parquet under target/)
     val srcRows = sys.env.getOrElse("SPARK_GRAFT_SRC_ROWS", "3000000").toLong
+    // A/B iteration knobs — the driver's plain invocation keeps the
+    // full protocol (4 interleaved rounds, per-query pass, 2 full-
+    // machine samples, BASELINE.md rewrite); scaling-only mode runs
+    // just warmup + ROUNDS×(N,4N) and touches no files.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "4").toInt
+    val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
     // The N vs 4N pair stays within HALF the machine (4 vs 16 of 32
     // cores): a real 4N-executor cluster has 4× of every resource,
     // whereas local[all-cores] vs local[quarter] shares one memory
@@ -162,6 +177,23 @@ object Bench {
     val n4Cpus = math.min(cpus, 4 * nCpus) // keep the pair an exact 4× (eff divides by 4)
     val srcDir = s"target/bench_srctable_$srcRows"
 
+    if (sys.env.get("SPARK_GRAFT_SOLO").contains("1")) {
+      // diagnostic: intrinsic per-stage walls at N then 4N, free of
+      // concurrent-scheduling effects (one warm-up pass first) — the
+      // per-stage N/4N ratio exposes bandwidth-bound stages (< 4×)
+      var s = session(n4Cpus)
+      SourceTable.ensure(s, srcDir, srcRows)
+      fullPass(s, s.read.parquet(srcDir))
+      System.err.println(s"[bench] solo at local[$n4Cpus]:")
+      soloPass(s, s.read.parquet(srcDir))
+      s.stop()
+      s = session(nCpus)
+      System.err.println(s"[bench] solo at local[$nCpus]:")
+      soloPass(s, s.read.parquet(srcDir))
+      s.stop()
+      return
+    }
+
     // ---- per-query timings at local[cpus] --------------------------------
     var spark = session(cpus)
     SourceTable.ensure(spark, srcDir, srcRows) // materialize OUTSIDE timing
@@ -170,11 +202,13 @@ object Bench {
     // (best-effort: a missing table must degrade per-query, not abort)
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
-      System.err.println(f"[bench] $name: $sec%.1fs")
-      name -> sec
-    }
+    val queryTimes =
+      if (scalingOnly) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (_, sec) = timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+        System.err.println(f"[bench] $name: $sec%.1fs")
+        name -> sec
+      }
     // warm-up: one full pass so JIT/codegen cost lands on neither level
     val (_, warmSec) = timed(fullPass(spark, spark.read.parquet(srcDir)))
     System.err.println(f"[bench] warmup fullPass: $warmSec%.1fs")
@@ -182,7 +216,11 @@ object Bench {
 
     // ---- scaling: N, 4N, then full machine, on the SAME parquet input ----
     def level(c: Int): (Long, Double) = {
-      val s = session(c)
+      // 16m ⇒ exactly one task per source file (128 single-row-group
+      // files): measured 4N walls 37.1/39.0 s vs 40.6/46.4 at 4m
+      // splits, whose 2 empty sub-splits per file pay scheduling for
+      // zero rows
+      val s = session(c, "16m")
       try {
         val ((rows, _), sec) = timed(fullPass(s, s.read.parquet(srcDir)))
         System.err.println(f"[bench] fullPass at local[$c]: $sec%.1fs")
@@ -203,13 +241,14 @@ object Bench {
     // best-of-4: round-1 observed a 2× spread between co-tenant-noisy
     // and quiet samples at the same level; a fourth interleaved round
     // measurably tightens the min-floor the ratio is computed from
-    (1 to 4).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val (r, sN) = level(nCpus); rowsN = r; wallsN += sN
       walls4N += level(n4Cpus)._2
     }
     val wallsFull = Seq.newBuilder[Double]
-    (1 to 2).foreach(_ => wallsFull += level(cpus)._2)
-    val (wN, w4N, wF) = (wallsN.result(), walls4N.result(), wallsFull.result())
+    if (!scalingOnly) (1 to 2).foreach(_ => wallsFull += level(cpus)._2)
+    val (wN, w4N) = (wallsN.result(), walls4N.result())
+    val wF = { val f = wallsFull.result(); if (f.nonEmpty) f else w4N } // A/B mode: no headline level
     val (secN, sec4N, secFull) = (wN.min, w4N.min, wF.min)
     def fmtWalls(w: Seq[Double]) = w.map(x => f"$x%.1f").mkString("[", ",", "]")
     val thrN = rowsN / secN
@@ -222,6 +261,7 @@ object Bench {
     val scaling = f"""{"rows":$rowsN,"n_cpus":$nCpus,"throughput_n_rows_per_sec":$thrN%.1f,"4n_cpus":$n4Cpus,"throughput_4n_rows_per_sec":$thr4N%.1f,"efficiency":$eff%.3f,"full_cpus":$cpus,"throughput_full_rows_per_sec":$thrFull%.1f,"wall_samples":{"n":${fmtWalls(wN)},"4n":${fmtWalls(w4N)},"full":${fmtWalls(wF)}}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_per_sec":$thrFull%.1f,"scaling":$scaling}""")
 
+    if (scalingOnly) return // A/B probe: never overwrite the shipped numbers
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       s"""# BENCH — measured (see BASELINE.md for protocol & targets)
