@@ -669,7 +669,11 @@ object ColumnCompiler {
               out ++= fieldConds(sub, name).getOrElse(return None)
           }
         }
-      case EnumK(_) => return None // deep object equality → tree path
+      case EnumK(values) =>
+        val pred = structEnumPred(values, st).getOrElse(return None)
+        val nullOk = values.contains(graft.json.JNull)
+        out += ElemCond("enum", _ => lit(Msg.enumErr),
+          x => when(x.isNull, lit(!nullOk)).otherwise(!pred(x)))
       // scalar/array keywords skip on an object value
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()
@@ -1026,7 +1030,11 @@ object ColumnCompiler {
               parts += fieldViols(sub, name).getOrElse(return None)
           }
         }
-      case EnumK(_) => return None // deep object equality → tree path
+      case EnumK(values) =>
+        val pred = structEnumPred(values, st).getOrElse(return None)
+        val nullOk = values.contains(graft.json.JNull)
+        one("enum", x => when(x.isNull, lit(!nullOk)).otherwise(!pred(x)),
+          _ => lit(Msg.enumErr))
       // scalar/array keywords skip on an object value
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()
@@ -1061,11 +1069,18 @@ object ColumnCompiler {
   private def enumNormType(dt: DataType): DataType = dt match {
     case FloatType            => DoubleType
     case ArrayType(et, n)     => ArrayType(enumNormType(et), n)
+    case st: StructType       =>
+      StructType(st.fields.map(f => f.copy(dataType = enumNormType(f.dataType))))
     case _                    => dt
   }
   private def enumNorm(c: Column, dt: DataType): Column = dt match {
     case FloatType => c.cast(StringType).cast(DoubleType)
     case ArrayType(et, _) if enumNormType(et) != et => transform(c, x => enumNorm(x, et))
+    case st: StructType if enumNormType(st) != st =>
+      // rebuild only when a float field needs the bridge; a NULL
+      // struct must stay NULL, not become a struct of NULLs
+      when(c.isNull, lit(null).cast(enumNormType(st))).otherwise(
+        struct(st.fields.map(f => enumNorm(c.getField(f.name), f.dataType).as(f.name)): _*))
     case _ => c
   }
 
@@ -1100,13 +1115,21 @@ object ColumnCompiler {
           try BigDecimal(d.toDouble.toString).compare(d) == 0
           catch { case _: NumberFormatException => false }
         }.map(d => lit(d.toDouble))
+      case dec: DecimalType =>
+        // exact representability in (precision, scale) — anything else
+        // can never value-equal a stored decimal (the bridge renders
+        // decimals with toPlainString, so tree equality is by value)
+        n.decimalOpt.map(_.underlying.stripTrailingZeros).filter { bd =>
+          bd.scale <= dec.scale && bd.precision - bd.scale <= dec.precision - dec.scale
+        }.map(bd => lit(bd).cast(dec))
       case _ => None
     }
     (v, dt) match {
       case (JNull, _)                     => Right(Some(lit(null).cast(dt)))
       case (JStr(s), StringType)          => Right(Some(lit(s)))
       case (JBool(b), BooleanType)        => Right(Some(lit(b)))
-      case (n: JNum, LongType | IntegerType | ShortType | ByteType | DoubleType) =>
+      case (n: JNum, LongType | IntegerType | ShortType | ByteType | DoubleType |
+                     _: DecimalType) =>
         Right(decide(n))
       case (JArr(items), at: ArrayType) =>
         val ls = items.map(i => enumMemberLit(i, at.elementType) match {
@@ -1115,7 +1138,32 @@ object ColumnCompiler {
           case Right(Some(c)) => c
         })
         Right(Some(if (ls.isEmpty) array().cast(at) else array(ls: _*)))
-      case (_, _: StructType | _: MapType | _: DecimalType | FloatType) => Left(())
+      case (o: JObj, st: StructType) =>
+        // The bridge renders a NULL struct field as an ABSENT key
+        // (SparkBridge.anyToJValue), so: member key absent ⇔ field
+        // null; a member key outside the struct's fields, or one
+        // explicitly null-valued, can never equal any struct value.
+        val fieldNames = st.fields.map(_.name).toSet
+        if (!o.keys.forall(fieldNames.contains)) Right(None)
+        else {
+          val lits = st.fields.map { f =>
+            o.get(f.name) match {
+              case None        => lit(null).cast(f.dataType)
+              case Some(JNull) => return Right(None)
+              case Some(fv) => enumMemberLit(fv, f.dataType) match {
+                case Left(())       => return Left(())
+                case Right(None)    => return Right(None)
+                case Right(Some(c)) => c
+              }
+            }
+          }
+          Right(Some(struct(st.fields.zip(lits).map {
+            case (f, c) => c.as(f.name)
+          }.toSeq: _*).cast(st)))
+        }
+      // map members need map equality, which Spark's EqualTo doesn't
+      // define → tree path
+      case (_, _: MapType | FloatType) => Left(())
       case _ => Right(None) // cross-type member (tree deepEqual is false)
     }
   }
@@ -1138,6 +1186,27 @@ object ColumnCompiler {
     }
     val ms = members.result()
     Some(x => ms.map(m => enumNorm(x, at) === m).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  /** Enum over a struct VALUE: object-shaped members become struct
+    * literals (absent member key ⇔ NULL field, matching the bridge's
+    * NULL-field-is-absent-key rendering); `===` on structs is
+    * structural with null fields comparing equal, so deep equality
+    * compiles to a literal disjunction like the array form.
+    */
+  private def structEnumPred(values: Vector[graft.json.JValue],
+                             st: StructType): Option[Column => Column] = {
+    val nst = enumNormType(st).asInstanceOf[StructType]
+    val members = Vector.newBuilder[Column]
+    values.foreach { v =>
+      enumMemberLit(v, nst) match {
+        case Left(())       => return None
+        case Right(Some(m)) if v.isInstanceOf[graft.json.JObj] => members += m
+        case Right(_)       => () // non-object or unrepresentable member: never equal
+      }
+    }
+    val ms = members.result()
+    Some(x => ms.map(m => enumNorm(x, st) === m).reduceOption(_ || _).getOrElse(lit(false)))
   }
 
   /** Tuple-form `items` + `additionalItems` over an array VALUE —
@@ -1451,7 +1520,10 @@ object ColumnCompiler {
             b.result().foreach(ch => out += ch.skipWhen(c.isNull || fld(k).isNull))
           }
         }
-      case EnumK(_) => return None // deep object equality → tree path
+      case EnumK(values) =>
+        // root-level NULL column = absent key ⇒ skip (guarded)
+        val pred = structEnumPred(values, st).getOrElse(return None)
+        out += PredCheck("enum", ptr, Msg.enumErr, guarded(pred(c)))
       // scalar/array keywords skip on an object instance
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()

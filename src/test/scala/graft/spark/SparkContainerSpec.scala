@@ -112,6 +112,61 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(bad == Set((2L, "/s"), (2L, "/b")), s"got $bad")
   }
 
+  test("enum over a struct property compiles to literal equality") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cfg", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    val rows = Seq(
+      Row(1L, Row(1L, "x")),  // = member 1
+      Row(2L, Row(2L, null)), // null field = absent key = member {"a":2}
+      Row(3L, Row(2L, "x")),  // extra present key: no member matches
+      Row(4L, Row(null, null)), // = member {} (all keys absent)
+      Row(5L, null))          // absent column: enum skips
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"cfg": {"enum": [{"a": 1, "b": "x"}, {"a": 2}, {},
+        |                                 {"a": null}, "str", 7]}}}""".stripMargin)
+    val bad = fast.collect().map(_.getLong(0)).toSet
+    assert(bad == Set(3L), s"got $bad")
+  }
+
+  test("enum over array<struct> elements and decimal elements") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pts", ArrayType(StructType(Seq(
+        StructField("x", DoubleType, nullable = true))), containsNull = true), nullable = true),
+      StructField("amt", ArrayType(DecimalType(5, 2), containsNull = true), nullable = true)))
+    def d(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Row(1L, Seq(Row(1.5)), Seq(d("2.50"))),
+      Row(2L, Seq(Row(9.0)), Seq(d("2.51"))),
+      Row(3L, Seq[Any](null), Seq[Any](null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    // 2.5 must value-equal the stored 2.50; 1.234 is unrepresentable in
+    // scale 2 and drops; [null] matches the null-element members
+    val (fast, _) = parity(df,
+      """{"properties": {
+        |  "pts": {"enum": [[{"x": 1.5}], [null]]},
+        |  "amt": {"enum": [[2.5], [1.234], [null]]}}}""".stripMargin)
+    val bad = fast.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(bad == Set((2L, "/pts"), (2L, "/amt")), s"got $bad")
+  }
+
+  test("struct enum with float fields rides the lexical double bridge") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StructType(Seq(
+        StructField("f", FloatType, nullable = true))), nullable = true)))
+    val rows = Seq(Row(1L, Row(0.1f)), Row(2L, Row(0.25f)), Row(3L, Row(0.3f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"v": {"enum": [{"f": 0.1}, {"f": 0.25}]}}}""")
+    val bad = fast.collect().map(_.getLong(0)).toSet
+    assert(bad == Set(3L), s"got $bad")
+  }
+
   // ---- maps ----------------------------------------------------------------
 
   private lazy val mapDf = {
