@@ -909,7 +909,11 @@ object ColumnCompiler {
                   case many        => concat(many: _*)
                 }))))
         }
-      case EnumK(_) => return None // deep object equality → tree path
+      case EnumK(values) =>
+        val pred = mapEnumPred(values, mt).getOrElse(return None)
+        val nullOk = values.contains(graft.json.JNull)
+        one("enum", x => when(x.isNull, lit(!nullOk)).otherwise(!pred(x)),
+          _ => lit(Msg.enumErr))
       // scalar/array keywords skip on an object value
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()
@@ -1071,6 +1075,7 @@ object ColumnCompiler {
     case ArrayType(et, n)     => ArrayType(enumNormType(et), n)
     case st: StructType       =>
       StructType(st.fields.map(f => f.copy(dataType = enumNormType(f.dataType))))
+    case mt: MapType          => mt.copy(valueType = enumNormType(mt.valueType))
     case _                    => dt
   }
   private def enumNorm(c: Column, dt: DataType): Column = dt match {
@@ -1081,7 +1086,16 @@ object ColumnCompiler {
       // struct must stay NULL, not become a struct of NULLs
       when(c.isNull, lit(null).cast(enumNormType(st))).otherwise(
         struct(st.fields.map(f => enumNorm(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case mt: MapType if enumNormType(mt) != mt =>
+      transform_values(c, (_, v) => enumNorm(v, mt.valueType))
     case _ => c
+  }
+
+  private def typeHasMap(dt: DataType): Boolean = dt match {
+    case _: MapType       => true
+    case ArrayType(et, _) => typeHasMap(et)
+    case st: StructType   => st.fields.exists(f => typeHasMap(f.dataType))
+    case _                => false
   }
 
   /** A Spark literal for one enum member in the NORMALIZED domain of
@@ -1207,6 +1221,51 @@ object ColumnCompiler {
     }
     val ms = members.result()
     Some(x => ms.map(m => enumNorm(x, st) === m).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  /** Enum over a map VALUE. Spark defines no EqualTo for MapType, so
+    * the map canonicalizes to `array_sort(map_entries(m))` — an array
+    * of (key, value) structs ordered by key — and compares against the
+    * member's entry list sorted in the same UTF-8 byte order. Object
+    * deep equality (order-insensitive keys, same size) falls out.
+    * Entry VALUES containing nested maps would put a map back inside
+    * the comparison ⇒ tree path.
+    */
+  private def mapEnumPred(values: Vector[graft.json.JValue],
+                          mt: MapType): Option[Column => Column] = {
+    import graft.json._
+    if (mt.keyType != StringType || typeHasMap(mt.valueType)) return None
+    val nvt = enumNormType(mt.valueType)
+    val entryType = ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", nvt, nullable = true))), containsNull = false)
+    val utf8 = new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int = java.util.Arrays.compare(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val members = Vector.newBuilder[Column]
+    values.foreach {
+      case o: JObj =>
+        if (o.keys.distinct.size != o.keys.size) return None // dup keys: undecidable
+        val sorted = o.fields.sortWith((a, b) => utf8.compare(a._1, b._1) < 0)
+        val entries = sorted.map { case (k, fv) =>
+          enumMemberLit(fv, nvt) match {
+            case Left(())       => return None
+            case Right(None)    => Vector.empty // member can never equal: drop below
+            case Right(Some(c)) => Vector(struct(lit(k).as("key"), c.as("value")))
+          }
+        }
+        if (entries.forall(_.nonEmpty))
+          members += (if (entries.isEmpty) array().cast(entryType)
+                      else array(entries.map(_.head): _*).cast(entryType))
+      case _ => () // non-object member: never equal to a map value
+    }
+    val ms = members.result()
+    Some { x =>
+      val canon = array_sort(map_entries(enumNorm(x, mt)))
+      ms.map(m => canon === m).reduceOption(_ || _).getOrElse(lit(false))
+    }
   }
 
   /** Tuple-form `items` + `additionalItems` over an array VALUE —
@@ -1421,7 +1480,10 @@ object ColumnCompiler {
             out += ElemCheck(when(c.isNull, Check.emptyViolations)
               .otherwise(flatten(transform(map_entries(c), perEntry))))
         }
-      case EnumK(_) => return None // deep object equality → tree path
+      case EnumK(values) =>
+        // root-level NULL column = absent key ⇒ skip (guarded)
+        val pred = mapEnumPred(values, mt).getOrElse(return None)
+        out += PredCheck("enum", ptr, Msg.enumErr, guarded(pred(c)))
       // scalar/array keywords skip on an object instance
       case _: MaximumK | _: MinimumK | _: MultipleOfK | _: MaxLengthK | _: MinLengthK |
            _: PatternK | _: FormatK => ()

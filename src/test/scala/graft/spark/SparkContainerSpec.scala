@@ -212,6 +212,74 @@ class SparkContainerSpec extends AnyFunSuite {
         |}}}""".stripMargin)
   }
 
+  test("map enum compiles via sorted-entries canonicalization, fast ≡ tree") {
+    // deep object equality on a MapType column: key-order-insensitive,
+    // numeric-by-value (1 == 1.0), entry-with-null-value = JSON null
+    // (a PRESENT key — the opposite of the struct NULL-field-is-absent
+    // rule, because maps represent absence natively)
+    val (fast, _) = parity(mapDf,
+      """{"properties": {"m": {"enum": [
+        |  {"extra": 1.0, "k": 5}, {"k": null}, {},
+        |  {"other": 1, "w_1": -3, "w_2": 2}, [1], "x", 3]}}}""".stripMargin)
+    val bad = fast.collect().map(_.getLong(0)).toSet
+    assert(bad == Set(2L, 6L), s"got $bad")
+  }
+
+  test("map enum inside array elements and the float value bridge") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ms", ArrayType(MapType(StringType, LongType, valueContainsNull = true),
+        containsNull = true), nullable = true),
+      StructField("fm", MapType(StringType, FloatType, valueContainsNull = true),
+        nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Map("a" -> 1L)), Map("f" -> 0.25f)),
+      Row(2L, Seq[Any](Map("a" -> 2L), null), Map("f" -> 0.1f)),
+      Row(3L, Seq.empty[Any], Map[String, Any]("f" -> null)),
+      Row(4L, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {
+        |  "ms": {"items": {"enum": [{"a": 1}, null]}},
+        |  "fm": {"enum": [{"f": 0.25}, {"f": null}]}}}""".stripMargin)
+    // 0.1f rides the lexical bridge to 0.1 (not 0.10000000149) so it
+    // comparably MISSES the member list {0.25, null}; 0.25f hits it
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((2L, "/ms/0"), (2L, "/fm")), s"got $got")
+  }
+
+  test("map enum member keys canonicalize in UTF-8 byte order") {
+    val a = "Ａ"         // U+FF21  → EF BC A1 (3 bytes)
+    val b = "𝐀"   // U+1D400 → F0 9D 90 80 (4 bytes)
+    // UTF-8 bytes put a < b; UTF-16 code units put b < a — sorting the
+    // member's entries with a Java-String comparator would canonicalize
+    // opposite to Spark's array_sort and falsely flag row 1
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = true),
+        nullable = true)))
+    val rows = Seq(Row(1L, Map(a -> 1L, b -> 2L)), Row(2L, Map(a -> 1L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val (fast, _) = parity(df,
+      s"""{"properties": {"m": {"enum": [{"$a": 1, "$b": 2}]}}}""")
+    val bad = fast.collect().map(_.getLong(0)).toSet
+    assert(bad == Set(2L), s"got $bad")
+  }
+
+  test("map enum with nested-map values stays on the tree path") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType,
+        MapType(StringType, LongType, valueContainsNull = true),
+        valueContainsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Map("a" -> Map("b" -> 1L))),
+      Row(2L, Map("a" -> Map("b" -> 2L))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    parity(df, """{"properties": {"m": {"enum": [{"a": {"b": 1}}]}}}""",
+      expectFast = false)
+  }
+
   // ---- structs ---------------------------------------------------------------
 
   private lazy val structDf = {

@@ -217,13 +217,20 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     1 -> Gen.someOf("[0, 5]", "[5.0]", "[]", "[0, null]", "[null]", "\"zzz\"", "7")
       .map(ms => s"""{"enum": [${ms.mkString(", ")}]}"""))
 
-  private val genMapSchema: Gen[String] = for {
+  private val genMapKeywords: Gen[String] = for {
     v <- genElemSchema
     pat <- genElemSchema
     extra <- Gen.oneOf("", """, "required": ["k"]""",
       """, "additionalProperties": false""", """, "maxProperties": 2""",
       """, "minProperties": 1""", """, "dependencies": {"k": ["w_1"]}""")
   } yield s"""{"properties": {"k": $v}, "patternProperties": {"^w_": $pat}$extra}"""
+
+  private val genMapSchema: Gen[String] = Gen.frequency(
+    4 -> genMapKeywords,
+    // map enum: sorted-entries canonicalization vs tree deepEqual
+    1 -> Gen.someOf("""{"k": "en"}""", """{"k": "en", "w_1": "e7"}""", "{}",
+      """{"zz": null}""", """{"k": ""}""", "\"en\"", "5")
+      .map(ms => s"""{"enum": [${ms.mkString(", ")}]}"""))
 
   private val genStructSchema: Gen[String] = for {
     a <- genValueSchema(1)
