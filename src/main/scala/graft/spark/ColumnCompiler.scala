@@ -1066,43 +1066,57 @@ object ColumnCompiler {
 
   // ---- container enum (deep equality compiled to array literals) ----------
 
-  /** Float elements widen through the lexical double bridge (same as
-    * [[ScalarOps.numValue]]) so enum literals — doubles — compare
-    * exactly; identity for other element types.
+  /** Enum comparisons run in a NORMALIZED domain where every value is
+    * orderable by Spark's EqualTo: float elements widen through the
+    * lexical double bridge (same as [[ScalarOps.numValue]]) so enum
+    * literals — doubles — compare exactly, and string-keyed maps
+    * (which have no EqualTo) canonicalize to `array_sort(map_entries)`
+    * — an array of (key, value) structs in UTF-8-byte key order, the
+    * same order Spark's string comparator uses — so object deep
+    * equality (order-insensitive keys, same size) falls out at ANY
+    * nesting depth. Identity for other types.
     */
   private def enumNormType(dt: DataType): DataType = dt match {
     case FloatType            => DoubleType
     case ArrayType(et, n)     => ArrayType(enumNormType(et), n)
     case st: StructType       =>
       StructType(st.fields.map(f => f.copy(dataType = enumNormType(f.dataType))))
-    case mt: MapType          => mt.copy(valueType = enumNormType(mt.valueType))
+    case MapType(StringType, vt, n) =>
+      ArrayType(StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("value", enumNormType(vt), nullable = n))), containsNull = false)
     case _                    => dt
   }
   private def enumNorm(c: Column, dt: DataType): Column = dt match {
     case FloatType => c.cast(StringType).cast(DoubleType)
     case ArrayType(et, _) if enumNormType(et) != et => transform(c, x => enumNorm(x, et))
     case st: StructType if enumNormType(st) != st =>
-      // rebuild only when a float field needs the bridge; a NULL
-      // struct must stay NULL, not become a struct of NULLs
+      // rebuild only when a field needs normalizing; a NULL struct
+      // must stay NULL, not become a struct of NULLs
       when(c.isNull, lit(null).cast(enumNormType(st))).otherwise(
         struct(st.fields.map(f => enumNorm(c.getField(f.name), f.dataType).as(f.name)): _*))
-    case mt: MapType if enumNormType(mt) != mt =>
-      transform_values(c, (_, v) => enumNorm(v, mt.valueType))
+    case MapType(StringType, vt, _) =>
+      val entries =
+        if (enumNormType(vt) != vt)
+          transform(map_entries(c), e =>
+            struct(e("key").as("key"), enumNorm(e("value"), vt).as("value")))
+        else map_entries(c)
+      array_sort(entries)
     case _ => c
   }
 
-  private def typeHasMap(dt: DataType): Boolean = dt match {
-    case _: MapType       => true
-    case ArrayType(et, _) => typeHasMap(et)
-    case st: StructType   => st.fields.exists(f => typeHasMap(f.dataType))
-    case _                => false
+  private val utf8ByteOrder = new java.util.Comparator[String] {
+    def compare(a: String, b: String): Int = java.util.Arrays.compare(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** A Spark literal for one enum member in the NORMALIZED domain of
-    * `dt`. `Right(Some)` = representable, `Right(None)` = provably
-    * never equal to any value of this type (safe to drop — same rule
-    * as [[ScalarOps.enumPred]]'s member filter), `Left` = undecidable
-    * (struct/map/decimal members) ⇒ the whole schema takes the tree
+    * the ORIGINAL type `dt` (see [[enumNormType]]). `Right(Some)` =
+    * representable, `Right(None)` = provably never equal to any value
+    * of this type (safe to drop — same rule as [[ScalarOps.enumPred]]'s
+    * member filter), `Left` = undecidable (non-string-keyed or
+    * duplicate-keyed object members) ⇒ the whole schema takes the tree
     * path.
     */
   private def enumMemberLit(v: graft.json.JValue, dt: DataType): Either[Unit, Option[Column]] = {
@@ -1124,7 +1138,9 @@ object ColumnCompiler {
         n.decimalOpt.filter(d => d.isWhole &&
           d >= BigDecimal(Byte.MinValue.toInt) && d <= BigDecimal(Byte.MaxValue.toInt))
           .map(d => lit(d.toByteExact))
-      case DoubleType =>
+      case DoubleType | FloatType =>
+        // float columns compare in the lexical double bridge, so a
+        // float target still takes a DOUBLE literal
         n.decimalOpt.filter { d =>
           try BigDecimal(d.toDouble.toString).compare(d) == 0
           catch { case _: NumberFormatException => false }
@@ -1139,11 +1155,15 @@ object ColumnCompiler {
       case _ => None
     }
     (v, dt) match {
-      case (JNull, _)                     => Right(Some(lit(null).cast(dt)))
+      // non-string-keyed maps never normalize (no EqualTo, and the
+      // bridge stringifies their keys) — any member against one is
+      // undecidable before a literal could enter a comparison
+      case (_, mt: MapType) if mt.keyType != StringType => Left(())
+      case (JNull, _)                     => Right(Some(lit(null).cast(enumNormType(dt))))
       case (JStr(s), StringType)          => Right(Some(lit(s)))
       case (JBool(b), BooleanType)        => Right(Some(lit(b)))
       case (n: JNum, LongType | IntegerType | ShortType | ByteType | DoubleType |
-                     _: DecimalType) =>
+                     FloatType | _: DecimalType) =>
         Right(decide(n))
       case (JArr(items), at: ArrayType) =>
         val ls = items.map(i => enumMemberLit(i, at.elementType) match {
@@ -1151,7 +1171,7 @@ object ColumnCompiler {
           case Right(None)  => return Right(None) // one unmatchable element sinks the member
           case Right(Some(c)) => c
         })
-        Right(Some(if (ls.isEmpty) array().cast(at) else array(ls: _*)))
+        Right(Some(if (ls.isEmpty) array().cast(enumNormType(at)) else array(ls: _*)))
       case (o: JObj, st: StructType) =>
         // The bridge renders a NULL struct field as an ABSENT key
         // (SparkBridge.anyToJValue), so: member key absent ⇔ field
@@ -1162,7 +1182,7 @@ object ColumnCompiler {
         else {
           val lits = st.fields.map { f =>
             o.get(f.name) match {
-              case None        => lit(null).cast(f.dataType)
+              case None        => lit(null).cast(enumNormType(f.dataType))
               case Some(JNull) => return Right(None)
               case Some(fv) => enumMemberLit(fv, f.dataType) match {
                 case Left(())       => return Left(())
@@ -1173,11 +1193,28 @@ object ColumnCompiler {
           }
           Right(Some(struct(st.fields.zip(lits).map {
             case (f, c) => c.as(f.name)
-          }.toSeq: _*).cast(st)))
+          }.toSeq: _*).cast(enumNormType(st))))
         }
-      // map members need map equality, which Spark's EqualTo doesn't
-      // define → tree path
-      case (_, _: MapType | FloatType) => Left(())
+      case (o: JObj, mt: MapType) =>
+        // object member vs a map value: the sorted-entry canonical form
+        // (see [[enumNormType]]). Entry-with-null-value is a PRESENT
+        // key (JSON null) — maps represent absence natively, the
+        // opposite of the struct convention above.
+        if (mt.keyType != StringType) Left(()) // bridge stringifies keys: undecidable
+        else if (o.keys.distinct.size != o.keys.size) Left(()) // dup keys: undecidable
+        else {
+          val at = enumNormType(mt).asInstanceOf[ArrayType]
+          val sorted = o.fields.sortWith((a, b) => utf8ByteOrder.compare(a._1, b._1) < 0)
+          val entries = sorted.map { case (k, fv) =>
+            enumMemberLit(fv, mt.valueType) match {
+              case Left(())       => return Left(())
+              case Right(None)    => return Right(None)
+              case Right(Some(c)) => struct(lit(k).as("key"), c.as("value"))
+            }
+          }
+          Right(Some(if (entries.isEmpty) array().cast(at)
+                     else array(entries: _*).cast(at)))
+        }
       case _ => Right(None) // cross-type member (tree deepEqual is false)
     }
   }
@@ -1189,10 +1226,9 @@ object ColumnCompiler {
     */
   private def arrayEnumPred(values: Vector[graft.json.JValue],
                             at: ArrayType): Option[Column => Column] = {
-    val nat = enumNormType(at).asInstanceOf[ArrayType]
     val members = Vector.newBuilder[Column]
     values.foreach { v =>
-      enumMemberLit(v, nat) match {
+      enumMemberLit(v, at) match {
         case Left(())       => return None
         case Right(Some(m)) if v.isInstanceOf[graft.json.JArr] => members += m
         case Right(_)       => () // non-array or unrepresentable member: never equal
@@ -1210,10 +1246,9 @@ object ColumnCompiler {
     */
   private def structEnumPred(values: Vector[graft.json.JValue],
                              st: StructType): Option[Column => Column] = {
-    val nst = enumNormType(st).asInstanceOf[StructType]
     val members = Vector.newBuilder[Column]
     values.foreach { v =>
-      enumMemberLit(v, nst) match {
+      enumMemberLit(v, st) match {
         case Left(())       => return None
         case Right(Some(m)) if v.isInstanceOf[graft.json.JObj] => members += m
         case Right(_)       => () // non-object or unrepresentable member: never equal
@@ -1224,48 +1259,24 @@ object ColumnCompiler {
   }
 
   /** Enum over a map VALUE. Spark defines no EqualTo for MapType, so
-    * the map canonicalizes to `array_sort(map_entries(m))` — an array
-    * of (key, value) structs ordered by key — and compares against the
-    * member's entry list sorted in the same UTF-8 byte order. Object
-    * deep equality (order-insensitive keys, same size) falls out.
-    * Entry VALUES containing nested maps would put a map back inside
-    * the comparison ⇒ tree path.
+    * the comparison runs in the normalized domain, where the map (at
+    * any nesting depth — map-of-map included) is its sorted entry
+    * array (see [[enumNormType]]) and object members are entry-array
+    * literals ([[enumMemberLit]]).
     */
   private def mapEnumPred(values: Vector[graft.json.JValue],
                           mt: MapType): Option[Column => Column] = {
-    import graft.json._
-    if (mt.keyType != StringType || typeHasMap(mt.valueType)) return None
-    val nvt = enumNormType(mt.valueType)
-    val entryType = ArrayType(StructType(Seq(
-      StructField("key", StringType, nullable = false),
-      StructField("value", nvt, nullable = true))), containsNull = false)
-    val utf8 = new java.util.Comparator[String] {
-      def compare(a: String, b: String): Int = java.util.Arrays.compare(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    if (mt.keyType != StringType) return None
     val members = Vector.newBuilder[Column]
-    values.foreach {
-      case o: JObj =>
-        if (o.keys.distinct.size != o.keys.size) return None // dup keys: undecidable
-        val sorted = o.fields.sortWith((a, b) => utf8.compare(a._1, b._1) < 0)
-        val entries = sorted.map { case (k, fv) =>
-          enumMemberLit(fv, nvt) match {
-            case Left(())       => return None
-            case Right(None)    => Vector.empty // member can never equal: drop below
-            case Right(Some(c)) => Vector(struct(lit(k).as("key"), c.as("value")))
-          }
-        }
-        if (entries.forall(_.nonEmpty))
-          members += (if (entries.isEmpty) array().cast(entryType)
-                      else array(entries.map(_.head): _*).cast(entryType))
-      case _ => () // non-object member: never equal to a map value
+    values.foreach { v =>
+      enumMemberLit(v, mt) match {
+        case Left(())       => return None
+        case Right(Some(m)) if v.isInstanceOf[graft.json.JObj] => members += m
+        case Right(_)       => () // non-object or unrepresentable member: never equal
+      }
     }
     val ms = members.result()
-    Some { x =>
-      val canon = array_sort(map_entries(enumNorm(x, mt)))
-      ms.map(m => canon === m).reduceOption(_ || _).getOrElse(lit(false))
-    }
+    Some(x => ms.map(m => enumNorm(x, mt) === m).reduceOption(_ || _).getOrElse(lit(false)))
   }
 
   /** Tuple-form `items` + `additionalItems` over an array VALUE —

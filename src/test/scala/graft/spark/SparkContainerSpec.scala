@@ -266,18 +266,37 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(bad == Set(2L), s"got $bad")
   }
 
-  test("map enum with nested-map values stays on the tree path") {
+  test("maps nested ANYWHERE in enum members canonicalize recursively") {
+    // map-of-map, struct-with-map-field, and array-of-maps all
+    // normalize to sorted entry arrays at every level — no tree path
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("m", MapType(StringType,
+      StructField("mm", MapType(StringType,
         MapType(StringType, LongType, valueContainsNull = true),
-        valueContainsNull = true), nullable = true)))
+        valueContainsNull = true), nullable = true),
+      StructField("sc", StructType(Seq(
+        StructField("cfg", MapType(StringType, LongType, valueContainsNull = true),
+          nullable = true))), nullable = true),
+      StructField("am", ArrayType(MapType(StringType, LongType, valueContainsNull = true),
+        containsNull = true), nullable = true)))
     val rows = Seq(
-      Row(1L, Map("a" -> Map("b" -> 1L))),
-      Row(2L, Map("a" -> Map("b" -> 2L))))
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    parity(df, """{"properties": {"m": {"enum": [{"a": {"b": 1}}]}}}""",
-      expectFast = false)
+      Row(1L, Map("a" -> Map("x" -> 1L, "y" -> 2L)), Row(Map("k" -> 1L)),
+        Seq(Map("p" -> 1L), Map.empty[String, Long])),
+      Row(2L, Map("b" -> Map("y" -> 2L, "x" -> 1L)), Row(Map("k" -> 2L)),
+        Seq(Map("p" -> 2L))),
+      Row(3L, Map("a" -> Map("x" -> 9L)), Row(null), Seq[Any](null)),
+      Row(4L, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {
+        |  "mm": {"enum": [{"a": {"y": 2, "x": 1}}, {}]},
+        |  "sc": {"enum": [{"cfg": {"k": 1}}, {}]},
+        |  "am": {"enum": [[{"p": 1}, {}], [null]]}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // row 1 matches everywhere (key order insensitive); row 2 misses
+    // all three member lists; row 3: mm misses, sc null field = absent
+    // key = member {}, am [null] matches the null-element member
+    assert(got == Set((2L, "/mm"), (2L, "/sc"), (2L, "/am"), (3L, "/mm")), s"got $got")
   }
 
   // ---- structs ---------------------------------------------------------------
