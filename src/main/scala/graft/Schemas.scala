@@ -103,6 +103,21 @@ object Schemas {
       |  }
       |}""".stripMargin
 
+  /** Map-valued-enum schema for a `map<string,string>` tags column
+    * derived from `documents`: deep object equality compiles to
+    * sorted-entry canonicalization on the fast path (no EqualTo on
+    * MapType) — members differ by value AND by key-set size.
+    */
+  val docTags: String =
+    """{
+      |  "type": "object",
+      |  "properties": {
+      |    "tags": {"enum": [{"lang": "en", "src": "src1"},
+      |                      {"src": "src2", "lang": "de"},
+      |                      {"lang": "fr"}]}
+      |  }
+      |}""".stripMargin
+
   /** Nested-container schema for an `array<array<double>>` column
     * derived from `events`: inner arrays validated recursively with
     * fully dynamic two-component pointers (`/grid/<i>/<j>`) — the

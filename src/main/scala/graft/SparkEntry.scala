@@ -35,6 +35,7 @@ object SparkEntry {
   private lazy val embeddingRowSchema = Validate.compileSchema(Schemas.embeddingRow)
   private lazy val eventAttrsSchema = Validate.compileSchema(Schemas.eventAttrs)
   private lazy val eventGridSchema = Validate.compileSchema(Schemas.eventGrid)
+  private lazy val docTagsSchema = Validate.compileSchema(Schemas.docTags)
   private lazy val documentStrictSchema = Validate.compileSchema(Schemas.documentStrict)
   private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
 
@@ -118,6 +119,14 @@ object SparkEntry {
           map(concat(lit("t_"), col("event_type")), col("value"),
             lit("user"), col("user_id").cast("double")).as("attrs")),
         eventAttrsSchema, Seq("event_id"))),
+
+    // map-valued enum: deep object equality over a map<string,string>
+    // column via sorted-entry canonicalization (fast path)
+    "v_map_enum" -> ((s, dir) =>
+      Validate.violations(
+        table(s, dir, "documents").select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("src"), col("source")).as("tags")),
+        docTagsSchema, Seq("doc_id"))),
 
     // array<array<double>> nested-container elements: inner arrays
     // recurse through the dynamic-pointer emitter (/grid/<i>/<j>),
@@ -423,6 +432,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, 'minimum', '/attrs/user', 'Value must be at least 1.'
         |  FROM events WHERE CAST(user_id AS DOUBLE) < 1""".stripMargin,
+
+    "v_map_enum" ->
+      """SELECT doc_id, 'enum' AS keyword, '/tags' AS json_pointer,
+        |       'Enum error. The data must be equal to one of the allowed values.' AS message
+        |  FROM documents
+        | WHERE (lang IS DISTINCT FROM 'en' OR source IS DISTINCT FROM 'src1')
+        |   AND (lang IS DISTINCT FROM 'de' OR source IS DISTINCT FROM 'src2')""".stripMargin,
 
     "v_nested_fast" ->
       """SELECT event_id, 'maximum' AS keyword, '/grid/0/0' AS json_pointer,
