@@ -72,21 +72,40 @@ object JValue {
     * reference's lexical DeepEqual, /root/reference/utils_deepequal.go:77-107
     * — see SURVEY.md §2.1 #20).
     */
-  def deepEqual(a: JValue, b: JValue): Boolean = (a, b) match {
-    case (JNull, JNull)         => true
-    case (JBool(x), JBool(y))   => x == y
-    case (JStr(x), JStr(y))     => x == y
-    case (x: JNum, y: JNum)     => (x.decimalOpt, y.decimalOpt) match {
-      case (Some(a), Some(b)) => a.compare(b) == 0
-      case (None, None)       => x.text == y.text // non-finite tokens
-      case _                  => false
-    }
-    case (JArr(x), JArr(y)) =>
-      x.length == y.length && x.iterator.zip(y.iterator).forall { case (u, v) => deepEqual(u, v) }
-    case (x: JObj, y: JObj) =>
-      x.size == y.size && x.fields.forall { case (k, v) =>
-        y.get(k).exists(deepEqual(v, _))
+  def deepEqual(a: JValue, b: JValue): Boolean = {
+    // iterative (explicit pair worklist): equality must survive the
+    // parser's full 10000-level nesting cap on any thread's stack;
+    // traversal order is irrelevant to a conjunction
+    val stack = new scala.collection.mutable.ArrayBuffer[(JValue, JValue)]
+    stack += ((a, b))
+    while (stack.nonEmpty) {
+      val (x, y) = stack.remove(stack.length - 1)
+      (x, y) match {
+        case (JNull, JNull)       => ()
+        case (JBool(u), JBool(w)) => if (u != w) return false
+        case (JStr(u), JStr(w))   => if (u != w) return false
+        case (u: JNum, w: JNum)   =>
+          val eq = (u.decimalOpt, w.decimalOpt) match {
+            case (Some(p), Some(q)) => p.compare(q) == 0
+            case (None, None)       => u.text == w.text // non-finite tokens
+            case _                  => false
+          }
+          if (!eq) return false
+        case (JArr(u), JArr(w)) =>
+          if (u.length != w.length) return false
+          var i = 0
+          while (i < u.length) { stack += ((u(i), w(i))); i += 1 }
+        case (u: JObj, w: JObj) =>
+          if (u.size != w.size) return false
+          u.fields.foreach { case (k, uv) =>
+            w.get(k) match {
+              case Some(wv) => stack += ((uv, wv))
+              case None     => return false
+            }
+          }
+        case _ => return false
       }
-    case _ => false
+    }
+    true
   }
 }

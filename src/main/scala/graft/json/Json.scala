@@ -13,19 +13,16 @@ object Json {
     // 1000, 1000-digit numbers) would misreport structurally valid
     // large/deep documents as malformed — lift the string/number caps
     // well past any realistic document (the reference's encoding/json
-    // has no caps). Nesting stays bounded at a depth the recursive
-    // readValue/Evaluator.validate stack can survive on an executor
-    // thread: an unbounded cap would let adversarial input trade a
-    // graceful 'malformed' violation for a StackOverflowError that
-    // kills the whole Spark task. DOCUMENTED DIVERGENCE: Go's
-    // encoding/json accepts ~10000 levels, so the reference validates
-    // documents of depth 1501..10000 that this engine reports as
-    // 'malformed'. Executor threads share their stack with codegen and
-    // shuffle frames, so the conservative cap is deliberate; raise it
-    // only together with an iterative parse/validate.
+    // has no caps). Nesting is capped at 10000, the depth Go's
+    // encoding/json enforces, so this engine and the reference accept
+    // EXACTLY the same documents: [[readValue]] builds the tree with
+    // an explicit heap stack (no parse recursion), and the evaluator
+    // hands subtrees past ~512 call frames to the
+    // [[graft.schema.DeepStack]] big-stack pool, so a 10000-deep
+    // document validates on any executor thread regardless of -Xss.
     val constraints = com.fasterxml.jackson.core.StreamReadConstraints.builder()
       .maxStringLength(Int.MaxValue)
-      .maxNestingDepth(1500)
+      .maxNestingDepth(10000)
       .maxNumberLength(100000)
       .build()
     // explicit builder type: JsonFactory.builder()'s wildcard generic
@@ -51,45 +48,73 @@ object Json {
     } finally p.close()
   }
 
-  /** None on any malformed input — including a StackOverflowError from
-    * pathological nesting (belt and braces under the 1500-depth cap):
-    * the recursion unwinds fully, so degrading to 'malformed' is safe,
-    * while letting the Error escape would kill the Spark task.
+  /** None on any malformed input — including a StackOverflowError
+    * (belt and braces; no parse path recurses anymore): the stack
+    * unwinds fully, so degrading to 'malformed' is safe, while letting
+    * an Error escape would kill the Spark task.
     */
   def parseOpt(text: String): Option[JValue] =
     try Some(parse(text))
     catch { case _: Exception | _: StackOverflowError => None }
 
-  private def readValue(p: JsonParser): JValue = p.currentToken() match {
-    case JsonToken.VALUE_NULL         => JNull
-    case JsonToken.VALUE_TRUE         => JBool(true)
-    case JsonToken.VALUE_FALSE        => JBool(false)
-    case JsonToken.VALUE_STRING       => JStr(p.getText)
-    case JsonToken.VALUE_NUMBER_INT   => JNum(p.getText)
-    case JsonToken.VALUE_NUMBER_FLOAT => JNum(p.getText)
-    case JsonToken.START_ARRAY =>
-      val buf = new ArrayBuffer[JValue]()
-      while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p)
-      JArr(buf.toVector)
-    case JsonToken.START_OBJECT =>
-      // Duplicate keys: LAST value wins, deduped — the reference decodes
-      // into a Go map (jsonschema.go:104-105), so a shadowed earlier
-      // value must not be validated and must not count toward
-      // min/maxProperties or deepEqual sizes. First occurrence keeps
-      // its position for deterministic field order.
-      val buf = new ArrayBuffer[(String, JValue)]()
-      val idx = scala.collection.mutable.HashMap[String, Int]()
-      while (p.nextToken() != JsonToken.END_OBJECT) {
-        val name = p.currentName()
-        p.nextToken()
-        val v = readValue(p)
-        idx.get(name) match {
-          case Some(i) => buf(i) = ((name, v))
-          case None    => idx(name) = buf.length; buf += ((name, v))
+  // Container under construction during the iterative parse.
+  private final class ArrCtx {
+    val buf = new ArrayBuffer[JValue]()
+  }
+  private final class ObjCtx {
+    // Duplicate keys: LAST value wins, deduped — the reference decodes
+    // into a Go map (jsonschema.go:104-105), so a shadowed earlier
+    // value must not be validated and must not count toward
+    // min/maxProperties or deepEqual sizes. First occurrence keeps
+    // its position for deterministic field order.
+    val buf = new ArrayBuffer[(String, JValue)]()
+    val idx = scala.collection.mutable.HashMap[String, Int]()
+    var name: String = null
+    def put(v: JValue): Unit = idx.get(name) match {
+      case Some(i) => buf(i) = ((name, v))
+      case None    => idx(name) = buf.length; buf += ((name, v))
+    }
+  }
+
+  /** Build the tree with an explicit container stack — parse depth is
+    * heap, not JVM stack, so the 10000-level cap is reachable on any
+    * thread.
+    */
+  private def readValue(p: JsonParser): JValue = {
+    val stack = new ArrayBuffer[AnyRef]() // ArrCtx | ObjCtx
+    var result: JValue = null
+    var tok = p.currentToken()
+    while (result == null) {
+      var done: JValue = null // a completed value to attach or return
+      tok match {
+        case JsonToken.VALUE_NULL         => done = JNull
+        case JsonToken.VALUE_TRUE         => done = JBool(true)
+        case JsonToken.VALUE_FALSE        => done = JBool(false)
+        case JsonToken.VALUE_STRING       => done = JStr(p.getText)
+        case JsonToken.VALUE_NUMBER_INT   => done = JNum(p.getText)
+        case JsonToken.VALUE_NUMBER_FLOAT => done = JNum(p.getText)
+        case JsonToken.START_ARRAY        => stack += new ArrCtx
+        case JsonToken.START_OBJECT       => stack += new ObjCtx
+        case JsonToken.FIELD_NAME =>
+          stack.last.asInstanceOf[ObjCtx].name = p.currentName()
+        case JsonToken.END_ARRAY =>
+          val c = stack.remove(stack.length - 1).asInstanceOf[ArrCtx]
+          done = JArr(c.buf.toVector)
+        case JsonToken.END_OBJECT =>
+          val c = stack.remove(stack.length - 1).asInstanceOf[ObjCtx]
+          done = JObj(c.buf.toVector)
+        case t => throw new IllegalArgumentException(s"unexpected token $t")
+      }
+      if (done != null) {
+        if (stack.isEmpty) result = done
+        else stack.last match {
+          case a: ArrCtx => a.buf += done
+          case o: ObjCtx => o.put(done)
         }
       }
-      JObj(buf.toVector)
-    case t => throw new IllegalArgumentException(s"unexpected token $t")
+      if (result == null) tok = p.nextToken()
+    }
+    result
   }
 
   /** Render a JValue back to compact JSON (deterministic: object field
@@ -101,27 +126,43 @@ object Json {
     sb.toString
   }
 
-  private def renderTo(v: JValue, sb: StringBuilder): Unit = v match {
-    case JNull       => sb.append("null")
-    case JBool(b)    => sb.append(b)
-    case JNum(t)     => sb.append(t)
-    case JStr(s)     => renderString(s, sb)
-    case JArr(items) =>
-      sb.append('[')
-      var first = true
-      items.foreach { it =>
-        if (!first) sb.append(','); first = false
-        renderTo(it, sb)
+  // Render tokens for the iterative writer: a raw chunk or a value to
+  // expand (explicit stack — deep values render on any thread).
+  private def renderTo(v: JValue, sb: StringBuilder): Unit = {
+    val stack = new ArrayBuffer[AnyRef]() // JValue | String (raw chunk)
+    stack += v
+    while (stack.nonEmpty) {
+      stack.remove(stack.length - 1) match {
+        case raw: String  => sb.append(raw)
+        case JNull        => sb.append("null")
+        case JBool(b)     => sb.append(b)
+        case JNum(t)      => sb.append(t)
+        case JStr(s)      => renderString(s, sb)
+        case JArr(items)  =>
+          sb.append('[')
+          stack += "]"
+          var i = items.length - 1
+          while (i >= 0) {
+            stack += items(i)
+            if (i > 0) stack += ","
+            i -= 1
+          }
+        case JObj(fields) =>
+          sb.append('{')
+          stack += "}"
+          var i = fields.length - 1
+          while (i >= 0) {
+            val (k, fv) = fields(i)
+            stack += fv
+            val keySb = new StringBuilder
+            if (i > 0) keySb.append(',')
+            renderString(k, keySb); keySb.append(':')
+            // key chunk sits ABOVE the value so it emits first
+            stack += keySb.toString
+            i -= 1
+          }
       }
-      sb.append(']')
-    case JObj(fields) =>
-      sb.append('{')
-      var first = true
-      fields.foreach { case (k, fv) =>
-        if (!first) sb.append(','); first = false
-        renderString(k, sb); sb.append(':'); renderTo(fv, sb)
-      }
-      sb.append('}')
+    }
   }
 
   private def renderString(s: String, sb: StringBuilder): Unit = {

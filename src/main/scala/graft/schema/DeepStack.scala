@@ -1,0 +1,47 @@
+package graft.schema
+
+import java.util.concurrent.{Callable, ExecutionException, Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Deep-recursion escape hatch: a shared pool of daemon threads with
+  * 512 MB stacks (virtual reservation — pages commit only when
+  * touched). The recursive evaluator hands a subtree off here ONCE
+  * when its call depth crosses [[Evaluator.HandoffDepth]], so
+  * documents nested up to the parser's 10000-level cap (the depth
+  * Go's encoding/json — and therefore the reference — accepts,
+  * /root/reference/jsonschema.go:104-105) validate correctly on any
+  * executor thread regardless of its `-Xss`, while ordinary documents
+  * never leave the task thread and pay zero overhead.
+  *
+  * Pool size tracks the host's cores: if an adversarial dataset makes
+  * EVERY row deep, validation degrades to a same-parallelism pipeline
+  * through the pool instead of deadlocking or serializing.
+  */
+private[graft] object DeepStack {
+  private val namePrefix = "graft-deepstack-"
+
+  def onDeepThread: Boolean =
+    Thread.currentThread().getName.startsWith(namePrefix)
+
+  private lazy val pool = {
+    val n = new AtomicInteger()
+    val tf = new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(null, r, namePrefix + n.incrementAndGet(),
+          512L * 1024 * 1024)
+        t.setDaemon(true)
+        t
+      }
+    }
+    Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors()), tf)
+  }
+
+  /** Run `f` on a deep-stack thread, rethrowing its failure as-is.
+    * Blocks the calling thread — the handoff is a synchronous subtree
+    * evaluation, not a fork.
+    */
+  def run[A](f: => A): A =
+    try pool.submit(new Callable[A] { def call(): A = f }).get()
+    catch { case e: ExecutionException => throw e.getCause }
+}

@@ -7,7 +7,7 @@ import graft.json._
   * emitting keyword name (the north rule's Violation rows carry a
   * `keyword` column).
   */
-final case class Viol(keyword: String, path: List[String], message: String) {
+final case class Viol(keyword: String, path: Seq[String], message: String) {
   /** Rendered exactly like `ValidationError.JSONPointer()`
     * (/root/reference/jsonschema.go:177-179): `/` + tokens joined by
     * `/` with `~`→`~0`, `/`→`~1` escaping.
@@ -60,15 +60,34 @@ object Msg {
   */
 object Evaluator {
 
+  /** Call depth at which a validation subtree hands off to the
+    * [[DeepStack]] pool. Sized for the WORST case — a cold, fully
+    * interpreted evaluator on a default 1 MB executor stack, where a
+    * single validateAt level costs ~2-3 KB of frames (measured: ~300
+    * levels exhaust 1 MB before the JIT kicks in): 128 calls ≈ 400 KB
+    * leaves ample headroom. One handoff per deep branch — the pool
+    * thread's 512 MB stack then covers the full parser-capped 10000
+    * levels without further checks.
+    */
+  private val HandoffDepth = 128
+
   def validate(schema: CompiledSchema, v: JValue): Vector[Viol] =
-    validateAt(schema, v, Nil)
+    validateAt(schema, v, Vector.empty)
 
   def isValid(schema: CompiledSchema, v: JValue): Boolean =
     validate(schema, v).isEmpty
 
-  def validateAt(schema: CompiledSchema, v: JValue, path: List[String]): Vector[Viol] = {
+  def validateAt(schema: CompiledSchema, v: JValue, path: Seq[String]): Vector[Viol] =
+    validateAt(schema, v, path, 0)
+
+  private def validateAt(schema: CompiledSchema, v: JValue, path: Seq[String],
+                         depth: Int): Vector[Viol] = {
+    if (depth >= HandoffDepth && !DeepStack.onDeepThread)
+      return DeepStack.run(validateAt(schema, v, path, depth))
     val out = Vector.newBuilder[Viol]
-    schema.keywords.foreach(k => evalKeyword(k, v, path, out))
+    val ks = schema.keywords
+    var i = 0 // while, not foreach: recursion-spine frames stay lean
+    while (i < ks.length) { evalKeyword(ks(i), v, path, out, depth); i += 1 }
     out.result()
   }
 
@@ -76,11 +95,12 @@ object Evaluator {
   // `length` on UTF8String (val_string.go:20).
   private def runeCount(s: String): Int = s.codePointCount(0, s.length)
 
-  private def evalKeyword(k: Keyword, v: JValue, path: List[String],
-                          out: scala.collection.mutable.Builder[Viol, Vector[Viol]]): Unit = k match {
+  private def evalKeyword(k: Keyword, v: JValue, path: Seq[String],
+                          out: scala.collection.mutable.Builder[Viol, Vector[Viol]],
+                          depth: Int): Unit = k match {
 
     case RefK(target) =>
-      out ++= validateAt(target, v, path)
+      out ++= validateAt(target, v, path, depth + 1)
 
     case TypeK(types) =>
       if (!types.contains("any")) {
@@ -169,8 +189,8 @@ object Evaluator {
     case ItemsListK(sub) => v match {
       case JArr(items) =>
         var i = 0
-        items.foreach { it =>
-          out ++= validateAt(sub, it, path :+ i.toString)
+        while (i < items.length) {
+          out ++= validateAt(sub, items(i), path :+ i.toString, depth + 1)
           i += 1
         }
       case _ => ()
@@ -179,13 +199,14 @@ object Evaluator {
     case ItemsTupleK(schemas, additional) => v match {
       case JArr(items) =>
         var i = 0
-        items.foreach { it =>
-          if (i < schemas.length) out ++= validateAt(schemas(i), it, path :+ i.toString)
+        while (i < items.length) {
+          val it = items(i)
+          if (i < schemas.length) out ++= validateAt(schemas(i), it, path :+ i.toString, depth + 1)
           else additional match {
             case Some(Left(_)) =>
               if (i == schemas.length) // single wholesale error (val_array.go:116-118)
                 out += Viol("additionalItems", path, s"Array must have at most ${schemas.length} items.")
-            case Some(Right(s)) => out ++= validateAt(s, it, path :+ i.toString)
+            case Some(Right(s)) => out ++= validateAt(s, it, path :+ i.toString, depth + 1)
             case None           => ()
           }
           i += 1
@@ -223,16 +244,19 @@ object Evaluator {
 
     case pk: PropsK => v match {
       case obj: JObj =>
-        obj.fields.foreach { case (key, value) =>
+        var fi = 0
+        while (fi < obj.fields.length) {
+          val (key, value) = obj.fields(fi)
+          fi += 1
           var matched = false
           pk.props.get(key).foreach { s =>
             matched = true
-            out ++= validateAt(s, value, path :+ key)
+            out ++= validateAt(s, value, path :+ key, depth + 1)
           }
           pk.compiledPatterns.foreach { case (re, s) =>
             if (re.matcher(key).find()) {
               matched = true
-              out ++= validateAt(s, value, path :+ key)
+              out ++= validateAt(s, value, path :+ key, depth + 1)
             }
           }
           if (!matched) pk.additional match {
@@ -240,7 +264,7 @@ object Evaluator {
             case ForbidAdditional =>
               out += Viol("additionalProperties", path :+ key, Msg.additionalProperty(key))
             case AdditionalSchema(s) =>
-              out ++= validateAt(s, value, path :+ key)
+              out ++= validateAt(s, value, path :+ key, depth + 1)
           }
         }
       case _ => ()
@@ -259,7 +283,7 @@ object Evaluator {
     case DependenciesK(schemaDeps, propDeps) => v match {
       case obj: JObj =>
         schemaDeps.foreach { case (k, s) =>
-          if (obj.map.contains(k)) out ++= validateAt(s, v, path)
+          if (obj.map.contains(k)) out ++= validateAt(s, v, path, depth + 1)
         }
         propDeps.foreach { case (k, needed) =>
           if (obj.map.contains(k))
@@ -284,20 +308,20 @@ object Evaluator {
     }
 
     case AllOfK(schemas) =>
-      schemas.foreach(s => out ++= validateAt(s, v, path))
+      schemas.foreach(s => out ++= validateAt(s, v, path, depth + 1))
 
     case AnyOfK(schemas) =>
       // Short-circuits on first success (val_all.go:31-35).
-      if (!schemas.exists(s => validateAt(s, v, path).isEmpty))
+      if (!schemas.exists(s => validateAt(s, v, path, depth + 1).isEmpty))
         out += Viol("anyOf", path, "Validation failed for each schema in 'anyOf'.")
 
     case OneOfK(schemas) =>
-      val succeeded = schemas.count(s => validateAt(s, v, path).isEmpty)
+      val succeeded = schemas.count(s => validateAt(s, v, path, depth + 1).isEmpty)
       if (succeeded != 1)
         out += Viol("oneOf", path, s"Validation passed for $succeeded schemas in 'oneOf'.")
 
     case NotK(s) =>
-      if (validateAt(s, v, path).isEmpty)
+      if (validateAt(s, v, path, depth + 1).isEmpty)
         out += Viol("not", path, "The 'not' schema didn't raise an error.")
   }
 }

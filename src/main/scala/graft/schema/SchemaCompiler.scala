@@ -43,7 +43,17 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
 
   def compile(docText: String): CompiledSchema = compileDoc(Json.parse(docText))
 
-  def compileDoc(doc: JValue): CompiledSchema = {
+  /** Schema compilation recurses over SCHEMA depth (author input, not
+    * data). A schema nested past ~10000 levels parses (the shared cap)
+    * but its compile recursion could outgrow a 1 MB thread stack, so
+    * the whole one-off compile runs on the [[DeepStack]] pool — one
+    * pool hop per schema, nothing per row.
+    */
+  def compileDoc(doc: JValue): CompiledSchema =
+    if (DeepStack.onDeepThread) compileDocHere(doc)
+    else DeepStack.run(compileDocHere(doc))
+
+  private def compileDocHere(doc: JValue): CompiledSchema = {
     val base = doc match {
       case o: JObj => o.get("id") match {
         case Some(JStr(id)) => id

@@ -1,0 +1,102 @@
+package graft.schema
+
+import graft.json._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deep-document robustness: the parser's 10000-level cap (the depth
+  * Go's encoding/json — and so the reference — enforces) must be fully
+  * reachable on an ordinary 1 MB thread stack: iterative parse/render/
+  * deepEqual plus the evaluator's DeepStack handoff at ~512 frames.
+  */
+class DeepNestingSpec extends AnyFunSuite {
+
+  private def deepArray(depth: Int, core: String): String =
+    "[" * depth + core + "]" * depth
+
+  private def compile(s: String): CompiledSchema =
+    new SchemaCompiler(Map.empty).compile(s)
+
+  test("a 10000-deep array parses; 10001 is malformed — the Go boundary") {
+    assert(Json.parseOpt(deepArray(10000, "0")).isDefined)
+    assert(Json.parseOpt(deepArray(10001, "0")).isEmpty)
+  }
+
+  test("validation reaches the bottom of a 9900-deep array via $ref recursion") {
+    val schema = compile("""{"items": {"$ref": "#"}, "type": ["array", "integer"]}""")
+    val v = Json.parse(deepArray(9900, "\"leaf\""))
+    val viols = Evaluator.validate(schema, v)
+    assert(viols.length == 1)
+    assert(viols.head.keyword == "type")
+    assert(viols.head.path.length == 9900)
+    assert(viols.head.jsonPointer == "/" + Seq.fill(9900)("0").mkString("/"))
+  }
+
+  test("validation reaches the bottom of a 9000-deep object chain") {
+    val schema = compile(
+      """{"properties": {"a": {"$ref": "#"}}, "type": ["object", "array"]}""")
+    val text = """{"a":""" * 9000 + "17" + "}" * 9000
+    val viols = Evaluator.validate(schema, Json.parse(text))
+    assert(viols.map(v => (v.keyword, v.path.length)) == Vector(("type", 9000)))
+  }
+
+  test("deepEqual survives full-depth comparison (uniqueItems + enum)") {
+    val twin = Json.parse(deepArray(9000, "1"))
+    val twin2 = Json.parse(deepArray(9000, "1"))
+    val other = Json.parse(deepArray(9000, "2"))
+    assert(JValue.deepEqual(twin, twin2))
+    assert(!JValue.deepEqual(twin, other))
+    val uniq = compile("""{"uniqueItems": true}""")
+    assert(Evaluator.validate(uniq, JArr(Vector(twin, twin2)))
+      .map(_.keyword) == Vector("uniqueItems"))
+    assert(Evaluator.validate(uniq, JArr(Vector(twin, other))).isEmpty)
+  }
+
+  test("render round-trips a deep value") {
+    val text = deepArray(8000, """{"k":[true,null]}""")
+    val v = Json.parse(text)
+    assert(Json.render(v) == text)
+    assert(JValue.deepEqual(Json.parse(Json.render(v)), v))
+  }
+
+  test("violation order is unchanged across the DeepStack handoff boundary") {
+    // each level is [deeper, "s"]; the type:["array"] schema flags every
+    // "s" and the bottom scalar — recursion order (item 0's whole
+    // subtree before item 1) must hold through the depth-512 handoff
+    val depth = 1000
+    val sb = new StringBuilder
+    (1 to depth).foreach(_ => sb.append("["))
+    sb.append("0")
+    (1 to depth).foreach(_ => sb.append(",\"s\"]"))
+    val text = sb.toString
+    val schema = compile("""{"items": {"$ref": "#"}, "type": ["array"]}""")
+    val viols = Evaluator.validate(schema, Json.parse(text))
+    val expected = Vector.tabulate(depth + 1) { i =>
+      if (i == 0) Seq.fill(depth)("0")                  // the bottom "0" scalar
+      else Seq.fill(depth - i)("0") :+ "1"              // each "s", deepest first
+    }
+    assert(viols.forall(_.keyword == "type"))
+    assert(viols.map(_.path) == expected)
+  }
+
+  test("wide fan-out at the handoff depth: every branch crosses independently") {
+    val depth = 520
+    val width = 40
+    val text = "[" * depth + (1 to width).map(_ => "\"x\"").mkString(",") + "]" * depth
+    val schema = compile("""{"items": {"$ref": "#"}, "type": ["array"]}""")
+    val viols = Evaluator.validate(schema, Json.parse(text))
+    assert(viols.length == width)
+    assert(viols.map(_.path.length).toSet == Set(depth))
+  }
+
+  test("a deep schema document compiles on the DeepStack pool") {
+    // items-nested schema ~3000 deep: compile recursion outgrows a
+    // small stack, so compileDoc routes through the pool
+    val depth = 3000
+    val schemaText =
+      ("""{"items":""" * depth) + """{"type": ["integer"]}""" + ("}" * depth)
+    val s = compile(schemaText)
+    val inst = Json.parse(deepArray(depth, "\"oops\""))
+    val viols = Evaluator.validate(s, inst)
+    assert(viols.map(v => (v.keyword, v.path.length)) == Vector(("type", depth)))
+  }
+}

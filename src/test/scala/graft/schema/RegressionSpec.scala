@@ -58,16 +58,14 @@ class RegressionSpec extends AnyFunSuite {
   }
 
   test("deeply nested and long-token documents parse (Jackson caps tuned)") {
-    // 1400 < the 1500-depth cap: parses (Jackson's default 1000 would
-    // misreport it); realistic documents never approach this
-    val deep = "[" * 1400 + "]" * 1400
+    // 5000 < the 10000-depth cap (the reference's encoding/json limit):
+    // parses via the iterative tree builder; DeepNestingSpec pins the
+    // exact 10000/10001 boundary and the full validate path
+    val deep = "[" * 5000 + "]" * 5000
     assert(Json.parseOpt(deep).isDefined)
     val num = "1" + "0" * 2000
     assert(Json.parse(num) == JNum(num))
-    // past the cap: degrades to malformed (None) — the recursive parse/
-    // validate stack must never see a depth it cannot survive, so
-    // adversarial nesting cannot StackOverflowError a Spark task
-    val tooDeep = "[" * 5000 + "]" * 5000
+    val tooDeep = "[" * 10500 + "]" * 10500
     assert(Json.parseOpt(tooDeep).isEmpty)
   }
 
