@@ -863,14 +863,9 @@ object ColumnCompiler {
             Check.emptyViolations).otherwise(e(x, ptr)))
         }
       case pk: PropsK =>
-        pk.props.foreach { case (k, sub) =>
-          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-          parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
-            Check.emptyViolations).otherwise(
-              inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
-        }
-        // patternProperties + additionalProperties fuse into one
-        // map_entries pass (same shape as [[mapChecks]])
+        // patterns/additional first — when their fused map_entries pass
+        // exists, named properties join it rather than probing the map
+        // twice per key (same shape and rationale as [[mapChecks]])
         val entryParts = Vector.newBuilder[(Column, Column, Column) => Column]
         pk.patterns.foreach { case (re, sub) =>
           val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
@@ -898,6 +893,17 @@ object ColumnCompiler {
                 .otherwise(Check.emptyViolations))
             case AllowAll => ()
           }
+        }
+        val fuseNamed = pk.patterns.nonEmpty || pk.additional != AllowAll
+        pk.props.foreach { case (k, sub) =>
+          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+          if (fuseNamed)
+            entryParts += ((key, v, ptr) => when(key === lit(k),
+              inner(v, concat(ptr, lit("/" + escPtr(k))))).otherwise(Check.emptyViolations))
+          else
+            parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
+              Check.emptyViolations).otherwise(
+                inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
         }
         entryParts.result() match {
           case Vector() => ()
@@ -1432,27 +1438,14 @@ object ColumnCompiler {
           b.result().foreach(ch => out += ch.skipWhen(c.isNull || !map_contains_key(c, k)))
         }
       case pk: PropsK =>
-        // named properties: value at a known key — static pointer
-        pk.props.foreach { case (k, sub) =>
-          val x = c.getItem(k)
-          val present = map_contains_key(c, k)
-          elemConds(sub, vt, depth + 1) match {
-            case Some(conds) =>
-              conds.foreach { cond =>
-                out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
-                  guarded(!present || !cond.fail(x)),
-                  messageCol = Some(cond.msg(x)))
-              }
-            case None =>
-              val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-              out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
-                .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
-          }
-        }
         // patternProperties + additionalProperties: ONE fused pass over
         // map_entries — per entry, every applicable subschema's
         // violations concatenate (HOFs are interpreted, so each extra
-        // pass is a full map traversal worth fusing away)
+        // pass is a full map traversal worth fusing away). Built FIRST:
+        // when this pass exists anyway, named properties fold into it
+        // too (a `key === k` branch per entry) instead of paying two
+        // full-map probes (`map_contains_key` + `getItem`) per key —
+        // Spark maps are unsorted arrays, so every probe is a scan.
         val entryParts = Vector.newBuilder[(Column, Column) => Column]
         pk.patterns.foreach { case (re, sub) =>
           val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
@@ -1479,6 +1472,30 @@ object ColumnCompiler {
                 inner(v, concat(lit(ptr + "/"), escPtrCol(key))))
                 .otherwise(Check.emptyViolations))
             case AllowAll => ()
+          }
+        }
+        val fuseNamed = pk.patterns.nonEmpty || pk.additional != AllowAll
+        pk.props.foreach { case (k, sub) =>
+          if (fuseNamed) {
+            val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+            entryParts += ((key, v) => when(key === lit(k),
+              inner(v, lit(ptr + "/" + escPtr(k)))).otherwise(Check.emptyViolations))
+          } else {
+            // no shared pass to join: value at a known key — two probes
+            val x = c.getItem(k)
+            val present = map_contains_key(c, k)
+            elemConds(sub, vt, depth + 1) match {
+              case Some(conds) =>
+                conds.foreach { cond =>
+                  out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
+                    guarded(!present || !cond.fail(x)),
+                    messageCol = Some(cond.msg(x)))
+                }
+              case None =>
+                val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+                out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
+                  .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
+            }
           }
         }
         entryParts.result() match {

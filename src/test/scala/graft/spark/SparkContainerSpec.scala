@@ -202,6 +202,13 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(rows.contains((5L, "type", "/m/k"))) // present null value is JSON null
     assert(rows.contains((6L, "maxProperties", "/m")))
     assert(!rows.exists(_._1 == 4L))
+    // plan pin: named properties FUSE into the patternProperties/
+    // additionalProperties map_entries pass — one traversal total, no
+    // per-key element_at probes (each probe scans the whole map)
+    val expr = fast.queryExecution.analyzed.toString
+    assert("map_entries".r.findAllIn(expr).length == 1,
+      s"expected ONE map_entries pass:\n$expr")
+    assert(!expr.contains("element_at"), s"per-key probe not fused:\n$expr")
   }
 
   test("map dependencies (property + schema form), fast ≡ tree") {
