@@ -776,7 +776,9 @@ object ColumnCompiler {
         one("minItems", x => x.isNotNull && !(size(x) >= n),
           _ => lit(s"Array must have at least $n items."))
       case UniqueItemsK =>
-        one("uniqueItems", x => x.isNotNull && !(size(array_distinct(x)) === size(x)),
+        val canon = uniqCanon(at).getOrElse(return None)
+        one("uniqueItems",
+          x => x.isNotNull && !(size(array_distinct(canon(x))) === size(x)),
           _ => lit("Array items must be unique."))
       case ItemsListK(sub) =>
         val inner = nestedElemViols(sub, at.elementType, depth + 1).getOrElse(return None)
@@ -1111,6 +1113,44 @@ object ColumnCompiler {
     case _ => c
   }
 
+  /** True when the NORMALIZED form of `dt` still contains a MapType —
+    * i.e. a non-string-keyed map lurks somewhere ([[enumNormType]]
+    * canonicalizes only string-keyed maps). Such a type supports no
+    * EqualTo even when a member never touches the map field (Catalyst
+    * type-checks the whole struct), so enum compiles must bail.
+    */
+  private def normHasMap(dt: DataType): Boolean = {
+    def raw(t: DataType): Boolean = t match {
+      case _: MapType       => true
+      case ArrayType(et, _) => raw(et)
+      case st: StructType   => st.fields.exists(f => raw(f.dataType))
+      case _                => false
+    }
+    raw(enumNormType(dt))
+  }
+
+  /** Canonical form for uniqueItems counting: identity unless the
+    * element type contains a string-keyed map, in which case elements
+    * rewrite through [[enumNorm]]'s sorted-entry canonicalization so
+    * `array_distinct` (which cannot order MapType) counts deep-equal
+    * maps as equal. None = a non-string-keyed map is in the type —
+    * uncanonicalizable, tree path.
+    */
+  private def uniqCanon(at: ArrayType): Option[Column => Column] = {
+    def scan(dt: DataType): Option[Boolean] = dt match {
+      case MapType(StringType, vt, _) => scan(vt).map(_ => true)
+      case _: MapType                 => None
+      case ArrayType(et, _)           => scan(et)
+      case st: StructType             =>
+        st.fields.foldLeft(Option(false)) { (acc, f) =>
+          for { a <- acc; b <- scan(f.dataType) } yield a || b
+        }
+      case _                          => Some(false)
+    }
+    scan(at.elementType).map(has =>
+      if (has) (c: Column) => enumNorm(c, at) else (c: Column) => c)
+  }
+
   private val utf8ByteOrder = new java.util.Comparator[String] {
     def compare(a: String, b: String): Int = java.util.Arrays.compare(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -1232,6 +1272,7 @@ object ColumnCompiler {
     */
   private def arrayEnumPred(values: Vector[graft.json.JValue],
                             at: ArrayType): Option[Column => Column] = {
+    if (normHasMap(at)) return None
     val members = Vector.newBuilder[Column]
     values.foreach { v =>
       enumMemberLit(v, at) match {
@@ -1252,6 +1293,7 @@ object ColumnCompiler {
     */
   private def structEnumPred(values: Vector[graft.json.JValue],
                              st: StructType): Option[Column => Column] = {
+    if (normHasMap(st)) return None
     val members = Vector.newBuilder[Column]
     values.foreach { v =>
       enumMemberLit(v, st) match {
@@ -1272,7 +1314,7 @@ object ColumnCompiler {
     */
   private def mapEnumPred(values: Vector[graft.json.JValue],
                           mt: MapType): Option[Column => Column] = {
-    if (mt.keyType != StringType) return None
+    if (mt.keyType != StringType || normHasMap(mt)) return None
     val members = Vector.newBuilder[Column]
     values.foreach { v =>
       enumMemberLit(v, mt) match {
@@ -1342,8 +1384,9 @@ object ColumnCompiler {
       case UniqueItemsK =>
         // same-typed elements ⇒ Spark equality ≡ deepEqual (incl. NaN
         // and null elements; -0.0 == 0.0 matches decimal comparison)
+        val canon = uniqCanon(ArrayType(et)).getOrElse(return None)
         out += PredCheck("uniqueItems", ptr, "Array items must be unique.",
-          guarded(size(array_distinct(c)) === size(c)))
+          guarded(size(array_distinct(canon(c))) === size(c)))
       case ItemsListK(sub) =>
         elemConds(sub, et, depth + 1) match {
           case Some(conds) =>

@@ -273,6 +273,47 @@ class SparkContainerSpec extends AnyFunSuite {
     assert(bad == Set(2L), s"got $bad")
   }
 
+  test("uniqueItems over array<map> counts deep-equal maps as duplicates") {
+    // regression: array_distinct cannot order MapType — raw compile
+    // crashed at analysis; elements now canonicalize to sorted entry
+    // arrays first (key order must not matter)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ms", ArrayType(MapType(StringType, LongType, valueContainsNull = true),
+        containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Map("a" -> 1L, "b" -> 2L), Map("b" -> 2L, "a" -> 1L))), // deep dup
+      Row(2L, Seq(Map("a" -> 1L), Map("a" -> 2L))),
+      Row(3L, Seq[Any](null, null)),                                      // null dup
+      Row(4L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df, """{"properties": {"ms": {"uniqueItems": true}}}""")
+    assert(fast.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // non-string-keyed maps have no canonical form: whole schema → tree
+    val intKeys = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ms", ArrayType(MapType(IntegerType, LongType, valueContainsNull = true),
+        containsNull = true), nullable = true)))
+    val df2 = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, Seq(Map(1 -> 1L), Map(1 -> 1L)))), 1), intKeys)
+    parity(df2, """{"properties": {"ms": {"uniqueItems": true}}}""", expectFast = false)
+  }
+
+  test("enum over a type containing a non-string-keyed map stays on the tree path") {
+    // regression: the absent-field arm casts NULL to the raw field
+    // type, and EqualTo type-checks the WHOLE struct — an int-keyed
+    // map field crashed analysis even when no member touched it
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cfg", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("m", MapType(IntegerType, LongType, valueContainsNull = true),
+          nullable = true))), nullable = true)))
+    val rows = Seq(Row(1L, Row(1L, null)), Row(2L, Row(2L, Map(1 -> 5L))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    parity(df, """{"properties": {"cfg": {"enum": [{"a": 1}]}}}""", expectFast = false)
+  }
+
   test("maps nested ANYWHERE in enum members canonicalize recursively") {
     // map-of-map, struct-with-map-field, and array-of-maps all
     // normalize to sorted entry arrays at every level — no tree path
