@@ -1,0 +1,112 @@
+package graft.spark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAllNoShrink
+
+/** Type-level fuzz: RANDOM nested column types (arrays, string- and
+  * int-keyed maps, structs, floats, decimals — depth ≤ 3) against a
+  * battery of container-heavy schemas. The property is total safety:
+  * the compiler either declines (tree path) or produces a plan that
+  * RUNS and agrees with the tree evaluator — an analysis-time crash
+  * (e.g. EqualTo/array_distinct over an unorderable MapType, the bug
+  * class fixed in ColumnCompiler.uniqCanon/normHasMap) fails the
+  * property. Complements SparkParityPropertySpec, whose column menu is
+  * fixed.
+  */
+object SparkTypeFuzzSpec extends Properties("graft.spark.typefuzz") {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val genLeaf: Gen[DataType] = Gen.oneOf(LongType, IntegerType, ShortType,
+    ByteType, DoubleType, FloatType, StringType, BooleanType, DecimalType(10, 2))
+
+  private def genType(depth: Int): Gen[DataType] =
+    if (depth == 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      2 -> Gen.lzy(genType(depth - 1)).map(t => ArrayType(t, containsNull = true)),
+      2 -> Gen.lzy(genType(depth - 1)).map(t =>
+        MapType(StringType, t, valueContainsNull = true)),
+      1 -> Gen.lzy(genType(depth - 1)).map(t =>
+        MapType(IntegerType, t, valueContainsNull = true)),
+      2 -> Gen.lzy(Gen.zip(genType(depth - 1), genType(depth - 1))).map { case (a, b) =>
+        StructType(Seq(StructField("a", a, nullable = true),
+          StructField("b", b, nullable = true))) })
+
+  private def genValue(dt: DataType): Gen[Any] = {
+    val base: Gen[Any] = dt match {
+      case LongType        => Gen.chooseNum(-5L, 60L).map(Long.box)
+      case IntegerType     => Gen.chooseNum(-5, 60).map(Int.box)
+      case ShortType       => Gen.chooseNum(-5, 60).map(n => Short.box(n.toShort))
+      case ByteType        => Gen.chooseNum(-5, 60).map(n => Byte.box(n.toByte))
+      case DoubleType      => Gen.oneOf(0.0, 1.0, 2.5, -1.5, 60.5).map(Double.box)
+      case FloatType       => Gen.oneOf(0.0f, 1.0f, 2.5f, 0.1f).map(Float.box)
+      case StringType      => Gen.oneOf("", "a", "en", "xyz", "toolongstring")
+      case BooleanType     => Gen.oneOf(true, false).map(Boolean.box)
+      case _: DecimalType  =>
+        Gen.oneOf("1.00", "2.50", "-5.25", "60.00").map(new java.math.BigDecimal(_))
+      case ArrayType(et, _) =>
+        Gen.resize(3, Gen.listOf(genValue(et))).map(l => l: Seq[Any])
+      case MapType(StringType, vt, _) =>
+        Gen.resize(3, Gen.mapOf(Gen.zip(Gen.oneOf("k", "w_1", "z"), genValue(vt))))
+      case MapType(_, vt, _) =>
+        Gen.resize(2, Gen.mapOf(Gen.zip(Gen.chooseNum(1, 3).map(Int.box), genValue(vt))))
+      case st: StructType =>
+        Gen.sequence[Vector[Any], Any](st.fields.toVector.map(f => genValue(f.dataType)))
+          .map(vs => Row.fromSeq(vs))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    Gen.frequency(4 -> base, 1 -> Gen.const(null))
+  }
+
+  private val schemaBattery: Gen[String] = Gen.oneOf(
+    """{"enum": [{"a": 1, "b": "en"}, {"k": 1}, [1, 2], "en", 1, {"a": {"k": 1}}, null]}""",
+    """{"uniqueItems": true, "minItems": 1}""",
+    """{"items": {"enum": [1, "a", {"k": 1}]}}""",
+    """{"items": {"type": "integer", "minimum": 0}, "maxItems": 2}""",
+    """{"required": ["k"], "properties": {"k": {"maximum": 10}},
+      |  "additionalProperties": {"type": "string"}}""".stripMargin,
+    """{"anyOf": [{"type": "object", "minProperties": 1}, {"type": "array"},
+      |           {"maximum": 5}]}""".stripMargin,
+    """{"not": {"enum": [{"k": null}, []]}}""",
+    """{"properties": {"a": {"enum": [{"k": 1}, 2.5]}},
+      |  "patternProperties": {"^b": {"minLength": 2}}}""".stripMargin,
+    """{"items": [{"enum": [[1], {"k": "en"}]}, {"type": "string"}],
+      |  "additionalItems": {"uniqueItems": true}}""".stripMargin)
+
+  private val genCase: Gen[(DataType, String, List[Any])] = for {
+    dt    <- genType(3)
+    s     <- schemaBattery
+    rows  <- Gen.listOfN(30, genValue(dt))
+  } yield (dt, s, rows)
+
+  property("random column types: compile declines or agrees with the tree") =
+    forAllNoShrink(genCase) { case (dt, subSchema, values) =>
+      val schema = Validate.compileSchema(s"""{"properties": {"c": $subSchema}}""")
+      val rowSchema = StructType(Seq(
+        StructField("row_tag", LongType, nullable = false),
+        StructField("c", dt, nullable = true)))
+      val rows = values.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), rowSchema)
+      def collect(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+          .toVector.sorted
+      val tree = collect(Validate.treeViolations(df, schema, Seq("row_tag")))
+      ColumnCompiler.compile(schema, df.schema) match {
+        case None => true // tree path, and the tree ran — safe
+        case Some(checks) =>
+          val fast = collect(
+            if (checks.isEmpty) Validate.emptyViolations(df, Seq("row_tag"))
+            else Validate.fastViolations(df, checks, Seq("row_tag")))
+          if (fast != tree) {
+            println(s"TYPEFUZZ MISMATCH type=$dt schema=$subSchema")
+            println(s"  fast-only: ${(fast.toSet -- tree.toSet).take(5)}")
+            println(s"  tree-only: ${(tree.toSet -- fast.toSet).take(5)}")
+          }
+          fast == tree
+      }
+    }
+}
