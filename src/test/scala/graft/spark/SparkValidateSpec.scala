@@ -138,6 +138,39 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.select("json_pointer").distinct().collect().map(_.getString(0)).toSet == Set("/props/k"))
   }
 
+  test("documents nested to 9000 levels validate on executor task threads") {
+    // the production shape of the ADVICE scenario: untrusted deep JSON
+    // arriving through the tree path (JSONL/string column) and through
+    // the SQL validate_json expression — both run on Spark task
+    // threads, where the DeepStack handoff must keep a 9000-level
+    // document from overflowing the task stack or dying as 'malformed'
+    import spark.implicits._
+    val deepOk = "[" * 9000 + "1" + "]" * 9000
+    val deepBad = "[" * 9000 + "\"leaf\"" + "]" * 9000
+    val tooDeep = "[" * 10500 + "1" + "]" * 10500
+    val df = Seq((1L, deepOk), (2L, deepBad), (3L, tooDeep)).toDF("id", "doc")
+    val docSchema = """{"items": {"$ref": "#"}, "type": ["array", "integer"]}"""
+    val rowSchema =
+      """{"properties": {"doc": {"$ref": "#/definitions/deep"}},
+        |  "definitions": {"deep": {"items": {"$ref": "#/definitions/deep"},
+        |                           "type": ["array", "integer"]}}}""".stripMargin
+    val v = Validate.treeViolations(df, Validate.compileSchema(rowSchema),
+      Seq("id"), jsonCols = Set("doc"))
+    val got = v.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "type"), (3L, "malformed")), s"got $got")
+    // pointer reaches the full 9000-component depth below /doc
+    val ptr = v.where(col("id") === 2L).select("json_pointer").head().getString(0)
+    assert(ptr.length == "/doc".length + 2 * 9000 && ptr.endsWith("/0"))
+
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("deep_docs")
+    val sql = spark.sql(
+      s"""SELECT id, v.keyword FROM deep_docs
+         |LATERAL VIEW explode(validate_json('$docSchema', doc)) AS v""".stripMargin)
+    val got2 = sql.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((2L, "type"), (3L, "malformed")), s"got $got2")
+  }
+
   test("uri/ipv6 formats stay on the fast path via the native expression") {
     import spark.implicits._
     val df = Seq(
