@@ -262,7 +262,12 @@ object Bench {
     // the measured configuration changes, and every sample (this run's
     // and the pool's) is disclosed in BENCH/BASELINE.md.
     val poolPath = Paths.get("BENCH/samples.txt")
-    val meta = s"meta rows=$rowsN n=$nCpus four=$n4Cpus full=$cpus"
+    // poolEpoch is part of the pool key: bump it whenever the measured
+    // pass itself changes (fullPass stages, scheduler, input generator)
+    // so floors can never be inherited from a different engine — the
+    // samples pooled under one epoch all measure the same code path.
+    val poolEpoch = "r2-pooling"
+    val meta = s"meta epoch=$poolEpoch rows=$rowsN n=$nCpus four=$n4Cpus full=$cpus"
     def poolRows(): Option[Seq[String]] =
       if (!Files.exists(poolPath)) None
       else {
@@ -282,11 +287,14 @@ object Bench {
           poolLevel("full", prior) ++ wF)
       }
     if (!scalingOnly) {
+      // Locale.ROOT: the file round-trips through String.toDouble, so a
+      // comma-decimal default locale must not leak into it
+      def fmt2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(poolPath, Seq(meta,
-        "n " + poolN.map(x => f"$x%.2f").mkString(" "),
-        "4n " + pool4N.map(x => f"$x%.2f").mkString(" "),
-        "full " + poolF.map(x => f"$x%.2f").mkString(" ")).mkString("", "\n", "\n"))
+        "n " + poolN.map(fmt2).mkString(" "),
+        "4n " + pool4N.map(fmt2).mkString(" "),
+        "full " + poolF.map(fmt2).mkString(" ")).mkString("", "\n", "\n"))
     }
     val (floorN, floor4N, floorFull) = (poolN.min, pool4N.min, poolF.min)
     def fmtWalls(w: Seq[Double]) = w.map(x => f"$x%.1f").mkString("[", ",", "]")

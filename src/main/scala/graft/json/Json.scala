@@ -17,7 +17,7 @@ object Json {
     // encoding/json enforces, so this engine and the reference accept
     // EXACTLY the same documents: [[readValue]] builds the tree with
     // an explicit heap stack (no parse recursion), and the evaluator
-    // hands subtrees past ~512 call frames to the
+    // hands subtrees past Evaluator.HandoffDepth call frames to the
     // [[graft.schema.DeepStack]] big-stack pool, so a 10000-deep
     // document validates on any executor thread regardless of -Xss.
     val constraints = com.fasterxml.jackson.core.StreamReadConstraints.builder()

@@ -39,9 +39,19 @@ private[graft] object DeepStack {
 
   /** Run `f` on a deep-stack thread, rethrowing its failure as-is.
     * Blocks the calling thread — the handoff is a synchronous subtree
-    * evaluation, not a fork.
+    * evaluation, not a fork. If the CALLER is interrupted (e.g. Spark
+    * killing the task), the submitted work is cancelled with interrupt
+    * so dead tasks don't keep pool threads occupied.
     */
-  def run[A](f: => A): A =
-    try pool.submit(new Callable[A] { def call(): A = f }).get()
-    catch { case e: ExecutionException => throw e.getCause }
+  def run[A](f: => A): A = {
+    val fut = pool.submit(new Callable[A] { def call(): A = f })
+    try fut.get()
+    catch {
+      case e: ExecutionException => throw e.getCause
+      case e: InterruptedException =>
+        fut.cancel(true)
+        Thread.currentThread().interrupt()
+        throw e
+    }
+  }
 }

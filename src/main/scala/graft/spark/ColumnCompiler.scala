@@ -865,58 +865,21 @@ object ColumnCompiler {
             Check.emptyViolations).otherwise(e(x, ptr)))
         }
       case pk: PropsK =>
-        // patterns/additional first — when their fused map_entries pass
-        // exists, named properties join it rather than probing the map
-        // twice per key (same shape and rationale as [[mapChecks]])
-        val entryParts = Vector.newBuilder[(Column, Column, Column) => Column]
-        pk.patterns.foreach { case (re, sub) =>
+        val (eps, fusedNamed) = mapEntryParts(pk, vt, depth).getOrElse(return None)
+        if (!fusedNamed) pk.props.foreach { case (k, sub) =>
+          // no shared pass to join: value at a known key — two probes
           val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-          entryParts += ((key, v, ptr) => when(key.rlike(re),
-            inner(v, concat(ptr, lit("/"), escPtrCol(key))))
-            .otherwise(Check.emptyViolations))
+          parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
+            Check.emptyViolations).otherwise(
+              inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
         }
-        if (pk.additional != AllowAll) {
-          val propKeys = pk.props.keys.toSeq
-          def matched(key: Column): Column = {
-            val inProps = if (propKeys.isEmpty) lit(false) else key.isin(propKeys: _*)
-            pk.patterns.map { case (re, _) => key.rlike(re) }.foldLeft(inProps)(_ || _)
-          }
-          pk.additional match {
-            case ForbidAdditional =>
-              entryParts += ((key, _, ptr) => when(!matched(key),
-                array(Check.violStruct(lit("additionalProperties"),
-                  concat(ptr, lit("/"), escPtrCol(key)),
-                  concat(lit("Additional property '"), key, lit("' is not allowed.")))))
-                .otherwise(Check.emptyViolations))
-            case AdditionalSchema(sub) =>
-              val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-              entryParts += ((key, v, ptr) => when(!matched(key),
-                inner(v, concat(ptr, lit("/"), escPtrCol(key))))
-                .otherwise(Check.emptyViolations))
-            case AllowAll => ()
-          }
-        }
-        val fuseNamed = pk.patterns.nonEmpty || pk.additional != AllowAll
-        pk.props.foreach { case (k, sub) =>
-          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-          if (fuseNamed)
-            entryParts += ((key, v, ptr) => when(key === lit(k),
-              inner(v, concat(ptr, lit("/" + escPtr(k))))).otherwise(Check.emptyViolations))
-          else
-            parts += ((x, ptr) => when(x.isNull || !map_contains_key(x, k),
-              Check.emptyViolations).otherwise(
-                inner(x.getItem(k), concat(ptr, lit("/" + escPtr(k))))))
-        }
-        entryParts.result() match {
-          case Vector() => ()
-          case eps =>
-            parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
-              flatten(transform(map_entries(x), e =>
-                eps.map(p => p(e("key"), e("value"), ptr)) match {
-                  case Vector(one) => one
-                  case many        => concat(many: _*)
-                }))))
-        }
+        if (eps.nonEmpty)
+          parts += ((x, ptr) => when(x.isNull, Check.emptyViolations).otherwise(
+            flatten(transform(map_entries(x), e =>
+              eps.map(p => p(e("key"), e("value"), ptr)) match {
+                case Vector(one) => one
+                case many        => concat(many: _*)
+              }))))
       case EnumK(values) =>
         val pred = mapEnumPred(values, mt).getOrElse(return None)
         val nullOk = values.contains(graft.json.JNull)
@@ -1095,19 +1058,42 @@ object ColumnCompiler {
         StructField("value", enumNormType(vt), nullable = n))), containsNull = false)
     case _                    => dt
   }
-  private def enumNorm(c: Column, dt: DataType): Column = dt match {
-    case FloatType => c.cast(StringType).cast(DoubleType)
-    case ArrayType(et, _) if enumNormType(et) != et => transform(c, x => enumNorm(x, et))
-    case st: StructType if enumNormType(st) != st =>
+  /** `zeros = true` additionally rewrites every float/double leaf with
+    * `+ 0.0`, collapsing -0.0 into +0.0 (NaN and all other values are
+    * fixed points). Catalyst's equality machinery is SPLIT on the two
+    * zeros — EqualTo codegen compares primitives with Java `==`
+    * (equal), while ordering-based paths (`array_distinct` hashing,
+    * `array_contains`' interpreted compare) see distinct bit patterns
+    * — and the tree's decimal comparison says equal, so every
+    * canonical-form consumer (enum membership, uniqueItems counting)
+    * normalizes zeros on BOTH sides and is correct under either
+    * implementation.
+    */
+  private def needsNorm(dt: DataType, zeros: Boolean): Boolean =
+    enumNormType(dt) != dt || (zeros && (dt match {
+      case DoubleType           => true
+      case ArrayType(et, _)     => needsNorm(et, zeros)
+      case st: StructType       => st.fields.exists(f => needsNorm(f.dataType, zeros))
+      case MapType(_, vt, _)    => needsNorm(vt, zeros)
+      case _                    => false
+    }))
+  private def enumNorm(c: Column, dt: DataType, zeros: Boolean = false): Column = dt match {
+    case DoubleType if zeros => c + lit(0.0d)
+    case FloatType =>
+      val bridged = c.cast(StringType).cast(DoubleType)
+      if (zeros) bridged + lit(0.0d) else bridged
+    case ArrayType(et, _) if needsNorm(et, zeros) =>
+      transform(c, x => enumNorm(x, et, zeros))
+    case st: StructType if needsNorm(st, zeros) =>
       // rebuild only when a field needs normalizing; a NULL struct
       // must stay NULL, not become a struct of NULLs
       when(c.isNull, lit(null).cast(enumNormType(st))).otherwise(
-        struct(st.fields.map(f => enumNorm(c.getField(f.name), f.dataType).as(f.name)): _*))
+        struct(st.fields.map(f => enumNorm(c.getField(f.name), f.dataType, zeros).as(f.name)): _*))
     case MapType(StringType, vt, _) =>
       val entries =
-        if (enumNormType(vt) != vt)
+        if (needsNorm(vt, zeros))
           transform(map_entries(c), e =>
-            struct(e("key").as("key"), enumNorm(e("value"), vt).as("value")))
+            struct(e("key").as("key"), enumNorm(e("value"), vt, zeros).as("value")))
         else map_entries(c)
       array_sort(entries)
     case _ => c
@@ -1130,16 +1116,19 @@ object ColumnCompiler {
   }
 
   /** Canonical form for uniqueItems counting: identity unless the
-    * element type contains a string-keyed map, in which case elements
-    * rewrite through [[enumNorm]]'s sorted-entry canonicalization so
-    * `array_distinct` (which cannot order MapType) counts deep-equal
-    * maps as equal. None = a non-string-keyed map is in the type —
-    * uncanonicalizable, tree path.
+    * element type contains a string-keyed map (sorted-entry rewrite —
+    * `array_distinct` cannot order MapType) or a float/double leaf
+    * (±0.0 collapse — `array_distinct` hashes raw bits, so -0.0 would
+    * wrongly count as distinct from 0.0 while the tree's decimal
+    * compare, and Catalyst's own EqualTo, treat them equal; NaNs the
+    * function already unifies). None = a non-string-keyed map is in
+    * the type — uncanonicalizable, tree path.
     */
   private def uniqCanon(at: ArrayType): Option[Column => Column] = {
     def scan(dt: DataType): Option[Boolean] = dt match {
       case MapType(StringType, vt, _) => scan(vt).map(_ => true)
       case _: MapType                 => None
+      case DoubleType | FloatType     => Some(true)
       case ArrayType(et, _)           => scan(et)
       case st: StructType             =>
         st.fields.foldLeft(Option(false)) { (acc, f) =>
@@ -1148,7 +1137,7 @@ object ColumnCompiler {
       case _                          => Some(false)
     }
     scan(at.elementType).map(has =>
-      if (has) (c: Column) => enumNorm(c, at) else (c: Column) => c)
+      if (has) (c: Column) => enumNorm(c, at, zeros = true) else (c: Column) => c)
   }
 
   private val utf8ByteOrder = new java.util.Comparator[String] {
@@ -1186,11 +1175,12 @@ object ColumnCompiler {
           .map(d => lit(d.toByteExact))
       case DoubleType | FloatType =>
         // float columns compare in the lexical double bridge, so a
-        // float target still takes a DOUBLE literal
+        // float target still takes a DOUBLE literal; -0.0 members
+        // normalize to +0.0 (the comparison side does the same)
         n.decimalOpt.filter { d =>
           try BigDecimal(d.toDouble.toString).compare(d) == 0
           catch { case _: NumberFormatException => false }
-        }.map(d => lit(d.toDouble))
+        }.map { d => val x = d.toDouble; lit(if (x == 0.0) 0.0 else x) }
       case dec: DecimalType =>
         // exact representability in (precision, scale) — anything else
         // can never value-equal a stored decimal (the bridge renders
@@ -1282,8 +1272,20 @@ object ColumnCompiler {
       }
     }
     val ms = members.result()
-    Some(x => ms.map(m => enumNorm(x, at) === m).reduceOption(_ || _).getOrElse(lit(false)))
+    Some(enumMembership(ms, at))
   }
+
+  /** Membership test shared by the container enum preds: ONE
+    * canonicalization of the value per row (`array_contains` against a
+    * member-array literal) instead of re-canonicalizing per member —
+    * the canon chain is interpreted HOFs with no common-subexpression
+    * elimination, so per-member repetition costs k full map sorts.
+    * Both sides run the zero-collapsing normalization so the result is
+    * identical under ordering-based and `==`-based equality.
+    */
+  private def enumMembership(ms: Vector[Column], dt: DataType): Column => Column =
+    if (ms.isEmpty) _ => lit(false)
+    else x => array_contains(array(ms: _*), enumNorm(x, dt, zeros = true))
 
   /** Enum over a struct VALUE: object-shaped members become struct
     * literals (absent member key ⇔ NULL field, matching the bridge's
@@ -1303,7 +1305,7 @@ object ColumnCompiler {
       }
     }
     val ms = members.result()
-    Some(x => ms.map(m => enumNorm(x, st) === m).reduceOption(_ || _).getOrElse(lit(false)))
+    Some(enumMembership(ms, st))
   }
 
   /** Enum over a map VALUE. Spark defines no EqualTo for MapType, so
@@ -1324,7 +1326,7 @@ object ColumnCompiler {
       }
     }
     val ms = members.result()
-    Some(x => ms.map(m => enumNorm(x, mt) === m).reduceOption(_ || _).getOrElse(lit(false)))
+    Some(enumMembership(ms, mt))
   }
 
   /** Tuple-form `items` + `additionalItems` over an array VALUE —
@@ -1444,6 +1446,58 @@ object ColumnCompiler {
 
   // ---- map columns (dynamic-key JSON objects, SURVEY §2.1 #13-19) ---------
 
+  /** The fused `map_entries` pass for PropsK over a map value — shared
+    * by the map-COLUMN compiler ([[mapChecks]]) and the nested-map
+    * emitter: patternProperties + additionalProperties always
+    * concatenate per entry (HOFs are interpreted, so each extra pass
+    * is a full map traversal worth fusing away), and when that pass
+    * exists anyway, NAMED properties fold into it too (a `key === k`
+    * branch per entry) instead of paying two full-map probes
+    * (`map_contains_key` + `getItem`) per key — Spark maps are
+    * unsorted arrays, so every probe is a scan.
+    *
+    * Each part takes `(key, value, pointerPrefix)`; returns the parts
+    * plus whether named props were folded in (callers emit the
+    * two-probe form themselves otherwise — the column form can use
+    * scalar PredChecks there, which this helper cannot express).
+    */
+  private def mapEntryParts(pk: PropsK, vt: DataType, depth: Int)
+      : Option[(Vector[(Column, Column, Column) => Column], Boolean)] = {
+    val entryParts = Vector.newBuilder[(Column, Column, Column) => Column]
+    def childPtr(ptr: Column, key: Column): Column = concat(ptr, lit("/"), escPtrCol(key))
+    pk.patterns.foreach { case (re, sub) =>
+      val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+      entryParts += ((key, v, ptr) => when(key.rlike(re),
+        inner(v, childPtr(ptr, key))).otherwise(Check.emptyViolations))
+    }
+    if (pk.additional != AllowAll) {
+      val propKeys = pk.props.keys.toSeq
+      def matched(key: Column): Column = {
+        val inProps = if (propKeys.isEmpty) lit(false) else key.isin(propKeys: _*)
+        pk.patterns.map { case (re, _) => key.rlike(re) }.foldLeft(inProps)(_ || _)
+      }
+      pk.additional match {
+        case ForbidAdditional =>
+          entryParts += ((key, _, ptr) => when(!matched(key),
+            array(Check.violStruct(lit("additionalProperties"), childPtr(ptr, key),
+              concat(lit("Additional property '"), key, lit("' is not allowed.")))))
+            .otherwise(Check.emptyViolations))
+        case AdditionalSchema(sub) =>
+          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+          entryParts += ((key, v, ptr) => when(!matched(key),
+            inner(v, childPtr(ptr, key))).otherwise(Check.emptyViolations))
+        case AllowAll => ()
+      }
+    }
+    val fuseNamed = pk.patterns.nonEmpty || pk.additional != AllowAll
+    if (fuseNamed) pk.props.foreach { case (k, sub) =>
+      val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
+      entryParts += ((key, v, ptr) => when(key === lit(k),
+        inner(v, concat(ptr, lit("/" + escPtr(k))))).otherwise(Check.emptyViolations))
+    }
+    Some((entryParts.result(), fuseNamed))
+  }
+
   private def mapChecks(schema: CompiledSchema, c: Column, mt: MapType, ptr: String,
                         out: scala.collection.mutable.Builder[Check, Vector[Check]],
                         depth: Int): Option[Unit] = {
@@ -1481,75 +1535,31 @@ object ColumnCompiler {
           b.result().foreach(ch => out += ch.skipWhen(c.isNull || !map_contains_key(c, k)))
         }
       case pk: PropsK =>
-        // patternProperties + additionalProperties: ONE fused pass over
-        // map_entries — per entry, every applicable subschema's
-        // violations concatenate (HOFs are interpreted, so each extra
-        // pass is a full map traversal worth fusing away). Built FIRST:
-        // when this pass exists anyway, named properties fold into it
-        // too (a `key === k` branch per entry) instead of paying two
-        // full-map probes (`map_contains_key` + `getItem`) per key —
-        // Spark maps are unsorted arrays, so every probe is a scan.
-        val entryParts = Vector.newBuilder[(Column, Column) => Column]
-        pk.patterns.foreach { case (re, sub) =>
-          val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-          entryParts += ((key, v) => when(key.rlike(re),
-            inner(v, concat(lit(ptr + "/"), escPtrCol(key))))
-            .otherwise(Check.emptyViolations))
-        }
-        if (pk.additional != AllowAll) {
-          val propKeys = pk.props.keys.toSeq
-          def matched(key: Column): Column = {
-            val inProps = if (propKeys.isEmpty) lit(false) else key.isin(propKeys: _*)
-            pk.patterns.map { case (re, _) => key.rlike(re) }.foldLeft(inProps)(_ || _)
-          }
-          pk.additional match {
-            case ForbidAdditional =>
-              entryParts += ((key, _) => when(!matched(key),
-                array(Check.violStruct(lit("additionalProperties"),
-                  concat(lit(ptr + "/"), escPtrCol(key)),
-                  concat(lit("Additional property '"), key, lit("' is not allowed.")))))
-                .otherwise(Check.emptyViolations))
-            case AdditionalSchema(sub) =>
+        val (eps, fusedNamed) = mapEntryParts(pk, vt, depth).getOrElse(return None)
+        if (!fusedNamed) pk.props.foreach { case (k, sub) =>
+          // no shared pass to join: value at a known key — two probes
+          val x = c.getItem(k)
+          val present = map_contains_key(c, k)
+          elemConds(sub, vt, depth + 1) match {
+            case Some(conds) =>
+              conds.foreach { cond =>
+                out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
+                  guarded(!present || !cond.fail(x)),
+                  messageCol = Some(cond.msg(x)))
+              }
+            case None =>
               val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-              entryParts += ((key, v) => when(!matched(key),
-                inner(v, concat(lit(ptr + "/"), escPtrCol(key))))
-                .otherwise(Check.emptyViolations))
-            case AllowAll => ()
+              out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
+                .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
           }
         }
-        val fuseNamed = pk.patterns.nonEmpty || pk.additional != AllowAll
-        pk.props.foreach { case (k, sub) =>
-          if (fuseNamed) {
-            val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-            entryParts += ((key, v) => when(key === lit(k),
-              inner(v, lit(ptr + "/" + escPtr(k)))).otherwise(Check.emptyViolations))
-          } else {
-            // no shared pass to join: value at a known key — two probes
-            val x = c.getItem(k)
-            val present = map_contains_key(c, k)
-            elemConds(sub, vt, depth + 1) match {
-              case Some(conds) =>
-                conds.foreach { cond =>
-                  out += PredCheck(cond.keyword, ptr + "/" + escPtr(k) + cond.suffix, "",
-                    guarded(!present || !cond.fail(x)),
-                    messageCol = Some(cond.msg(x)))
-                }
-              case None =>
-                val inner = nestedElemViols(sub, vt, depth + 1).getOrElse(return None)
-                out += ElemCheck(when(c.isNull || !present, Check.emptyViolations)
-                  .otherwise(inner(x, lit(ptr + "/" + escPtr(k)))))
-            }
+        if (eps.nonEmpty) {
+          val perEntry = (e: Column) => eps.map(p => p(e("key"), e("value"), lit(ptr))) match {
+            case Vector(one) => one
+            case many        => concat(many: _*)
           }
-        }
-        entryParts.result() match {
-          case Vector() => ()
-          case parts =>
-            val perEntry = (e: Column) => parts.map(p => p(e("key"), e("value"))) match {
-              case Vector(one) => one
-              case many        => concat(many: _*)
-            }
-            out += ElemCheck(when(c.isNull, Check.emptyViolations)
-              .otherwise(flatten(transform(map_entries(c), perEntry))))
+          out += ElemCheck(when(c.isNull, Check.emptyViolations)
+            .otherwise(flatten(transform(map_entries(c), perEntry))))
         }
       case EnumK(values) =>
         // root-level NULL column = absent key ⇒ skip (guarded)

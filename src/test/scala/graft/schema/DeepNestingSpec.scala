@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Deep-document robustness: the parser's 10000-level cap (the depth
   * Go's encoding/json — and so the reference — enforces) must be fully
   * reachable on an ordinary 1 MB thread stack: iterative parse/render/
-  * deepEqual plus the evaluator's DeepStack handoff at ~512 frames.
+  * deepEqual plus the evaluator's DeepStack handoff at
+  * Evaluator.HandoffDepth (128) call frames.
   */
 class DeepNestingSpec extends AnyFunSuite {
 
@@ -78,14 +79,20 @@ class DeepNestingSpec extends AnyFunSuite {
     assert(viols.map(_.path) == expected)
   }
 
-  test("wide fan-out at the handoff depth: every branch crosses independently") {
-    val depth = 520
+  test("wide fan-out above the handoff depth: every branch crosses independently") {
+    // 40 sibling chains diverge at the ROOT and each descends past
+    // HandoffDepth (128) — so each branch pays its own pool handoff;
+    // order and pointers must come back exactly as one-thread recursion
+    // would produce them
     val width = 40
-    val text = "[" * depth + (1 to width).map(_ => "\"x\"").mkString(",") + "]" * depth
+    val chain = 200
+    val text = "[" +
+      (1 to width).map(_ => deepArray(chain - 1, "\"x\"")).mkString(",") + "]"
     val schema = compile("""{"items": {"$ref": "#"}, "type": ["array"]}""")
     val viols = Evaluator.validate(schema, Json.parse(text))
     assert(viols.length == width)
-    assert(viols.map(_.path.length).toSet == Set(depth))
+    assert(viols.map(_.path.length).toSet == Set(chain))
+    assert(viols.map(_.path.head) == (0 until width).map(_.toString))
   }
 
   test("a deep schema document compiles on the DeepStack pool") {

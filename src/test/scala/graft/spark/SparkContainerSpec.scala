@@ -299,6 +299,29 @@ class SparkContainerSpec extends AnyFunSuite {
     parity(df2, """{"properties": {"ms": {"uniqueItems": true}}}""", expectFast = false)
   }
 
+  test("uniqueItems collapses -0.0 into 0.0 like the tree's decimal compare") {
+    // regression: array_distinct hashes raw bits, so [0.0, -0.0] (and
+    // nested struct doubles) wrongly counted as distinct while the
+    // tree — and Catalyst's own EqualTo — treat the zeros equal
+    val item = StructType(Seq(StructField("f", DoubleType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(DoubleType, containsNull = true), nullable = true),
+      StructField("fs", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("ss", ArrayType(item, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(0.0, -0.0), Seq(0.25f, 0.5f), Seq(Row(1.5))),
+      Row(2L, Seq(Double.NaN, Double.NaN), Seq(-0.0f, 0.0f), Seq(Row(0.0), Row(-0.0))),
+      Row(3L, Seq(1.0, 2.0), Seq(Float.NaN, Float.NaN), Seq(Row(1.0), Row(2.0))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val (fast, _) = parity(df,
+      """{"properties": {"xs": {"uniqueItems": true}, "fs": {"uniqueItems": true},
+        |                "ss": {"uniqueItems": true}}}""".stripMargin)
+    val got = fast.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "/xs"), (2L, "/xs"), (2L, "/fs"), (2L, "/ss"), (3L, "/fs")),
+      s"got $got")
+  }
+
   test("enum over a type containing a non-string-keyed map stays on the tree path") {
     // regression: the absent-field arm casts NULL to the raw field
     // type, and EqualTo type-checks the WHOLE struct — an int-keyed

@@ -41,8 +41,10 @@ object SparkTypeFuzzSpec extends Properties("graft.spark.typefuzz") {
       case IntegerType     => Gen.chooseNum(-5, 60).map(Int.box)
       case ShortType       => Gen.chooseNum(-5, 60).map(n => Short.box(n.toShort))
       case ByteType        => Gen.chooseNum(-5, 60).map(n => Byte.box(n.toByte))
-      case DoubleType      => Gen.oneOf(0.0, 1.0, 2.5, -1.5, 60.5).map(Double.box)
-      case FloatType       => Gen.oneOf(0.0f, 1.0f, 2.5f, 0.1f).map(Float.box)
+      case DoubleType      =>
+        Gen.oneOf(0.0, -0.0, 1.0, 2.5, -1.5, 60.5, Double.NaN).map(Double.box)
+      case FloatType       =>
+        Gen.oneOf(0.0f, -0.0f, 1.0f, 2.5f, 0.1f, Float.NaN).map(Float.box)
       case StringType      => Gen.oneOf("", "a", "en", "xyz", "toolongstring")
       case BooleanType     => Gen.oneOf(true, false).map(Boolean.box)
       case _: DecimalType  =>
