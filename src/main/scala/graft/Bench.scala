@@ -181,13 +181,16 @@ object Bench {
       // diagnostic: intrinsic per-stage walls at N then 4N, free of
       // concurrent-scheduling effects (one warm-up pass first) — the
       // per-stage N/4N ratio exposes bandwidth-bound stages (< 4×)
-      var s = session(n4Cpus)
+      // same 16m split size as the measured level() runs — a different
+      // split config would attribute scheduling overhead to stages the
+      // real measurement does not incur
+      var s = session(n4Cpus, "16m")
       SourceTable.ensure(s, srcDir, srcRows)
       fullPass(s, s.read.parquet(srcDir))
       System.err.println(s"[bench] solo at local[$n4Cpus]:")
       soloPass(s, s.read.parquet(srcDir))
       s.stop()
-      s = session(nCpus)
+      s = session(nCpus, "16m")
       System.err.println(s"[bench] solo at local[$nCpus]:")
       soloPass(s, s.read.parquet(srcDir))
       s.stop()

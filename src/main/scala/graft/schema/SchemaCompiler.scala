@@ -266,6 +266,13 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
           hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
         out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
         i += 3
+      } else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+                 Character.isLowSurrogate(s.charAt(i + 1))) {
+        // encode the PAIR together: an unpaired surrogate half
+        // UTF-8-encodes to '?', mangling non-BMP pointer tokens
+        val b = s.substring(i, i + 2).getBytes("UTF-8")
+        out.write(b, 0, b.length)
+        i += 2
       } else {
         val b = c.toString.getBytes("UTF-8")
         out.write(b, 0, b.length)

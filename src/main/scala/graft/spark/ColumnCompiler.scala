@@ -1184,9 +1184,13 @@ object ColumnCompiler {
       case dec: DecimalType =>
         // exact representability in (precision, scale) — anything else
         // can never value-equal a stored decimal (the bridge renders
-        // decimals with toPlainString, so tree equality is by value)
+        // decimals with toPlainString, so tree equality is by value).
+        // Zero passes unconditionally: stripTrailingZeros leaves it at
+        // precision 1 / scale 0, which the digit-budget test would
+        // wrongly reject for (p, p) types
         n.decimalOpt.map(_.underlying.stripTrailingZeros).filter { bd =>
-          bd.scale <= dec.scale && bd.precision - bd.scale <= dec.precision - dec.scale
+          bd.signum == 0 ||
+            (bd.scale <= dec.scale && bd.precision - bd.scale <= dec.precision - dec.scale)
         }.map(bd => lit(bd).cast(dec))
       case _ => None
     }

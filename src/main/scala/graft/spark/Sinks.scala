@@ -132,8 +132,26 @@ object Sinks {
   def readKeyword(spark: org.apache.spark.sql.SparkSession, path: String,
                   keyword: String): DataFrame = {
     val data = resolveDataDir(spark, path)
-    try spark.read.parquet(data).where(col("keyword") === keyword)
-    catch {
+    try {
+      val df =
+        if (data != path) spark.read.parquet(data)
+        else {
+          // legacy (manifest-less) root: enumerate the legacy entries
+          // explicitly so a crashed upgrade's v-* staging debris (swept
+          // by the next successful write) cannot poison partition-layout
+          // inference with two directory depths in that window
+          val root = new Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val parts =
+            if (fs.exists(root))
+              fs.listStatus(root).map(_.getPath)
+                .filter(p => !isVersionArtifact(p.getName) && !p.getName.startsWith("_"))
+            else Array.empty[Path]
+          if (parts.isEmpty) spark.read.parquet(data)
+          else spark.read.option("basePath", path).parquet(parts.map(_.toString).toSeq: _*)
+        }
+      df.where(col("keyword") === keyword)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
            e.getMessage.contains("Unable to infer schema") =>

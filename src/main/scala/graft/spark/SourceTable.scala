@@ -81,17 +81,17 @@ object SourceTable {
     */
   def ensure(spark: SparkSession, dir: String, rows: Long): DataFrame = {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      // Fixed 64-way layout with 8 MB row groups, independent of the
-      // generating session's core count. A parquet scan parallelizes at
-      // ROW-GROUP granularity (splits below a row group collapse onto
-      // whoever owns its midpoint), so the default ~128 MB groups gave
-      // this ~1 GB table only ~8 schedulable tasks per scan — a lone
-      // job couldn't occupy 16 cores (measured 2.1× from 4→16), and
-      // the last-draining job's fat tasks idled the level's cores. The
+      // Fixed 128-way file layout, independent of the generating
+      // session's core count. A parquet scan parallelizes at ROW-GROUP
+      // granularity (splits below a row group collapse onto whoever
+      // owns its midpoint), so the default ~128 MB groups gave this
+      // ~1 GB table only ~8 schedulable tasks per scan — a lone job
+      // couldn't occupy 16 cores (measured 2.1× from 4→16), and the
+      // last-draining job's fat tasks idled the level's cores. The
       // 100 TB analogue: row-group size is the scan-parallelism knob.
-      // one row group per ~9 MB file: 128-way file count sets the task
+      // One row group per ~9 MB file: the 128-way file count sets task
       // granularity without paying per-row-group encoding overhead
-      // (8 MB parquet.block.size groups measured ~7% slower scans)
+      // (an explicit 8 MB parquet.block.size measured ~7% slower scans)
       synthesize(spark, rows)
         .repartitionByRange(128, col("repo"), col("path"))
         .write.mode("overwrite")

@@ -76,6 +76,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(Evaluator.validate(s, JStr("x")).nonEmpty)
   }
 
+  test("$ref tokens mixing percent-escapes with non-BMP characters resolve") {
+    // regression: percent-decoding re-encoded literal chars one Java
+    // char at a time, so each surrogate half of a non-BMP key became
+    // '?' and the definition lookup failed
+    val clef = "𝄞" // U+1D11E musical G clef
+    val s = compile(
+      s"""{"definitions": {"a x$clef": {"type": "integer"}},
+         | "$$ref": "#/definitions/a%20x$clef"}""".stripMargin)
+    assert(Evaluator.validate(s, JNum("1")).isEmpty)
+    assert(Evaluator.validate(s, JStr("x")).nonEmpty)
+  }
+
   test("format edges: ipv6 zero-group ellipsis rejected, ipv4 leading zeros rejected") {
     assert(!Formats.check("ipv6", "1:2:3:4:5:6:7:8::"))
     assert(!Formats.check("ipv6", "::1:2:3:4:5:6:7:8"))

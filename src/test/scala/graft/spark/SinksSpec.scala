@@ -94,6 +94,23 @@ class SinksSpec extends AnyFunSuite {
     assert(n == v.where(col("keyword") === "pattern").count())
   }
 
+  test("legacy read survives DATA-bearing crash debris from an unpublished upgrade") {
+    // a first versioned write crashed AFTER writing partition data under
+    // v-<token> but BEFORE publishing _current: the root now mixes
+    // keyword= dirs at two depths — a naive whole-root parquet read dies
+    // with conflicting partition structures; the reader must serve only
+    // the legacy entries until the next write sweeps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val v = Validate.violations(docs, schema, Seq("doc_id")).limit(7)
+    val dir = Files.createTempDirectory("graft_sinkd").toString + "/violations"
+    v.write.partitionBy("keyword").parquet(dir) // legacy layout
+    v.limit(4).write.partitionBy("keyword").parquet(dir + "/v-deadbeef") // crashed upgrade
+    assert(Sinks.resolveDataDir(spark, dir) == dir)
+    val n = Sinks.readKeyword(spark, dir, "pattern").count()
+    assert(n == v.where(col("keyword") === "pattern").count(), s"got $n")
+  }
+
   test("upgrading a legacy sink never deletes its data before publish") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val schema = Validate.compileSchema(Schemas.document)

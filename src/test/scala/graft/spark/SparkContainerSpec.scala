@@ -299,6 +299,24 @@ class SparkContainerSpec extends AnyFunSuite {
     parity(df2, """{"properties": {"ms": {"uniqueItems": true}}}""", expectFast = false)
   }
 
+  test("decimal enum member zero is representable in every (p, s)") {
+    // regression: stripTrailingZeros leaves 0 at precision 1 / scale 0,
+    // which the digit-budget test rejected for (p, p) types — the fast
+    // path then dropped the member and flagged valid rows
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DecimalType(2, 2), nullable = true)))
+    val rows = Seq(
+      Row(1L, new java.math.BigDecimal("0.00")),
+      Row(2L, new java.math.BigDecimal("0.25")),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val (fast, _) = parity(df, """{"properties": {"d": {"enum": [0, 0.25]}}}""")
+    assert(fast.collect().isEmpty)
+    val (fast2, _) = parity(df, """{"properties": {"d": {"enum": [0]}}}""")
+    assert(fast2.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("uniqueItems collapses -0.0 into 0.0 like the tree's decimal compare") {
     // regression: array_distinct hashes raw bits, so [0.0, -0.0] (and
     // nested struct doubles) wrongly counted as distinct while the
