@@ -495,7 +495,8 @@ object SparkEntry {
 
     "c_ref_orders" ->
       """SELECT o_orderkey, o_custkey FROM orders o
-        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
     "c_drift_hist" ->
       """SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 25000), 0), 19) AS BIGINT) AS bucket,

@@ -64,22 +64,25 @@ object Dedup {
     * billions of copies of one boilerplate document — must not
     * materialize a single group's full id list as one aggregation row
     * (the giant-row hazard [[graft.operators.Pairs]] blocks for pair
-    * expansion), so capped runs rank BEFORE any collect: the count
-    * aggregates first (constant-size state), duplicate groups
-    * semi-join back, and a sort-window row_number keeps the cap's
-    * worth of members streaming through the hot group's task instead
-    * of accumulating in memory.
+    * expansion), so capped runs rank BEFORE any collect, and the whole
+    * operator is ONE content scan + ONE (hash, id) shuffle: n_rows and
+    * the ranking come from the same sorted window pass (one spillable
+    * WindowExec — both functions share its partitioning and ordering),
+    * and the final per-group collect reuses that partitioning, where
+    * the former aggregate-then-join-back formulation scanned and
+    * hashed the content twice.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
                       maxIdsPerGroup: Int = Int.MaxValue): DataFrame = {
     val hashed = df.select(xxhash64(col(textCol)).as("content_hash"), col(idCol).as("__id"))
-    val dups = hashed.groupBy("content_hash")
-      .agg(count(lit(1)).as("n_rows")).where(col("n_rows") > 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("__id")
-    hashed.join(dups, Seq("content_hash"))
+    val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hashed
+      .withColumn("n_rows", count(lit(1)).over(wAll))
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= maxIdsPerGroup)
+      .where(col("n_rows") > 1 && col("__rn") <= maxIdsPerGroup)
       .groupBy(col("content_hash"), col("n_rows"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .select(col("content_hash"), col("n_rows"), col("ids"),
@@ -200,11 +203,30 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
-                   cap: Int = 4096): DataFrame = {
+                   cap: Int = 4096, chunks: Int = 4): DataFrame = {
+    // Pigeonhole recall contract, stated rather than silent: with k
+    // chunks, a pair within hamming radius r is GUARANTEED to share a
+    // bucket only when r < k (r flips can touch at most r chunks);
+    // beyond that detection is probabilistic — the standard simhash
+    // banding trade (e.g. the default 4×16-bit bands at radius 12).
+    // Callers needing guaranteed recall pass chunks = maxHamming + 1,
+    // paying bucket selectivity (2^width values per chunk) for it.
+    require(chunks >= 1 && chunks <= 16,
+      s"chunks = $chunks outside [1, 16] for a 64-bit simhash")
+    require(maxHamming >= 0, s"maxHamming = $maxHamming must be non-negative")
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val spans = (0 until chunks).map { i =>
+      val start = i * base + math.min(i, rem)
+      val width = base + (if (i < rem) 1 else 0)
+      (start, width)
+    }
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array(spans.map { case (start, width) =>
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          shiftright(col("fp"), start).bitwiseAND(lit(mask))
+        }: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
     Pairs.blockedPairs(chunked.select("chunk_idx", "chunk", "id", "fp"),
         Seq("chunk_idx", "chunk"), cap, maxBucket)

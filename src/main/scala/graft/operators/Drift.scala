@@ -15,17 +15,33 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** Clamping equi-width bucket index: values outside [lo,hi) land in
-    * the edge buckets, so the histogram is total over non-null input.
+    * the edge buckets, so the histogram is total over non-null,
+    * non-NaN input. A degenerate range is rejected eagerly — w = 0
+    * would otherwise throw DIVIDE_BY_ZERO mid-job under Spark 4's
+    * default ANSI mode.
     */
   def bucketCol(value: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    require(buckets > 0, s"buckets = $buckets must be positive")
+    require(hi > lo, s"degenerate histogram range [$lo, $hi) — a baseline " +
+      "profiled from a constant column cannot define equi-width buckets")
     val w = (hi - lo) / buckets
     least(greatest(floor((value - lit(lo)) / lit(w)), lit(0.0)), lit((buckets - 1).toDouble))
       .cast("long")
   }
 
-  /** (bucket, n) histogram of `valueCol`; non-null rows only. */
+  /** NaN counts on NEITHER side, like NULL: `floor(NaN)` is NaN and
+    * `least` would silently clamp it into the TOP bucket (NaN is
+    * greatest in Spark's ordering), reporting corruption as "drift
+    * toward high values" instead of excluding it.
+    */
+  private def cleanValue(valueCol: String): Column = {
+    val v = col(valueCol).cast("double")
+    col(valueCol).isNotNull && !isnan(v)
+  }
+
+  /** (bucket, n) histogram of `valueCol`; non-null, non-NaN rows only. */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, buckets: Int): DataFrame =
-    df.where(col(valueCol).isNotNull)
+    df.where(cleanValue(valueCol))
       .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -52,7 +68,7 @@ object Drift {
     */
   def histogramSplit(df: DataFrame, isBase: Column, valueCol: String,
                      lo: Double, hi: Double, buckets: Int): DataFrame =
-    df.where(col(valueCol).isNotNull)
+    df.where(cleanValue(valueCol))
       .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
       // NULL-valued predicates count on NEITHER side (the two-scan form
       // drops such rows from both where() filters), and buckets holding

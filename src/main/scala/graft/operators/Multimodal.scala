@@ -32,10 +32,12 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    // metadata/features nullable: a NULL bytes payload decodes to a
+    // NULL-feature row instead of killing the task in the codec
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Deterministic media table derived from any (id, text) input —
     * text bytes stand in for encoded media payloads.
@@ -63,8 +65,15 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // a real implementation opens the codec once per batch here
         batch.iterator.map { r =>
-          val f = StubCodec.decode(r.getString(moIdx), r.getAs[Array[Byte]](byIdx))
-          Row(r.getLong(idIdx), r.getString(moIdx), f.width, f.height, f.nFrames, f.features)
+          val bytes = r.getAs[Array[Byte]](byIdx)
+          if (bytes == null)
+            // undecodable absent payload: metadata row with NULL
+            // features, not a task-killing NPE in the codec
+            Row(r.getLong(idIdx), r.getString(moIdx), null, null, null, null)
+          else {
+            val f = StubCodec.decode(r.getString(moIdx), bytes)
+            Row(r.getLong(idIdx), r.getString(moIdx), f.width, f.height, f.nFrames, f.features)
+          }
         }
       }
     }(Encoders.row(featureSchema))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity checks (north rule: "lang against a broadcast
@@ -22,14 +22,26 @@ object Referential {
   def broadcastOrphans(fact: DataFrame, fkCols: Seq[String],
                        dim: DataFrame, pkCols: Seq[String]): DataFrame = {
     val d = renameDim(dim, pkCols)
-    fact.join(broadcast(d), joinCond(fact, fkCols, d, pkCols), "left_anti")
+    val f = fact.where(fkPresent(fkCols))
+    f.join(broadcast(d), joinCond(f, fkCols, d, pkCols), "left_anti")
   }
 
   def shuffleOrphans(fact: DataFrame, fkCols: Seq[String],
                      dim: DataFrame, pkCols: Seq[String]): DataFrame = {
     val d = renameDim(dim, pkCols)
-    fact.hint("SHUFFLE_MERGE").join(d, joinCond(fact, fkCols, d, pkCols), "left_anti")
+    val f = fact.where(fkPresent(fkCols)).hint("SHUFFLE_MERGE")
+    f.join(d, joinCond(f, fkCols, d, pkCols), "left_anti")
   }
+
+  /** SQL FK semantics (MATCH SIMPLE): a row whose foreign key is NULL
+    * in any component references nothing, so it is not an orphan —
+    * without this filter the anti-join keeps every null-FK row (NULL
+    * never equals a key) and optional references inflate violation
+    * counts. Null-FK PRESENCE is a `required`/`type` keyword check,
+    * not a referential one.
+    */
+  private def fkPresent(fkCols: Seq[String]): Column =
+    fkCols.map(col(_).isNotNull).reduce(_ && _)
 
   private def renameDim(dim: DataFrame, pkCols: Seq[String]): DataFrame =
     pkCols.foldLeft(dim.select(pkCols.map(col): _*)) { (d, c) => d.withColumnRenamed(c, s"__pk_$c") }

@@ -34,7 +34,15 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** A zero vector has no direction: its similarity to anything is 0
+    * by convention — and the guard matters operationally, because an
+    * unguarded 0/0 THROWS under Spark 4's default ANSI mode (one
+    * all-zero padding embedding would kill the whole job).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val norms = l2norm(a) * l2norm(b)
+    when(norms === 0.0, lit(0.0)).otherwise(dot(a, b) / norms)
+  }
 
   private def queryLit(q: Array[Float]): Column = array(q.map(lit): _*)
 
@@ -54,10 +62,14 @@ object Similarity {
   }
 
   /** SRP signature: bit b = (v · plane_b) >= 0, packed into a long. */
-  def srpSignature(vec: Column, planes: Array[Array[Float]]): Column =
+  def srpSignature(vec: Column, planes: Array[Array[Float]]): Column = {
+    require(planes.length <= 64,
+      s"SRP signature packs into one long: bits = ${planes.length} > 64 " +
+        "(Java's 1L << b wraps mod 64 and would silently alias planes)")
     planes.zipWithIndex.map { case (p, b) =>
       when(dot(vec, queryLit(p)) >= 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** LSH-bucketed ANN: score only vectors whose SRP signature is
     * within `probeHamming` bits of the query's signature.
@@ -134,12 +146,19 @@ object Similarity {
     * small IN-list — at scale the table is written partitioned by
     * cluster_id, so the probe prunes partitions at the source.
     */
+  /** Driver-side probe selection shared by the in-memory and
+    * cluster-partitioned IVF paths — ONE definition so distance metric
+    * and tie-breaking can never diverge between them.
+    */
+  private def nearestCentroids(query: Array[Float], centroids: Array[Array[Float]],
+                               nprobe: Int): Seq[Int] =
+    centroids.indices.map { i =>
+      i -> centroids(i).zip(query).map { case (a, b) => a.toDouble * b }.sum
+    }.sortBy(-_._2).take(nprobe).map(_._1)
+
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float],
               k: Int, centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
-    val qd = centroids.indices.map { i =>
-      i -> centroids(i).zip(query).map { case (a, b) => a.toDouble * b }.sum
-    }
-    val probe = qd.sortBy(-_._2).take(nprobe).map(_._1)
+    val probe = nearestCentroids(query, centroids, nprobe)
     df.select(col(idCol), col(vecCol), ivfClusterId(col(vecCol), centroids).as("cluster_id"))
       .where(col("cluster_id").isin(probe: _*))
       .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
@@ -168,10 +187,7 @@ object Similarity {
   def clusteredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                     vecCol: String, idCol: String, query: Array[Float], k: Int,
                     centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
-    val qd = centroids.indices.map { i =>
-      i -> centroids(i).zip(query).map { case (a, b) => a.toDouble * b }.sum
-    }
-    val probe = qd.sortBy(-_._2).take(nprobe).map(_._1)
+    val probe = nearestCentroids(query, centroids, nprobe)
     spark.read.parquet(path)
       .where(col("cluster_id").isin(probe: _*)) // partition-column filter ⇒ pruning
       .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table-level column statistics (north rule: "column stats via
@@ -20,13 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** The numeric view of a column for min/max/quantiles: a plain cast
+    * would THROW under Spark 4's default ANSI mode on the first
+    * non-numeric string (killing count/nulls/distinct with it, since
+    * it is all one aggregation) and fail analysis outright for
+    * date/container types. Numerics cast exactly, strings go through
+    * `try_cast` (junk → NULL), everything else reports NULL numeric
+    * stats while the type-agnostic counters still run.
+    */
+  private def asDouble(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.BooleanType => col(c).cast("double")
+      case org.apache.spark.sql.types.StringType  => col(c).try_cast("double")
+      case _                                      => lit(null).cast("double")
+    }
+
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
-        min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"),
+        min(asDouble(df, c)).as(s"__min_$c"),
+        max(asDouble(df, c)).as(s"__max_$c"),
         countDistinct(col(c)).as(s"__dst_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -46,7 +62,7 @@ object Stats {
     val aggs = cols.flatMap { c =>
       Seq(
         approx_count_distinct(col(c)).as(s"__adst_$c"),
-        percentile_approx(col(c).cast("double"),
+        percentile_approx(asDouble(df, c),
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000)).as(s"__q_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -66,7 +82,7 @@ object Stats {
   def tdigestStats(df: DataFrame, cols: Seq[String],
                    probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99)): DataFrame = {
     val aggs = cols.map { c =>
-      graft.functions.TDigest.quantilesAgg(col(c).cast("double"), probs).as(s"__td_$c")
+      graft.functions.TDigest.quantilesAgg(asDouble(df, c), probs).as(s"__td_$c")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>

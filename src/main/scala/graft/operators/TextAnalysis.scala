@@ -43,8 +43,9 @@ object TextAnalysis {
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
       subwordCount(col(textCol)).cast("long").as("n_subwords"))
 
-  private def alnumTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  // one tokenizer across the module family: language-ID/quality and
+  // dedup shingling must agree on what a word is (Dedup.tokens)
+  private def alnumTokens(text: Column): Column = Dedup.tokens(text)
 
   private def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(alnumTokens(text), t => t.isInCollection(words)))

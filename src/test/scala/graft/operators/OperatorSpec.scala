@@ -43,6 +43,59 @@ class OperatorSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("edge hardening under default ANSI mode: zero vectors, null FKs, NaN drift") {
+    import spark.implicits._
+    // all-zero embedding: cosine is 0 by convention, NOT a
+    // DIVIDE_BY_ZERO job abort (ANSI is on by default in Spark 4)
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val top = Similarity.cosineTopK(vecs, "vec", "id", Array(1.0f, 0.0f), 2).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.0), (2L, 0.0)))
+
+    // null FK is not an orphan (SQL MATCH SIMPLE), for both join paths
+    val fact = Seq((1L, "en"), (2L, null), (3L, "zz")).toDF("id", "fk")
+    val dim = Seq("en", "de").toDF("fk")
+    assert(Referential.broadcastOrphans(fact, Seq("fk"), dim, Seq("fk"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(Referential.shuffleOrphans(fact, Seq("fk"), dim, Seq("fk"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // NaN counts on neither histogram side; a degenerate range fails fast
+    val vals = Seq(0.5, Double.NaN, 1.5).toDF("v")
+    val h = Drift.histogram(vals, "v", 0.0, 2.0, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(0L -> 1L, 1L -> 1L), s"got $h")
+    intercept[IllegalArgumentException](Drift.bucketCol(col("v"), 1.0, 1.0, 4))
+
+    // non-numeric columns yield NULL numeric stats, not a CAST error
+    val mixed = Seq((1L, "en"), (2L, "de")).toDF("n", "s")
+    val st = Stats.columnStats(mixed, Seq("n", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("n").getDouble(3) == 1.0 && st("n").getDouble(4) == 2.0)
+    assert(st("s").isNullAt(3) && st("s").isNullAt(4))
+    assert(st("s").getLong(1) == 2) // count still runs for the string column
+  }
+
+  test("simhash pigeonhole chunk count is an explicit recall knob") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(Seq((1L, "x")).toDF("id", "text"), "id", "text", chunks = 17)
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumped over the lazy dog again and again"),
+      (3L, "completely unrelated content about spark catalyst expressions")
+    ).toDF("id", "text")
+    // guaranteed-recall configuration (chunks = maxHamming + 1) returns
+    // a superset of the default heuristic 4-band result at the same
+    // radius — every pair the bands can find, the guarantee also finds
+    val banded = Dedup.simhashPairs(docs, "id", "text", maxHamming = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guaranteed = Dedup.simhashPairs(docs, "id", "text", maxHamming = 5, chunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(guaranteed), s"banded=$banded guaranteed=$guaranteed")
+  }
+
   test("drift: identical distributions give PSI≈0 and KS≈0") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val hist = Drift.histogramCompare(orders, orders, "o_totalprice", 0.0, 500000.0, 20)
