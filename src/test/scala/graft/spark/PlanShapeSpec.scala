@@ -87,6 +87,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!bareAfterSalted, s"full input partitioned on the bare group key:\n$p")
   }
 
+  test("exact dedup is one scan, one shuffle, one fused window pass") {
+    // count-over-window + row_number share a WindowExec; the former
+    // aggregate-then-join-back shape scanned and hashed content twice
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(Dedup.exactDuplicates(docs, "doc_id", "text"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("single-pass drift split scans the table once") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val p = plan(Drift.histogramSplit(orders,
