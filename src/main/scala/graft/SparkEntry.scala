@@ -558,6 +558,22 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
 
+    // IVF at nprobe=3/8 is asserted to achieve EXACT recall on this
+    // dataset: the oracle is the brute-force top-10. Everything in the
+    // IVF path is deterministic (hash-ordered sample, seeded k-means,
+    // id tiebreak), so this is a stable recall assertion, not a flake —
+    // if quantizer training or probe selection regresses, this row
+    // turns red. (s_ann_lsh stays rows-only: its multi-probe radius is
+    // deliberately tuned for partial recall, the approximate trade.)
+    "s_ann_ivf" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
     "t_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
