@@ -357,6 +357,20 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
   }
 
+  /** Brute-force cosine top-10 (query = vec 0) — the oracle for BOTH
+    * `s_cosine_topk` (exactness baseline) and `s_ann_ivf` (whose probe
+    * is asserted to achieve exact recall here); ONE definition so a
+    * numeric-parity fix can never reach one and miss the other.
+    */
+  private val bruteForceTopKSql: String =
+    """SELECT vec_id,
+      |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
+      |FROM embeddings
+      |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   private val qualityScoreSql: String =
     """round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
       |      (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
@@ -549,30 +563,20 @@ object SparkEntry {
       """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
-    "s_cosine_topk" ->
-      """SELECT vec_id,
-        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
-        |FROM embeddings
-        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    "s_cosine_topk" -> bruteForceTopKSql,
 
     // IVF at nprobe=3/8 is asserted to achieve EXACT recall on this
-    // dataset: the oracle is the brute-force top-10. Everything in the
-    // IVF path is deterministic (hash-ordered sample, seeded k-means,
-    // id tiebreak), so this is a stable recall assertion, not a flake —
-    // if quantizer training or probe selection regresses, this row
-    // turns red. (s_ann_lsh stays rows-only: its multi-probe radius is
-    // deliberately tuned for partial recall, the approximate trade.)
-    "s_ann_ivf" ->
-      """SELECT vec_id,
-        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 3) AS cos_sim
-        |FROM embeddings
-        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    // dataset: the oracle is the same brute-force top-10 the baseline
+    // query carries. Everything in the IVF path is deterministic
+    // (hash-ordered sample, seeded k-means, id tiebreak), so this is a
+    // stable assertion, not a flake. Caveat for future red rows: at the
+    // shipped SFs the k-means sample (sampleN=2000) covers the WHOLE
+    // embeddings table — a regenerated/larger table makes trainCentroids
+    // truly sample, cluster boundaries move, and recall at nprobe=3 is
+    // no longer guaranteed; that is a dataset/sampleN coupling, not an
+    // engine regression. (s_ann_lsh stays rows-only: its multi-probe
+    // radius is deliberately tuned for partial recall.)
+    "s_ann_ivf" -> bruteForceTopKSql,
 
     "t_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
