@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -88,9 +88,15 @@ object Multimodal {
   def resize(features: DataFrame, maxDim: Int): DataFrame = {
     val longEdge = greatest(col("width"), col("height"))
     val scale = when(longEdge > maxDim, lit(maxDim.toDouble) / longEdge).otherwise(lit(1.0))
+    // undecodable rows carry NULL width/height (decodeFeatures'
+    // convention) and must stay NULL — `greatest(NULL, 1)` skips the
+    // NULL and would fabricate 1×1 media, corrupting size filters
+    def resized(dim: Column): Column =
+      when(dim.isNull, lit(null))
+        .otherwise(greatest(floor(dim * scale), lit(1))).cast("int")
     features
-      .withColumn("resized_width", greatest(floor(col("width") * scale), lit(1)).cast("int"))
-      .withColumn("resized_height", greatest(floor(col("height") * scale), lit(1)).cast("int"))
+      .withColumn("resized_width", resized(col("width")))
+      .withColumn("resized_height", resized(col("height")))
   }
 
   /** Frame sampling for video rows: one output row per sampled frame
@@ -98,7 +104,11 @@ object Multimodal {
     * decoded frame count; non-video rows pass through with frame −1.
     */
   def frameSample(features: DataFrame, everyN: Int): DataFrame = {
-    val frames = when(col("modality") === "video",
+    // undecodable video (NULL n_frames): one row with NULL frame_idx —
+    // `greatest(NULL - 1, 0)` would otherwise fabricate frame 0
+    val frames = when(col("modality") === "video" && col("n_frames").isNull,
+        array(lit(null).cast("int")))
+      .when(col("modality") === "video",
         sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN)))
       .otherwise(array(lit(-1)))
     features.select(col("media_id"), col("modality"),

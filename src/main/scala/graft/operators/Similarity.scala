@@ -219,9 +219,15 @@ object Similarity {
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("n"),
       srpSignature(col(vecCol), planes).as("sig"))
+    // same zero-norm convention (and ANSI guard) as [[cosine]]: a zero
+    // vector still gets an SRP signature and lands in a bucket, and an
+    // unguarded 0/0 THROWS under Spark 4's default ANSI mode — one
+    // all-zero padding embedding must not kill the whole pairing job
+    val normProd = col("a.n") * col("b.n")
     Pairs.blockedPairs(sigd.select("sig", "id", "v", "n"), Seq("sig"), cap, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos_sim"))
+        when(normProd === 0.0, lit(0.0))
+          .otherwise(dot(col("a.v"), col("b.v")) / normProd).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 

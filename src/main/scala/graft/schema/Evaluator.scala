@@ -371,7 +371,11 @@ object Formats {
     if (dcCount > 1) return false
     val hasDc = dcCount == 1
     val body = s
-    def groupsOf(part: String): Option[Int] = {
+    // v4Tail: a dotted-quad counts as two groups ONLY as the final
+    // token of the WHOLE address (Go parseIPv6 embeds v4 at the end
+    // exclusively) — the left side of `::` must never accept one, or
+    // "1.2.3.4::" would false-accept
+    def groupsOf(part: String, v4Tail: Boolean): Option[Int] = {
       if (part.isEmpty) return Some(0)
       val toks = part.split(":", -1)
       if (toks.exists(_.isEmpty)) return None
@@ -380,7 +384,7 @@ object Formats {
       while (i < toks.length) {
         val t = toks(i)
         if (hexGroup.matcher(t).matches()) n += 1
-        else if (i == toks.length - 1 && ipv4.matcher(t).matches()) n += 2
+        else if (v4Tail && i == toks.length - 1 && ipv4.matcher(t).matches()) n += 2
         else return None
         i += 1
       }
@@ -389,12 +393,12 @@ object Formats {
     if (hasDc) {
       val i = body.indexOf("::")
       val (l, r) = (body.substring(0, i), body.substring(i + 2))
-      (groupsOf(l), groupsOf(r)) match {
+      (groupsOf(l, v4Tail = false), groupsOf(r, v4Tail = true)) match {
         // the ellipsis must expand to ≥1 zero group (Go parseIPv6
         // rejects '::' when 8 groups are already present)
         case (Some(a), Some(b)) => a + b <= 7
         case _                  => false
       }
-    } else groupsOf(body).contains(8)
+    } else groupsOf(body, v4Tail = true).contains(8)
   }
 }

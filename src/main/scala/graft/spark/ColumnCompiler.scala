@@ -69,6 +69,15 @@ object Check {
   */
 object ColumnCompiler {
 
+  /** Top-level column reference by EXACT name: bare `col("a.b")` parses
+    * the dot as nested-field access (wrong value or analysis error for
+    * a column literally named "a.b" — legal in Spark, common from
+    * flattened JSON); backtick-quoting keeps the name literal. Struct
+    * FIELD access below uses `getField`, which is already literal.
+    */
+  def colExact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def compile(schema: CompiledSchema, struct: StructType): Option[Vector[Check]] = {
     val out = Vector.newBuilder[Check]
     rootChecks(schema, struct, out, 0).map(_ => out.result())
@@ -102,7 +111,7 @@ object ColumnCompiler {
 
       case RequiredK(keys) =>
         keys.foreach { k =>
-          val pass = if (colNames.contains(k)) col(k).isNotNull else lit(false)
+          val pass = if (colNames.contains(k)) colExact(k).isNotNull else lit(false)
           out += PredCheck("required", "/", Msg.required(k), pass)
         }
 
@@ -115,30 +124,30 @@ object ColumnCompiler {
           var matched = false
           pk.props.get(name).foreach { sub =>
             matched = true
-            compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
+            compileValueChecks(sub, colExact(name), field.dataType, vptr, out).getOrElse(return None)
           }
-          pk.patterns.foreach { case (regex, sub) =>
-            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+          pk.compiledPatterns.foreach { case (pat, sub) =>
+            if (pat.matcher(name).find()) {
               matched = true
-              compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
+              compileValueChecks(sub, colExact(name), field.dataType, vptr, out).getOrElse(return None)
             }
           }
           if (!matched) pk.additional match {
             case AllowAll => ()
             case ForbidAdditional =>
-              out += PredCheck("additionalProperties", vptr, Msg.additionalProperty(name), col(name).isNull)
+              out += PredCheck("additionalProperties", vptr, Msg.additionalProperty(name), colExact(name).isNull)
             case AdditionalSchema(sub) =>
-              compileValueChecks(sub, col(name), field.dataType, vptr, out).getOrElse(return None)
+              compileValueChecks(sub, colExact(name), field.dataType, vptr, out).getOrElse(return None)
           }
         }
 
       case MaxPropertiesK(n) =>
         // Present keys = non-null columns.
-        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        val cnt = colNames.map(c => when(colExact(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += PredCheck("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
 
       case MinPropertiesK(n) =>
-        val cnt = colNames.map(c => when(col(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
+        val cnt = colNames.map(c => when(colExact(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += PredCheck("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
 
       case DependenciesK(schemaDeps, propDeps) =>
@@ -146,8 +155,8 @@ object ColumnCompiler {
           if (colNames.contains(k)) // absent column ⇒ dep never triggers
             needed.foreach { n =>
               val pass =
-                if (colNames.contains(n)) col(k).isNull || col(n).isNotNull
-                else col(k).isNull
+                if (colNames.contains(n)) colExact(k).isNull || colExact(n).isNotNull
+                else colExact(k).isNull
               out += PredCheck("dependencies", "/", s"Property '$k' requires property '$n'.", pass)
             }
         }
@@ -157,7 +166,7 @@ object ColumnCompiler {
             // child's own violations surface, presence-guarded
             val b = Vector.newBuilder[Check]
             rootChecks(sub, struct, b, depth + 1).getOrElse(return None)
-            b.result().foreach(ch => out += ch.skipWhen(col(k).isNull))
+            b.result().foreach(ch => out += ch.skipWhen(colExact(k).isNull))
           }
         }
 
@@ -256,6 +265,21 @@ object ColumnCompiler {
         if (doubleExact(b)) Some(lit(b.toDouble)) else None
     }
 
+    /** Exact multipleOf predicate for an integer-typed column. A whole
+      * divisor beyond long range must NOT go through `m.toLong` — that
+      * wraps (1e19 → negative) or zeroes (2^64 → REMAINDER_BY_ZERO
+      * under ANSI mode); once the divisor exceeds the column's value
+      * domain the only representable multiple is 0, which is what the
+      * tree path's exact BigDecimal remainder reports too.
+      */
+    def multipleOfPred(m: BigDecimal, c: Column): Column =
+      if (fitsLong(m)) pmod(c, lit(m.toLongExact)) === 0
+      else dt match {
+        // whole m with ≤38 digits can still divide decimal(38,0) values
+        case _: DecimalType if m.precision <= 38 => pmod(c, lit(m.underlying)) === 0
+        case _ => c === 0 // |every column value| < m ⇒ only 0 divides
+      }
+
     // numeric enum members are filtered to those representable exactly
     // in the column's comparison domain; the dropped ones cannot equal
     // any value of this column under the tree path's decimal equality
@@ -350,7 +374,7 @@ object ColumnCompiler {
           preds += (if (exclusive) numValue(c) > b else numValue(c) >= b)
         case _: MinimumK => ()
         case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
-          preds += (pmod(c, lit(m.toLong)) === 0)
+          preds += multipleOfPred(m, c)
         case MultipleOfK(_) if isNumeric => return None
         case _: MultipleOfK => ()
         case MaxLengthK(n) if jsonType == "string" => preds += (length(c) <= n)
@@ -402,7 +426,7 @@ object ColumnCompiler {
       case _: MinimumK => ()
 
       case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
-        out += PredCheck("multipleOf", ptr, Msg.multipleOf(m), guarded(pmod(c, lit(m.toLong)) === 0))
+        out += PredCheck("multipleOf", ptr, Msg.multipleOf(m), guarded(multipleOfPred(m, c)))
       case MultipleOfK(_) if isNumeric => return None // float modulo: exact-decimal tree path only
       case _: MultipleOfK => ()
 
@@ -523,7 +547,7 @@ object ColumnCompiler {
       case _: MinimumK => ()
       case MultipleOfK(m) if jt == "integer" && m.isWhole =>
         out += ElemCond("multipleOf", _ => lit(Msg.multipleOf(m)),
-          x => x.isNotNull && !(pmod(x, lit(m.toLong)) === 0))
+          x => x.isNotNull && !ops.multipleOfPred(m, x))
       case MultipleOfK(_) if ops.isNumeric => return None
       case _: MultipleOfK => ()
       case MaxLengthK(n) if jt == "string" =>
@@ -652,8 +676,8 @@ object ColumnCompiler {
             matched = true
             out ++= fieldConds(sub, name).getOrElse(return None)
           }
-          pk.patterns.foreach { case (regex, sub) =>
-            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+          pk.compiledPatterns.foreach { case (pat, sub) =>
+            if (pat.matcher(name).find()) {
               matched = true
               out ++= fieldConds(sub, name).getOrElse(return None)
             }
@@ -987,8 +1011,8 @@ object ColumnCompiler {
             matched = true
             parts += fieldViols(sub, name).getOrElse(return None)
           }
-          pk.patterns.foreach { case (regex, sub) =>
-            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+          pk.compiledPatterns.foreach { case (pat, sub) =>
+            if (pat.matcher(name).find()) {
               matched = true
               parts += fieldViols(sub, name).getOrElse(return None)
             }
@@ -1626,8 +1650,8 @@ object ColumnCompiler {
             matched = true
             compileValueChecks(sub, fld(name), fdt, vptr, out, depth + 1).getOrElse(return None)
           }
-          pk.patterns.foreach { case (regex, sub) =>
-            if (java.util.regex.Pattern.compile(regex).matcher(name).find()) {
+          pk.compiledPatterns.foreach { case (pat, sub) =>
+            if (pat.matcher(name).find()) {
               matched = true
               compileValueChecks(sub, fld(name), fdt, vptr, out, depth + 1).getOrElse(return None)
             }

@@ -44,7 +44,7 @@ object Validate {
     * streaming frames alike.
     */
   def emptyViolations(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    df.select(keyCols.map(col) :+ lit("").as("keyword") :+
+    df.select(keyCols.map(ColumnCompiler.colExact) :+ lit("").as("keyword") :+
       lit("").as("json_pointer") :+ lit("").as("message"): _*)
       .where(lit(false))
 
@@ -59,32 +59,31 @@ object Validate {
     */
   def fastViolations(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
     require(checks.nonEmpty, "no checks compiled")
+    val keys = keyCols.map(ColumnCompiler.colExact)
     val preds = checks.collect { case p: PredCheck => p }
     val elems = checks.collect { case e: ElemCheck => e }
+    // ONE definition of the (keyword, pointer, message, pass) struct
+    // array — both branches below must emit the same violation shape
+    def predStructArray: Column = array(preds.map { ch =>
+      struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+        ch.msg.as("message"), ch.pass.as("pass"))
+    }: _*)
     if (elems.isEmpty) {
-      val arr = array(preds.map { ch =>
-        struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-          ch.msg.as("message"), ch.pass.as("pass"))
-      }: _*)
-      df.select(keyCols.map(col) :+ explode(arr).as("v"): _*)
+      df.select(keys :+ explode(predStructArray).as("v"): _*)
         .where(!col("v.pass"))
-        .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
+        .select(keys :+ col("v.keyword").as("keyword") :+
           col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
     } else {
       val predViols: Seq[Column] = if (preds.isEmpty) Nil else Seq {
-        val arr = array(preds.map { ch =>
-          struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-            ch.msg.as("message"), ch.pass.as("pass"))
-        }: _*)
-        transform(filter(arr, v => !v("pass")),
+        transform(filter(predStructArray, v => !v("pass")),
           v => Check.violStruct(v("keyword"), v("json_pointer"), v("message")))
       }
       val all = (predViols ++ elems.map(_.violations)) match {
         case Seq(one) => one
         case many     => concat(many: _*)
       }
-      df.select(keyCols.map(col) :+ explode(all).as("v"): _*)
-        .select(keyCols.map(col) :+ col("v.keyword").as("keyword") :+
+      df.select(keys :+ explode(all).as("v"): _*)
+        .select(keys :+ col("v.keyword").as("keyword") :+
           col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
     }
   }

@@ -320,4 +320,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+  test("undecodable media: NULL metadata propagates through resize and frameSample") {
+    val media = Seq((1L, "video", null: Array[Byte]), (2L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "modality", "bytes")
+    val f = Multimodal.decodeFeatures(media)
+    val r = Multimodal.resize(f, maxDim = 64).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // greatest(NULL, 1) would fabricate 1x1 media for the failed decode
+    assert(r(1L).isNullAt(r(1L).fieldIndex("resized_width")))
+    assert(r(1L).isNullAt(r(1L).fieldIndex("resized_height")))
+    assert(!r(2L).isNullAt(r(2L).fieldIndex("resized_width")))
+    val frames = Multimodal.frameSample(f, everyN = 30).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(2)) None else Some(x.getInt(2))))
+    // undecoded video: ONE row with NULL frame_idx, not a fabricated frame 0
+    assert(frames.filter(_._1 == 1L).toSeq == Seq((1L, None)))
+    assert(frames.filter(_._1 == 2L).map(_._2).toSeq == Seq(Some(-1)))
+  }
+
+  test("an all-zero embedding cannot kill the near-dup job (ANSI 0/0 guard)") {
+    val zero = Array.fill(8)(0f)
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((1L, zero), (2L, zero), (3L, v), (4L, v)).toDF("vec_id", "embedding")
+    // zero vectors share an SRP bucket (all planes dot to 0 >= 0); the
+    // pair must score cos_sim = 0 by convention, not throw DIVIDE_BY_ZERO
+    val pairs = Similarity.embeddingNearDupPairs(df, "embedding", "vec_id",
+      minCosine = -1.0, bits = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(math.abs(pairs((3L, 4L)) - 1.0) < 1e-9)
+  }
 }

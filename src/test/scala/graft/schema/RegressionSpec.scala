@@ -112,4 +112,13 @@ class RegressionSpec extends AnyFunSuite {
     // (row-level parity asserted in SparkValidateSpec)
     assert(Evaluator.validate(minS, v).isEmpty)
   }
+  test("ipv6: dotted-quad accepted only at the very end of the address") {
+    // Go net.ParseIP embeds IPv4 exclusively as the final 32 bits
+    assert(!Formats.check("ipv6", "1.2.3.4::"))
+    assert(!Formats.check("ipv6", "1.2.3.4::1"))
+    assert(!Formats.check("ipv6", "a:1.2.3.4::b"))
+    assert(Formats.check("ipv6", "::1.2.3.4"))
+    assert(Formats.check("ipv6", "::ffff:1.2.3.4"))
+    assert(Formats.check("ipv6", "1:2:3:4:5:6:7.8.9.10"))
+  }
 }

@@ -52,4 +52,53 @@ class SparkRegressionSpec extends AnyFunSuite {
     val tree = Validate.treeViolations(df, schema, Seq("x")).collect().map(_.getLong(0)).toSet
     assert(fast == Set(3L) && tree == Set(3L))
   }
+  test("multipleOf beyond long range: exact semantics, no toLong wrap, no ANSI crash") {
+    val df = Seq(0L, 5L, -8446744073709551616L).toDF("x")
+    // 2^64: m.toLong would be 0 — pmod(x, 0) throws REMAINDER_BY_ZERO
+    // under ANSI; the only representable multiple is 0
+    val s64 = Validate.compileSchema(
+      """{"properties":{"x":{"multipleOf":18446744073709551616}}}""")
+    assert(ColumnCompiler.compile(s64, df.schema).isDefined, "stays on the fast path")
+    val fast64 = Validate.violations(df, s64, Seq("x")).collect().map(_.getLong(0)).toSet
+    val tree64 = Validate.treeViolations(df, s64, Seq("x")).collect().map(_.getLong(0)).toSet
+    assert(fast64 == Set(5L, -8446744073709551616L) && fast64 == tree64)
+    // 1e19: m.toLong wraps to exactly -8446744073709551616, which the
+    // old pmod fast path would have silently accepted as a "multiple"
+    val s19 = Validate.compileSchema(
+      """{"properties":{"x":{"multipleOf":10000000000000000000}}}""")
+    val fast19 = Validate.violations(df, s19, Seq("x")).collect().map(_.getLong(0)).toSet
+    val tree19 = Validate.treeViolations(df, s19, Seq("x")).collect().map(_.getLong(0)).toSet
+    assert(fast19 == Set(5L, -8446744073709551616L) && fast19 == tree19)
+  }
+
+  test("multipleOf beyond long range on a wide decimal column stays exact") {
+    import org.apache.spark.sql.types._
+    val dec = new java.math.BigDecimal("36893488147419103232") // 2^65 = 2 * 2^64
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(dec),
+        org.apache.spark.sql.Row(new java.math.BigDecimal(7))),
+      StructType(Seq(StructField("x", DecimalType(38, 0)))))
+    val s = Validate.compileSchema(
+      """{"properties":{"x":{"multipleOf":18446744073709551616}}}""")
+    assert(ColumnCompiler.compile(s, df.schema).isDefined)
+    val fast = Validate.violations(df, s, Seq("x")).count()
+    val tree = Validate.treeViolations(df, s, Seq("x")).count()
+    assert(fast == 1L && tree == 1L) // 2^65 IS a multiple of 2^64; 7 is not
+  }
+
+  test("column names containing dots validate on the fast path") {
+    val df = Seq(("abcd", 9L)).toDF("a.b", "c`d")
+    val schema = Validate.compileSchema(
+      """{"required":["a.b","missing.col"],
+        |"properties":{"a.b":{"maxLength":2},"c`d":{"maximum":4}}}""".stripMargin)
+    val checks = ColumnCompiler.compile(schema, df.schema)
+    assert(checks.isDefined, "dotted names must not evict the fast path")
+    val fast = Validate.fastViolations(df, checks.get, Seq("a.b"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    val tree = Validate.treeViolations(df, schema, Seq("a.b"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(fast == tree)
+    assert(fast == Set(("required", "/"), ("maxLength", "/a.b"), ("maximum", "/c`d")))
+  }
 }
