@@ -454,6 +454,10 @@ object SparkEntry {
         | WHERE (lang IS DISTINCT FROM 'en' OR source IS DISTINCT FROM 'src1')
         |   AND (lang IS DISTINCT FROM 'de' OR source IS DISTINCT FROM 'src2')""".stripMargin,
 
+    // enumerates every element-wise violation class of the grid
+    // expression, including /grid/2/0 (value/4 > 300) which fires only
+    // when events.value exceeds 1200 — absent at the shipped SFs, but
+    // the oracle must not silently depend on that data property
     "v_nested_fast" ->
       """SELECT event_id, 'maximum' AS keyword, '/grid/0/0' AS json_pointer,
         |       'Value must be at most 300.' AS message
@@ -464,6 +468,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, 'maximum', '/grid/1/1', 'Value must be at most 300.'
         |  FROM events WHERE CAST(user_id AS DOUBLE) > 300
+        |UNION ALL
+        |SELECT event_id, 'maximum', '/grid/2/0', 'Value must be at most 300.'
+        |  FROM events WHERE user_id % 7 <> 0 AND value / 4 > 300
         |UNION ALL
         |SELECT event_id, 'type', '/grid/2',
         |       'Value must be one of these types: [array]. Got null'

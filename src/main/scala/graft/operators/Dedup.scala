@@ -156,8 +156,17 @@ object Dedup {
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
                          shingleN: Int = 3, maxBucket: Int = Int.MaxValue,
                          cap: Int = 4096): DataFrame = {
+    // cands fans out FIVE ways below (pair probe + two candIds union
+    // branches, each consumed by the two sides of the verify join);
+    // uncached, every consumer re-derives the whole shingle→minhash→
+    // band→blocked-pair pipeline — the dominant map-side cost paid 5×,
+    // the same recompute class the no-self-join design exists to avoid.
+    // The candidate set is a sliver of the corpus (pairs, not
+    // documents), so caching it is cheap; MEMORY_AND_DISK spills rather
+    // than recomputes if a degenerate corpus makes it large.
     val cands = candidatePairs(
       lshBands(df, idCol, textCol, bands, rowsPerBand, shingleN), maxBucket, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify on 64-bit shingle hashes, not shingle strings: the pair
     // join then ships/intersects long arrays (8 B/element, cheap
     // equality) instead of text n-grams; Jaccard is unchanged up to
@@ -165,10 +174,14 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     // semi-join first: only candidate documents' shingle sets are built
-    // and shuffled — candidates are typically a sliver of the corpus
+    // and shuffled — candidates are typically a sliver of the corpus.
+    // Cached too: the verify join reads sets TWICE (sh_a and sh_b), and
+    // each uncached read would re-shingle the candidates and re-run the
+    // semi-join (which itself re-reads candIds).
     val sets = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"),
         array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(cands, sets, minJaccard)
   }
 

@@ -42,6 +42,11 @@ object Msg {
   def format(name: String): String = s"Value must conform to format '$name'."
   def required(key: String): String = s"Required property '$key' is missing."
   def additionalProperty(key: String): String = s"Additional property '$key' is not allowed."
+  def maxItems(n: Long): String = "Array must have at most " + n + " items."
+  def minItems(n: Long): String = "Array must have at least " + n + " items."
+  def maxProperties(n: Long): String = "Object must have at most " + n + " properties."
+  def minProperties(n: Long): String = "Object must have at least " + n + " properties."
+  def propertyDep(k: String, n: String): String = s"Property '$k' requires property '$n'."
 }
 
 /** Recursive draft-04 evaluator over the compiled schema graph — the
@@ -205,7 +210,7 @@ object Evaluator {
           else additional match {
             case Some(Left(_)) =>
               if (i == schemas.length) // single wholesale error (val_array.go:116-118)
-                out += Viol("additionalItems", path, s"Array must have at most ${schemas.length} items.")
+                out += Viol("additionalItems", path, Msg.maxItems(schemas.length))
             case Some(Right(s)) => out ++= validateAt(s, it, path :+ i.toString, depth + 1)
             case None           => ()
           }
@@ -216,13 +221,13 @@ object Evaluator {
 
     case MaxItemsK(n) => v match {
       case JArr(items) if items.length > n =>
-        out += Viol("maxItems", path, s"Array must have at most $n items.")
+        out += Viol("maxItems", path, Msg.maxItems(n))
       case _ => ()
     }
 
     case MinItemsK(n) => v match {
       case JArr(items) if items.length < n =>
-        out += Viol("minItems", path, s"Array must have at least $n items.")
+        out += Viol("minItems", path, Msg.minItems(n))
       case _ => ()
     }
 
@@ -289,7 +294,7 @@ object Evaluator {
           if (obj.map.contains(k))
             needed.foreach { n =>
               if (!obj.map.contains(n))
-                out += Viol("dependencies", path, s"Property '$k' requires property '$n'.")
+                out += Viol("dependencies", path, Msg.propertyDep(k, n))
             }
         }
       case _ => ()
@@ -297,13 +302,13 @@ object Evaluator {
 
     case MaxPropertiesK(n) => v match {
       case obj: JObj if obj.size > n =>
-        out += Viol("maxProperties", path, s"Object must have at most $n properties.")
+        out += Viol("maxProperties", path, Msg.maxProperties(n))
       case _ => ()
     }
 
     case MinPropertiesK(n) => v match {
       case obj: JObj if obj.size < n =>
-        out += Viol("minProperties", path, s"Object must have at least $n properties.")
+        out += Viol("minProperties", path, Msg.minProperties(n))
       case _ => ()
     }
 
@@ -330,13 +335,22 @@ object Evaluator {
   * unknown format names always pass (no default case).
   */
 object Formats {
-  private val dateTime = java.util.regex.Pattern.compile(
-    """^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?""")
-  private val email = java.util.regex.Pattern.compile(".+@.+")
-  private val hostname = java.util.regex.Pattern.compile(
-    """^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""")
-  private val ipv4 = java.util.regex.Pattern.compile(
-    """^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$""")
+  // Regex SOURCE strings are public: the Catalyst fast path
+  // (ColumnCompiler.formatPredicate) compiles the SAME text through
+  // rlike, so tree-path and fast-path verdicts cannot drift — edit the
+  // string here and both sides move together.
+  val dateTimeRegex: String =
+    """^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?"""
+  val emailRegex: String = ".+@.+"
+  val hostnameRegex: String =
+    """^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$"""
+  val ipv4Regex: String =
+    """^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"""
+
+  private val dateTime = java.util.regex.Pattern.compile(dateTimeRegex)
+  private val email = java.util.regex.Pattern.compile(emailRegex)
+  private val hostname = java.util.regex.Pattern.compile(hostnameRegex)
+  private val ipv4 = java.util.regex.Pattern.compile(ipv4Regex)
 
   def check(name: String, s: String): Boolean = name match {
     case "date-time" => dateTime.matcher(s).find()

@@ -73,8 +73,33 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
     }
     docCache(baseC) = (doc, base)
     scanIds(doc, base)
-    compileAt(doc, base, baseC, "")
+    val root = compileAt(doc, base, baseC, "")
+    rejectPureRefCycles()
+    root
   }
+
+  /** A `$ref` that delegates (possibly through a chain of pure-`$ref`
+    * schemas) back to itself consumes no input: evaluating it would
+    * recurse forever per row, wedging every Spark task. The reference
+    * does not survive this either — resolveSelf recurses unboundedly
+    * (reference.go:87-96; its own TODO at reference.go:98 admits
+    * looping refs are unhandled) — so failing COMPILE with a clear
+    * error is the graceful analogue. Recursion through a consuming
+    * keyword (properties/items/…) is untouched: those cells carry a
+    * non-ref keyword and terminate by instance descent.
+    */
+  private def rejectPureRefCycles(): Unit =
+    compiledCache.values.foreach { start =>
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[CompiledSchema, java.lang.Boolean]())
+      var cur = start
+      while (cur.keywords.lengthCompare(1) == 0 && cur.keywords.head.isInstanceOf[RefK]) {
+        if (!seen.add(cur))
+          throw new SchemaCompileException(
+            s"$$ref cycle with no validating keyword (pure delegation loop) at '${start.uri}'")
+        cur = cur.keywords.head.asInstanceOf[RefK].target
+      }
+    }
 
   private def freshAnonBase(): String = {
     anonCounter += 1

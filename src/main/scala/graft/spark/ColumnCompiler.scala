@@ -78,6 +78,28 @@ object ColumnCompiler {
   def colExact(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  /** Normalize a numeric enum member for exact decimal comparison
+    * against a column of type `dec`: trailing zeros stripped (1.00 ≡ 1
+    * by value, and a 41-digit trailing-zero literal must not be
+    * dropped), negative scales flattened (1E+3 → 1000 — Spark's
+    * DecimalType has no negative scale, an unflattened literal throws
+    * at lit()), and None unless the value fits the column's
+    * (precision, scale) domain — a non-fitting member can never
+    * value-equal any stored decimal, so drop ≡ no-match. Zero passes
+    * unconditionally: the digit-budget test would wrongly reject it
+    * for (p, p) types. ONE definition shared by the scalar isin
+    * compiler and the container enum literal builder, so the fit rule
+    * cannot drift between them.
+    */
+  private[spark] def decimalEnumMember(d: BigDecimal, dec: DecimalType): Option[java.math.BigDecimal] = {
+    val stripped = d.underlying.stripTrailingZeros
+    val bd = if (stripped.scale < 0) stripped.setScale(0) else stripped
+    if (bd.signum == 0) Some(java.math.BigDecimal.ZERO)
+    else if (bd.scale <= dec.scale && bd.precision - bd.scale <= dec.precision - dec.scale)
+      Some(bd)
+    else None
+  }
+
   def compile(schema: CompiledSchema, struct: StructType): Option[Vector[Check]] = {
     val out = Vector.newBuilder[Check]
     rootChecks(schema, struct, out, 0).map(_ => out.result())
@@ -144,11 +166,11 @@ object ColumnCompiler {
       case MaxPropertiesK(n) =>
         // Present keys = non-null columns.
         val cnt = colNames.map(c => when(colExact(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += PredCheck("maxProperties", "/", s"Object must have at most $n properties.", cnt <= n)
+        out += PredCheck("maxProperties", "/", Msg.maxProperties(n), cnt <= n)
 
       case MinPropertiesK(n) =>
         val cnt = colNames.map(c => when(colExact(c).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += PredCheck("minProperties", "/", s"Object must have at least $n properties.", cnt >= n)
+        out += PredCheck("minProperties", "/", Msg.minProperties(n), cnt >= n)
 
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
@@ -157,7 +179,7 @@ object ColumnCompiler {
               val pass =
                 if (colNames.contains(n)) colExact(k).isNull || colExact(n).isNotNull
                 else colExact(k).isNull
-              out += PredCheck("dependencies", "/", s"Property '$k' requires property '$n'.", pass)
+              out += PredCheck("dependencies", "/", Msg.propertyDep(k, n), pass)
             }
         }
         schemaDeps.foreach { case (k, sub) =>
@@ -295,8 +317,9 @@ object ColumnCompiler {
           case LongType | IntegerType | ShortType | ByteType => values.collect {
             case n: graft.json.JNum if n.decimalOpt.exists(fitsLong) => n.decimal.toLongExact
           }
-          case _: DecimalType => values.collect {
-            case n: graft.json.JNum if n.decimalOpt.exists(_.precision <= 38) => n.decimal.underlying
+          case dec: DecimalType => values.flatMap {
+            case n: graft.json.JNum => n.decimalOpt.flatMap(decimalEnumMember(_, dec))
+            case _                  => None
           }
           case _ => values.collect {
             case n: graft.json.JNum if n.decimalOpt.exists(doubleExact) => n.decimal.toDouble
@@ -641,13 +664,13 @@ object ColumnCompiler {
         def cnt(x: Column) =
           names.map(f => when(x.getField(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += ElemCond("maxProperties",
-          _ => lit(s"Object must have at most $n properties."),
+          _ => lit(Msg.maxProperties(n)),
           x => x.isNotNull && !(cnt(x) <= n))
       case MinPropertiesK(n) =>
         def cnt(x: Column) =
           names.map(f => when(x.getField(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
         out += ElemCond("minProperties",
-          _ => lit(s"Object must have at least $n properties."),
+          _ => lit(Msg.minProperties(n)),
           x => x.isNotNull && !(cnt(x) >= n))
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
@@ -657,7 +680,7 @@ object ColumnCompiler {
                 if (names.contains(n)) x => x.isNotNull && x.getField(k).isNotNull && x.getField(n).isNull
                 else x => x.isNotNull && x.getField(k).isNotNull
               out += ElemCond("dependencies",
-                _ => lit(s"Property '$k' requires property '$n'."), fail)
+                _ => lit(Msg.propertyDep(k, n)), fail)
             }
         }
         schemaDeps.foreach { case (k, sub) =>
@@ -795,10 +818,10 @@ object ColumnCompiler {
         }
       case MaxItemsK(n) =>
         one("maxItems", x => x.isNotNull && !(size(x) <= n),
-          _ => lit(s"Array must have at most $n items."))
+          _ => lit(Msg.maxItems(n)))
       case MinItemsK(n) =>
         one("minItems", x => x.isNotNull && !(size(x) >= n),
-          _ => lit(s"Array must have at least $n items."))
+          _ => lit(Msg.minItems(n)))
       case UniqueItemsK =>
         val canon = uniqCanon(at).getOrElse(return None)
         one("uniqueItems",
@@ -871,16 +894,16 @@ object ColumnCompiler {
         }
       case MaxPropertiesK(n) =>
         one("maxProperties", x => x.isNotNull && !(size(x) <= n),
-          _ => lit(s"Object must have at most $n properties."))
+          _ => lit(Msg.maxProperties(n)))
       case MinPropertiesK(n) =>
         one("minProperties", x => x.isNotNull && !(size(x) >= n),
-          _ => lit(s"Object must have at least $n properties."))
+          _ => lit(Msg.minProperties(n)))
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
           needed.foreach { n =>
             one("dependencies",
               x => x.isNotNull && map_contains_key(x, k) && !map_contains_key(x, n),
-              _ => lit(s"Property '$k' requires property '$n'."))
+              _ => lit(Msg.propertyDep(k, n)))
           }
         }
         schemaDeps.foreach { case (k, sub) =>
@@ -982,10 +1005,10 @@ object ColumnCompiler {
         }
       case MaxPropertiesK(n) =>
         one("maxProperties", x => x.isNotNull && !(cnt(x) <= n),
-          _ => lit(s"Object must have at most $n properties."))
+          _ => lit(Msg.maxProperties(n)))
       case MinPropertiesK(n) =>
         one("minProperties", x => x.isNotNull && !(cnt(x) >= n),
-          _ => lit(s"Object must have at least $n properties."))
+          _ => lit(Msg.minProperties(n)))
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
           if (names.contains(k))
@@ -994,7 +1017,7 @@ object ColumnCompiler {
                 if (names.contains(n))
                   x => x.isNotNull && x.getField(k).isNotNull && x.getField(n).isNull
                 else x => x.isNotNull && x.getField(k).isNotNull
-              one("dependencies", fail, _ => lit(s"Property '$k' requires property '$n'."))
+              one("dependencies", fail, _ => lit(Msg.propertyDep(k, n)))
             }
         }
         schemaDeps.foreach { case (k, sub) =>
@@ -1208,14 +1231,9 @@ object ColumnCompiler {
       case dec: DecimalType =>
         // exact representability in (precision, scale) — anything else
         // can never value-equal a stored decimal (the bridge renders
-        // decimals with toPlainString, so tree equality is by value).
-        // Zero passes unconditionally: stripTrailingZeros leaves it at
-        // precision 1 / scale 0, which the digit-budget test would
-        // wrongly reject for (p, p) types
-        n.decimalOpt.map(_.underlying.stripTrailingZeros).filter { bd =>
-          bd.signum == 0 ||
-            (bd.scale <= dec.scale && bd.precision - bd.scale <= dec.precision - dec.scale)
-        }.map(bd => lit(bd).cast(dec))
+        // decimals with toPlainString, so tree equality is by value);
+        // normalization + fit shared with the scalar isin compiler
+        n.decimalOpt.flatMap(decimalEnumMember(_, dec)).map(bd => lit(bd).cast(dec))
       case _ => None
     }
     (v, dt) match {
@@ -1371,7 +1389,7 @@ object ColumnCompiler {
       case Some(Left(_)) => Some((c, ptr) =>
         filter(array(when(size(c) > len,
           Check.violStruct(lit("additionalItems"), ptr,
-            lit(s"Array must have at most $len items.")))), v => v.isNotNull))
+            lit(Msg.maxItems(len))))), v => v.isNotNull))
       case Some(Right(s)) =>
         val inner = nestedElemViols(s, et, depth + 1).getOrElse(return None)
         Some((c, ptr) => flatten(transform(c, (x, i) =>
@@ -1406,10 +1424,10 @@ object ColumnCompiler {
         if (!types.contains("any") && !types.contains("array"))
           out += PredCheck("type", ptr, Msg.typeErr(types, "array"), c.isNull)
       case MaxItemsK(n) =>
-        out += PredCheck("maxItems", ptr, s"Array must have at most $n items.",
+        out += PredCheck("maxItems", ptr, Msg.maxItems(n),
           guarded(size(c) <= n))
       case MinItemsK(n) =>
-        out += PredCheck("minItems", ptr, s"Array must have at least $n items.",
+        out += PredCheck("minItems", ptr, Msg.minItems(n),
           guarded(size(c) >= n))
       case UniqueItemsK =>
         // same-typed elements ⇒ Spark equality ≡ deepEqual (incl. NaN
@@ -1545,15 +1563,15 @@ object ColumnCompiler {
           out += PredCheck("required", ptr, Msg.required(k), guarded(map_contains_key(c, k)))
         }
       case MaxPropertiesK(n) =>
-        out += PredCheck("maxProperties", ptr, s"Object must have at most $n properties.",
+        out += PredCheck("maxProperties", ptr, Msg.maxProperties(n),
           guarded(size(c) <= n))
       case MinPropertiesK(n) =>
-        out += PredCheck("minProperties", ptr, s"Object must have at least $n properties.",
+        out += PredCheck("minProperties", ptr, Msg.minProperties(n),
           guarded(size(c) >= n))
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
           needed.foreach { n =>
-            out += PredCheck("dependencies", ptr, s"Property '$k' requires property '$n'.",
+            out += PredCheck("dependencies", ptr, Msg.propertyDep(k, n),
               guarded(!map_contains_key(c, k) || map_contains_key(c, n)))
           }
         }
@@ -1667,11 +1685,11 @@ object ColumnCompiler {
         }
       case MaxPropertiesK(n) =>
         val cnt = names.map(f => when(fld(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += PredCheck("maxProperties", ptr, s"Object must have at most $n properties.",
+        out += PredCheck("maxProperties", ptr, Msg.maxProperties(n),
           guarded(cnt <= n))
       case MinPropertiesK(n) =>
         val cnt = names.map(f => when(fld(f).isNotNull, 1).otherwise(0)).foldLeft(lit(0))(_ + _)
-        out += PredCheck("minProperties", ptr, s"Object must have at least $n properties.",
+        out += PredCheck("minProperties", ptr, Msg.minProperties(n),
           guarded(cnt >= n))
       case DependenciesK(schemaDeps, propDeps) =>
         propDeps.foreach { case (k, needed) =>
@@ -1680,7 +1698,7 @@ object ColumnCompiler {
               val pass =
                 if (names.contains(n)) fld(k).isNull || fld(n).isNotNull
                 else fld(k).isNull
-              out += PredCheck("dependencies", ptr, s"Property '$k' requires property '$n'.",
+              out += PredCheck("dependencies", ptr, Msg.propertyDep(k, n),
                 guarded(pass))
             }
         }
@@ -1730,13 +1748,15 @@ object ColumnCompiler {
     * keyword no longer evicts the whole schema from the fast path.
     */
   private def formatPredicate(fmt: String, c: Column): Column = fmt match {
-    case "date-time" =>
-      c.rlike("""^([0-9]{4})-([0-9]{2})-([0-9]{2})([Tt]([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?)?(([Zz]|([+-])([0-9]{2}):([0-9]{2})))?""")
-    case "email" => c.rlike(".+@.+")
-    case "ipv4" =>
-      c.rlike("""^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$""")
+    // regex-expressible formats share Formats' regex source strings —
+    // the tree path compiles the same text, so verdicts cannot drift
+    case "date-time" => c.rlike(graft.schema.Formats.dateTimeRegex)
+    case "email"     => c.rlike(graft.schema.Formats.emailRegex)
+    case "ipv4"      => c.rlike(graft.schema.Formats.ipv4Regex)
     case "hostname" =>
-      c.rlike("""^[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?(\.[a-zA-Z](([-0-9a-zA-Z]+)?[0-9a-zA-Z])?)*$""") &&
+      // total length + per-label length mirror Formats.check's
+      // codePointCount rules: Spark `length` counts code points too
+      c.rlike(graft.schema.Formats.hostnameRegex) &&
         length(c) <= 255 && forall(split(c, "\\."), l => length(l) <= 63)
     case "uri" | "ipv6" => graft.functions.FormatIs.formatIs(fmt, c)
     case _              => lit(true) // unknown formats pass

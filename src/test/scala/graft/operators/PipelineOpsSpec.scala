@@ -163,6 +163,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the 1-word edit shares most shingles with A — found with j >= 0.5
     assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // the candidate pipeline fans out 5 ways in the verify join; the
+    // cached cands/sets must serve those reads (one minhash pass total,
+    // not five) — pin the cache in the physical plan
+    val plan = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"candidate set must be cached, not recomputed per consumer:\n$plan")
   }
 
   test("minhash_sig native expression: SQL == Scala API, k respected") {

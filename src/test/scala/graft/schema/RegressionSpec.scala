@@ -121,4 +121,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(Formats.check("ipv6", "::ffff:1.2.3.4"))
     assert(Formats.check("ipv6", "1:2:3:4:5:6:7.8.9.10"))
   }
+  test("pure $ref delegation cycles fail compile instead of hanging eval") {
+    intercept[SchemaCompileException](compile("""{"$ref":"#"}"""))
+    intercept[SchemaCompileException](compile(
+      """{"definitions":{
+        |  "a":{"$ref":"#/definitions/b"},
+        |  "b":{"$ref":"#/definitions/a"}},
+        |"$ref":"#/definitions/a"}""".stripMargin))
+    // recursion through a consuming keyword terminates by instance
+    // descent and must still compile (the list-of-lists shape)
+    val rec = compile(
+      """{"properties":{"next":{"$ref":"#"}},"type":["object","null"]}""")
+    val v = JObj(Vector("next" -> JObj(Vector("next" -> JNull))))
+    assert(Evaluator.validate(rec, v).isEmpty)
+  }
 }

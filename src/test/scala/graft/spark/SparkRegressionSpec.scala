@@ -101,4 +101,32 @@ class SparkRegressionSpec extends AnyFunSuite {
     assert(fast == tree)
     assert(fast == Set(("required", "/"), ("maxLength", "/a.b"), ("maximum", "/c`d")))
   }
+  test("decimal enum members: trailing-zero inflation, tiny scales, big exponents") {
+    import org.apache.spark.sql.types._
+    def decDf(vals: String*) = spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(v =>
+        org.apache.spark.sql.Row(new java.math.BigDecimal(v))): _*),
+      StructType(Seq(StructField("x", DecimalType(10, 2)))))
+    // 41-digit trailing-zero literal of value 1: must MATCH 1.00, not
+    // be dropped by a raw precision<=38 filter
+    val inflated = "1." + "0" * 40
+    val s1 = Validate.compileSchema(s"""{"properties":{"x":{"enum":[$inflated]}}}""")
+    val df1 = decDf("1.00", "2.00")
+    val fast1 = Validate.violations(df1, s1, Seq("x")).count()
+    val tree1 = Validate.treeViolations(df1, s1, Seq("x")).count()
+    assert(fast1 == 1L && tree1 == 1L) // only 2.00 violates
+    // 1E-40: precision 1 but scale 40 — must be dropped (cannot equal
+    // any decimal(10,2) value), NOT become a DecimalType(40,40) literal
+    // that kills the query
+    val s2 = Validate.compileSchema("""{"properties":{"x":{"enum":[1E-40, 2.00]}}}""")
+    val fast2 = Validate.violations(df1, s2, Seq("x")).count()
+    val tree2 = Validate.treeViolations(df1, s2, Seq("x")).count()
+    assert(fast2 == 1L && tree2 == 1L) // only 1.00 violates
+    // 1E+3 (negative scale after strip): flattened to 1000, matches
+    val s3 = Validate.compileSchema("""{"properties":{"x":{"enum":[1E+3]}}}""")
+    val df3 = decDf("1000.00", "999.00")
+    val fast3 = Validate.violations(df3, s3, Seq("x")).count()
+    val tree3 = Validate.treeViolations(df3, s3, Seq("x")).count()
+    assert(fast3 == 1L && tree3 == 1L)
+  }
 }
