@@ -65,12 +65,24 @@ case class ValidateJson(left: Expression, right: Expression)
     new SchemaCompiler(Map.empty).compile(schemaJson)
   }
 
-  override def nullSafeEval(schemaAny: Any, jsonAny: Any): Any = {
-    val viols = Json.parseOpt(jsonAny.asInstanceOf[UTF8String].toString) match {
-      case Some(v) => Evaluator.validate(compiled, v)
-      case None => Vector(graft.schema.Viol("malformed", Nil,
-        "Value is not valid JSON."))
-    }
+  // A NULL instance must NOT null-propagate: `explode(NULL)` drops the
+  // row exactly like a valid empty array would, so NULL payloads would
+  // silently read as valid — the batch path (Validate.jsonDocViolations)
+  // reports a NULL document as `malformed`, and the SQL surface must
+  // agree. Hence a full eval override (the schema side is foldable
+  // non-NULL, enforced at analysis) and nullable = false.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val jsonAny = right.eval(input)
+    val viols =
+      if (jsonAny == null)
+        Vector(graft.schema.Viol("malformed", Nil, "Value is not valid JSON."))
+      else Json.parseOpt(jsonAny.asInstanceOf[UTF8String].toString) match {
+        case Some(v) => Evaluator.validate(compiled, v)
+        case None => Vector(graft.schema.Viol("malformed", Nil,
+          "Value is not valid JSON."))
+      }
     new GenericArrayData(viols.map { v =>
       InternalRow(UTF8String.fromString(v.keyword),
         UTF8String.fromString(v.jsonPointer),

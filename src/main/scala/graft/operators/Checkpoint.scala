@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `checkpointDir`:
   *   - `lineage/`          append-only (run_id, stage, partition_id,
-  *                         status, rows_seen, violations, wall_ms)
+  *                         status, rows_seen, violations, attempt_wall_ms)
   *   - `output/<stage>/`   the stage's durable violation rows, stamped
   *                         with run_id
   *
@@ -28,8 +28,6 @@ import org.apache.spark.sql.functions._
   * dedups by keeping one completed run per partition.
   */
 object Checkpoint {
-
-  val schemaDDL = "run_id string, stage string, partition_id int, status string, rows_seen long, violations long, wall_ms long"
 
   def stampPartitions(df: DataFrame, keyCols: Seq[String], numPartitions: Int): DataFrame =
     df.withColumn("partition_id",
@@ -66,7 +64,7 @@ object Checkpoint {
 
   /** Run one resumable stage: process only pending partitions, persist
     * this run's violations durably, THEN append per-partition
-    * (rows_seen, violations, wall_ms) `done` lineage. `violationsOf`
+    * (rows_seen, violations, attempt_wall_ms) `done` lineage. `violationsOf`
     * maps the pending input to violation rows that still carry
     * `partition_id`. Returns this run's share, read back from the
     * durable output.
@@ -85,14 +83,18 @@ object Checkpoint {
     violationsOf(todo).withColumn("run_id", lit(attemptId))
       .write.mode("append").parquet(out)
     val written = spark.read.parquet(out).where(col("run_id") === attemptId)
-    val wallMs = lit((System.nanoTime() - t0) / 1000000L) // includes the durable write
+    // ATTEMPT-level wall (durable write included), stamped identically
+    // on every partition row — per-partition timing would need
+    // instrumentation inside the caller's arbitrary transform. The
+    // column name says so: SUM over partitions is NOT a runtime.
+    val wallMs = lit((System.nanoTime() - t0) / 1000000L)
 
     val perPartViols = written.groupBy("partition_id").agg(count(lit(1)).as("violations"))
     val lineage = todo.groupBy("partition_id").agg(count(lit(1)).as("rows_seen"))
       .join(perPartViols, Seq("partition_id"), "left_outer")
       .select(lit(attemptId).as("run_id"), lit(stage).as("stage"), col("partition_id"),
         lit("done").as("status"), col("rows_seen"),
-        coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("wall_ms"))
+        coalesce(col("violations"), lit(0L)).as("violations"), wallMs.as("attempt_wall_ms"))
     lineage.write.mode("append").parquet(lineageDir(checkpointDir))
     todo.unpersist()
     written.drop("run_id")

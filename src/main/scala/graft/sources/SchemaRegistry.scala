@@ -30,21 +30,41 @@ object SchemaRegistry {
       .text(dir)
       .select(input_file_name().as("uri"), col("value"))
       .collect()
-    rows.iterator.flatMap { r =>
+    toRegistry(rows.iterator.flatMap { r =>
       val (uri, text) = (r.getString(0), r.getString(1))
       (uri -> text) :: rootId(text).map(_ -> text).toList
-    }.toMap
+    })
   }
 
   /** A two-column (uri, document-text) table — e.g. a parquet-backed
     * schema catalog maintained by another pipeline.
     */
   def fromTable(df: DataFrame, uriCol: String, textCol: String): Map[String, String] =
-    df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+    toRegistry(df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
       .collect()
       .iterator
-      .map(r => r.getString(0) -> r.getString(1))
-      .toMap
+      .map(r => r.getString(0) -> r.getString(1)))
+
+  /** Two documents claiming one registry key (two staged versions of a
+    * schema with the same root `id`, or an `id` colliding with another
+    * file's storage uri) must fail LOUDLY: `toMap` would keep whichever
+    * row `collect()` happened to return last — nondeterministic across
+    * runs — and every `$ref` to that key would silently compile against
+    * the wrong document. Identical duplicate content is tolerated (the
+    * same file staged twice resolves identically either way).
+    */
+  private def toRegistry(entries: Iterator[(String, String)]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    entries.foreach { case (k, v) =>
+      m.get(k) match {
+        case Some(prev) if prev != v =>
+          throw new IllegalArgumentException(
+            s"schema registry: key '$k' is claimed by two different documents")
+        case _ => m(k) = v
+      }
+    }
+    m.toMap
+  }
 
   /** The document's root `id`, when present and a string. */
   private def rootId(text: String): Option[String] =

@@ -73,8 +73,14 @@ object StreamingValidate {
                             idleTtl: Option[String] = None): Dataset[KeyTotals] = {
     val checks = ColumnCompiler.compile(schema, stream.schema)
       .getOrElse(sys.error("streaming validation requires the fast path"))
+    // Injective key encoding: "n" for NULL, "v" + value otherwise — a
+    // bare coalesce(.., "null") sentinel would merge NULL keys with a
+    // real key whose string value is "null", blending both groups'
+    // running totals. Decoded back before emission (NULL key rows emit
+    // key = null).
     val keyed = stream.select(
-      coalesce(col(keyCol).cast("string"), lit("null")).as("key"),
+      when(col(keyCol).isNull, lit("n"))
+        .otherwise(concat(lit("v"), col(keyCol).cast("string"))).as("key"),
       coalesce(Validate.passColumn(checks), lit(false)).as("pass"))
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean)
     implicit val outEnc = Encoders.product[KeyTotals]
@@ -100,25 +106,43 @@ object StreamingValidate {
             }
             state.update((seen, failed))
             idleTtl.foreach(state.setTimeoutDuration)
+            val decoded = if (key == "n") null else key.substring(1)
             Iterator.single(
-              KeyTotals(key, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen))
+              KeyTotals(decoded, seen, failed, if (seen == 0) 0.0 else failed.toDouble / seen))
           }
       }
   }
 
-  /** Streaming exact dedup by content: drop rows whose 64-bit content
-    * hash was already seen within the watermark horizon. State is
-    * BOUNDED by the horizon (`dropDuplicatesWithinWatermark`) — the
-    * plain streaming `dropDuplicates` keeps every key forever, which an
-    * unbounded ingest stream cannot afford. The streaming analogue of
-    * [[graft.operators.Dedup.exactDuplicates]]'s hash identity.
+  /** Streaming exact dedup by content: drop rows whose content hash was
+    * already seen within the watermark horizon. State is BOUNDED by the
+    * horizon (`dropDuplicatesWithinWatermark`) — the plain streaming
+    * `dropDuplicates` keeps every key forever, which an unbounded
+    * ingest stream cannot afford. The streaming analogue of
+    * [[graft.operators.Dedup.exactDuplicates]]'s hash identity, with
+    * two deliberate differences born of DROPPING rows rather than
+    * reporting groups:
+    *
+    *  - sha-256, not a 64-bit hash: a collision here is silent data
+    *    loss (the later row is discarded outright), and 64-bit birthday
+    *    collisions are expected past ~2^32 distinct texts within a
+    *    horizon; 256-bit collisions are cryptographically negligible.
+    *    The batch operator only REPORTS (hash, ids) candidate groups,
+    *    so its cheaper 64-bit key is fine there.
+    *  - NULL-text rows bypass the dedup: a NULL hashes to NULL, and the
+    *    dedup state treats NULLs as equal — every text-less row (e.g.
+    *    binary media docs) would collapse into one survivor per
+    *    horizon. Rows with no content have no content identity; they
+    *    all pass through.
     */
   def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
-                     watermarkDelay: String): DataFrame =
-    stream.withColumn("content_hash", xxhash64(col(textCol)))
+                     watermarkDelay: String): DataFrame = {
+    val h = "__graft_content_hash" // collision-proof vs input columns
+    val hashed = stream.withColumn(h, sha2(col(textCol).cast("binary"), 256))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
-      .drop("content_hash") // internal helper — keep the input schema
+    hashed.where(col(h).isNotNull).dropDuplicatesWithinWatermark(h)
+      .unionByName(hashed.where(col(h).isNull))
+      .drop(h) // internal helper — keep the input schema
+  }
 
   /** Per-window, per-keyword violation counts with event-time
     * watermarking. `tsCol` must be a timestamp column present in the

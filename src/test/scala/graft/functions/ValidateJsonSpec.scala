@@ -63,4 +63,14 @@ class ValidateJsonSpec extends AnyFunSuite {
     val sizes = df.select(size(col("v"))).collect().map(_.getInt(0)).toSeq
     assert(sizes == Seq(0, 1, 1))
   }
+  test("NULL instance reads as malformed, not as silently valid") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      lit(null).cast("string").as("payload"))
+    val out = df.select(explode(graft.functions.ValidateJson
+        .validate_json("""{"type":"object"}""", col("payload"))).as("v"))
+      .select("v.keyword").collect().map(_.getString(0))
+    // explode(NULL) would emit zero rows — indistinguishable from valid
+    assert(out.toSeq == Seq("malformed"))
+  }
 }

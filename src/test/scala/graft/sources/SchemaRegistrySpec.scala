@@ -57,4 +57,21 @@ class SchemaRegistrySpec extends AnyFunSuite {
       ("http://graft.local/defs/age", ageDoc)).toDF("uri", "doc")
     validateWith(SchemaRegistry.fromTable(catalog, "uri", "doc"))
   }
+  test("duplicate registry keys with conflicting documents fail loudly") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://example.com/common", """{"type":"string"}"""),
+      ("https://example.com/common", """{"type":"integer"}"""),
+      ("https://example.com/other", """{"type":"boolean"}"""))
+      .toDF("uri", "text")
+    val e = intercept[IllegalArgumentException](
+      SchemaRegistry.fromTable(df, "uri", "text"))
+    assert(e.getMessage.contains("example.com/common"))
+    // identical duplicate content is tolerated
+    val ok = Seq(
+      ("https://example.com/common", """{"type":"string"}"""),
+      ("https://example.com/common", """{"type":"string"}"""))
+      .toDF("uri", "text")
+    assert(SchemaRegistry.fromTable(ok, "uri", "text").size == 1)
+  }
 }

@@ -165,4 +165,38 @@ class StreamingValidateSpec extends AnyFunSuite {
     assert(counts((w2, "maxLength")) == 1L)
     assert(counts((w2, "maximum")) == 1L)
   }
+  test("streaming dedup: NULL-text rows all pass through, not collapsed") {
+    val mem = MemoryStream[DocEvent]
+    mem.addData(
+      DocEvent(20L, ts(1), null, "en", "src1", 0L),
+      DocEvent(21L, ts(2), null, "en", "src1", 0L),
+      DocEvent(22L, ts(3), "unique text", "en", "src1", 11L))
+    val q = StreamingValidate.dedupByContent(mem.toDF(), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup_null")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("stream_dedup_null").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // text-less rows have no content identity — BOTH must survive
+    assert(kept == Set(20L, 21L, 22L), s"kept=$kept")
+    // the helper hash column must not leak into the output schema
+    assert(!spark.table("stream_dedup_null").columns.contains("__graft_content_hash"))
+  }
+
+  test("running totals keep NULL keys and the literal string 'null' apart") {
+    val mem = MemoryStream[DocEvent]
+    mem.addData(
+      DocEvent(30L, ts(1), "x" * 100, null, "src1", 100L),
+      DocEvent(31L, ts(2), "x" * 100, "null", "src1", 100L),
+      DocEvent(32L, ts(3), "x" * 100, "null", "src1", 100L))
+    val q = StreamingValidate.runningViolationRates(mem.toDF(), schema, "lang")
+      .writeStream.format("memory").queryName("stream_rates_null")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val totals = spark.table("stream_rates_null")
+      .groupBy("key").agg(max("rows_seen").as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // one row under the SQL-NULL key, two under the real "null" string
+    assert(totals == Map(None -> 1L, Some("null") -> 2L), s"totals=$totals")
+  }
 }
