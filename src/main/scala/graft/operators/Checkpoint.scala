@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Per-partition lineage + resumable stages (north rule: "every stage
   * writes per-partition lineage and metrics to a checkpoint table keyed
@@ -31,7 +32,7 @@ object Checkpoint {
 
   def stampPartitions(df: DataFrame, keyCols: Seq[String], numPartitions: Int): DataFrame =
     df.withColumn("partition_id",
-        pmod(xxhash64(keyCols.map(col): _*), lit(numPartitions)).cast("int"))
+        pmod(xxhash64(keyCols.map(colExact): _*), lit(numPartitions)).cast("int"))
       .repartition(numPartitions, col("partition_id"))
 
   private def lineageDir(checkpointDir: String) = s"$checkpointDir/lineage"

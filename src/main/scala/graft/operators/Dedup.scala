@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Deduplication for web-scale training-data pipelines. No reference
   * counterpart (/root/reference validates single JSON values); these
@@ -74,7 +75,7 @@ object Dedup {
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
                       maxIdsPerGroup: Int = Int.MaxValue): DataFrame = {
-    val hashed = df.select(xxhash64(col(textCol)).as("content_hash"), col(idCol).as("__id"))
+    val hashed = df.select(xxhash64(colExact(textCol)).as("content_hash"), colExact(idCol).as("__id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("__id")
     val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -109,12 +110,12 @@ object Dedup {
     // SAME per-row evaluation (CollapseProject would otherwise inline
     // the signature expression into every band)
     val bandHashes =
-      let(minhashSignature(col(textCol), bands * rowsPerBand, shingleN)) { sig =>
+      let(minhashSignature(colExact(textCol), bands * rowsPerBand, shingleN)) { sig =>
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
             transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
       }
-    df.select(col(idCol).as("id"), posexplode(bandHashes))
+    df.select(colExact(idCol).as("id"), posexplode(bandHashes))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
   }
 
@@ -179,8 +180,8 @@ object Dedup {
     // each uncached read would re-shingle the candidates and re-run the
     // semi-join (which itself re-reads candIds).
     val sets = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+      .select(colExact(idCol).as("id"),
+        array_distinct(transform(shingles(colExact(textCol), shingleN), s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(cands, sets, minJaccard)
   }
@@ -234,7 +235,7 @@ object Dedup {
       val width = base + (if (i < rem) 1 else 0)
       (start, width)
     }
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = df.select(colExact(idCol).as("id"), simhash(colExact(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
         posexplode(array(spans.map { case (start, width) =>
           val mask = if (width >= 64) -1L else (1L << width) - 1L

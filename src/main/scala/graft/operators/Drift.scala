@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Distribution-drift detection via PSI/KS on equi-width histograms
   * compared against a (checkpointed) baseline — north rule §drift.
@@ -34,15 +35,19 @@ object Drift {
     * greatest in Spark's ordering), reporting corruption as "drift
     * toward high values" instead of excluding it.
     */
-  private def cleanValue(valueCol: String): Column = {
-    val v = col(valueCol).cast("double")
-    col(valueCol).isNotNull && !isnan(v)
+  private def cleanValue(df: DataFrame, valueCol: String): Column = {
+    // numeric view via Stats.asDouble: a plain cast("double") would
+    // THROW under Spark 4's default ANSI mode on the first non-numeric
+    // string — junk degrades to NULL (excluded) instead of killing the
+    // whole drift check
+    val v = Stats.asDouble(df, valueCol)
+    v.isNotNull && !isnan(v)
   }
 
   /** (bucket, n) histogram of `valueCol`; non-null, non-NaN rows only. */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, buckets: Int): DataFrame =
-    df.where(cleanValue(valueCol))
-      .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
+    df.where(cleanValue(df, valueCol))
+      .groupBy(bucketCol(Stats.asDouble(df, valueCol), lo, hi, buckets).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
   /** Joined per-bucket counts of baseline vs current (exact longs —
@@ -68,8 +73,8 @@ object Drift {
     */
   def histogramSplit(df: DataFrame, isBase: Column, valueCol: String,
                      lo: Double, hi: Double, buckets: Int): DataFrame =
-    df.where(cleanValue(valueCol))
-      .groupBy(bucketCol(col(valueCol).cast("double"), lo, hi, buckets).as("bucket"))
+    df.where(cleanValue(df, valueCol))
+      .groupBy(bucketCol(Stats.asDouble(df, valueCol), lo, hi, buckets).as("bucket"))
       // NULL-valued predicates count on NEITHER side (the two-scan form
       // drops such rows from both where() filters), and buckets holding
       // only such rows are omitted like the full-outer join omits them

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -44,11 +45,11 @@ object Multimodal {
     */
   def mediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col(idCol), lit(3L)) + 1).cast("int"))
+      (pmod(colExact(idCol), lit(3L)) + 1).cast("int"))
     val format = element_at(array(lit("png"), lit("wav"), lit("mkv")),
-      (pmod(col(idCol), lit(3L)) + 1).cast("int"))
-    val bytes = encode(col(textCol), "UTF-8")
-    df.select(col(idCol).cast("long").as("media_id"), modality.as("modality"),
+      (pmod(colExact(idCol), lit(3L)) + 1).cast("int"))
+    val bytes = encode(colExact(textCol), "UTF-8")
+    df.select(colExact(idCol).cast("long").as("media_id"), modality.as("modality"),
       bytes.as("bytes"),
       struct(format.as("format"), length(bytes).cast("int").as("n_bytes")).as("meta"))
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Bounded all-pairs expansion within key groups — the shared engine
   * primitive under MinHash/SimHash/embedding near-dup pairing
@@ -45,19 +46,19 @@ object Pairs {
     val memberFields = df.columns.filterNot(keyCols.contains).toSeq
     require(memberFields.nonEmpty, "df needs at least one non-key (member) column")
     val idCol = memberFields.head // unique, orderable — defines id_a < id_b
-    val keyExprs = keyCols.map(col)
+    val keyExprs = keyCols.map(colExact)
     val win = Window.partitionBy(keyExprs: _*)
     df.withColumn("__n", count(lit(1)).over(win))
       .where(col("__n").between(2L, maxBucket))
       .withColumn("__ng", floor((col("__n") + lit(cap - 1)) / lit(cap)).cast("int"))
-      .withColumn("__g", pmod(xxhash64(col(idCol)), col("__ng")).cast("int"))
+      .withColumn("__g", pmod(xxhash64(colExact(idCol)), col("__ng")).cast("int"))
       .select(keyExprs ++ Seq(
         explode(transform(sequence(lit(0), col("__ng") - 1), o =>
           struct(least(o, col("__g")).as("bi"), greatest(o, col("__g")).as("bj")))).as("__blk"),
-        col("__g"), struct(memberFields.map(col): _*).as("__m")): _*)
+        col("__g"), struct(memberFields.map(colExact): _*).as("__m")): _*)
       .select(keyExprs ++ Seq(col("__blk.bi").as("__bi"), col("__blk.bj").as("__bj"),
         col("__g"), col("__m")): _*)
-      .groupBy((keyCols ++ Seq("__bi", "__bj")).map(col): _*)
+      .groupBy((keyCols ++ Seq("__bi", "__bj")).map(colExact): _*)
       .agg(collect_list(struct(col("__g").as("g"), col("__m").as("m"))).as("members"))
   }
 
@@ -89,7 +90,7 @@ object Pairs {
       when(col("__bi") === col("__bj"), diagonal).otherwise(cross)
     }
     // explode(null) for a 1-member diagonal block emits nothing
-    blocks.select(keyCols.map(col) :+ explode(pairsArr).as("__p"): _*)
-      .select(keyCols.map(col) :+ col("__p.a").as("a") :+ col("__p.b").as("b"): _*)
+    blocks.select(keyCols.map(colExact) :+ explode(pairsArr).as("__p"): _*)
+      .select(keyCols.map(colExact) :+ col("__p.a").as("a") :+ col("__p.b").as("b"): _*)
   }
 }

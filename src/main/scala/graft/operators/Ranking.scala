@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Windowed ranking — exact top-k rows per group.
   *
@@ -34,14 +35,14 @@ object Ranking {
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"topKPerGroup would overwrite input column(s): ${clash.mkString(", ")}")
-    val w1 = Window.partitionBy(col("_graft_salt") +: groupCols.map(col): _*)
+    val w1 = Window.partitionBy(col("_graft_salt") +: groupCols.map(colExact): _*)
       .orderBy(sortExprs: _*)
     val local = df
       .withColumn("_graft_salt", spark_partition_id())
       .withColumn("_graft_rn", row_number().over(w1))
       .where(col("_graft_rn") <= k)
       .drop("_graft_salt", "_graft_rn")
-    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(sortExprs: _*)
+    val w2 = Window.partitionBy(groupCols.map(colExact): _*).orderBy(sortExprs: _*)
     local
       .withColumn("rank", row_number().over(w2).cast("long"))
       .where(col("rank") <= k)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Referential-integrity checks (north rule: "lang against a broadcast
   * allowed-langs dimension, commit-to-repo via sort-merge anti-join").
@@ -41,10 +42,10 @@ object Referential {
     * not a referential one.
     */
   private def fkPresent(fkCols: Seq[String]): Column =
-    fkCols.map(col(_).isNotNull).reduce(_ && _)
+    fkCols.map(colExact(_).isNotNull).reduce(_ && _)
 
   private def renameDim(dim: DataFrame, pkCols: Seq[String]): DataFrame =
-    pkCols.foldLeft(dim.select(pkCols.map(col): _*)) { (d, c) => d.withColumnRenamed(c, s"__pk_$c") }
+    pkCols.foldLeft(dim.select(pkCols.map(colExact): _*)) { (d, c) => d.withColumnRenamed(c, s"__pk_$c") }
 
   private def joinCond(fact: DataFrame, fkCols: Seq[String], dim: DataFrame, pkCols: Seq[String]) =
     fkCols.zip(pkCols).map { case (fk, pk) => fact(fk) === dim(s"__pk_$pk") }.reduce(_ && _)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Engine-level training-data operator; no reference
@@ -49,8 +50,8 @@ object Similarity {
   /** Exact top-k rows by cosine similarity to `query`. */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
                  query: Array[Float], k: Int): DataFrame =
-    df.select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col(idCol))
+    df.select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed —
@@ -82,11 +83,11 @@ object Similarity {
       val d = p.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
       if (d >= 0.0) 1L << b else 0L
     }.reduce(_ | _)
-    df.select(col(idCol), col(vecCol),
-        srpSignature(col(vecCol), planes).as("sig"))
+    df.select(colExact(idCol), colExact(vecCol),
+        srpSignature(colExact(vecCol), planes).as("sig"))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
-      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col(idCol))
+      .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
   }
 
@@ -102,8 +103,8 @@ object Similarity {
     // deterministic hash-ordered top-N (TakeOrderedAndProject: per-
     // partition top-N + driver merge) — a plain `limit` would take the
     // FIRST partitions, a locality-biased sample at scale
-    val sample = df.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)))
+    val sample = df.select(colExact(vecCol))
+      .orderBy(xxhash64(colExact(vecCol)))
       .limit(sampleN).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
@@ -159,10 +160,10 @@ object Similarity {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float],
               k: Int, centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val probe = nearestCentroids(query, centroids, nprobe)
-    df.select(col(idCol), col(vecCol), ivfClusterId(col(vecCol), centroids).as("cluster_id"))
+    df.select(colExact(idCol), colExact(vecCol), ivfClusterId(colExact(vecCol), centroids).as("cluster_id"))
       .where(col("cluster_id").isin(probe: _*))
-      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col(idCol))
+      .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
   }
 
@@ -175,7 +176,7 @@ object Similarity {
     */
   def writeClustered(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
                      path: String): Unit =
-    df.withColumn("cluster_id", ivfClusterId(col(vecCol), centroids))
+    df.withColumn("cluster_id", ivfClusterId(colExact(vecCol), centroids))
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
   /** IVF ANN top-k over a [[writeClustered]] layout: the nprobe
@@ -190,8 +191,8 @@ object Similarity {
     val probe = nearestCentroids(query, centroids, nprobe)
     spark.read.parquet(path)
       .where(col("cluster_id").isin(probe: _*)) // partition-column filter ⇒ pruning
-      .select(col(idCol), cosine(col(vecCol), queryLit(query)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col(idCol))
+      .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
   }
 
@@ -214,11 +215,11 @@ object Similarity {
                             dim: Int = 0, maxBucket: Int = Int.MaxValue,
                             cap: Int = 4096): DataFrame = {
     val d = if (dim > 0) dim else
-      df.select(size(col(vecCol))).head().getInt(0)
+      df.select(size(colExact(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
-    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      l2norm(col(vecCol)).as("n"),
-      srpSignature(col(vecCol), planes).as("sig"))
+    val sigd = df.select(colExact(idCol).as("id"), colExact(vecCol).as("v"),
+      l2norm(colExact(vecCol)).as("n"),
+      srpSignature(colExact(vecCol), planes).as("sig"))
     // same zero-norm convention (and ANSI guard) as [[cosine]]: a zero
     // vector still gets an SRP signature and lands in a bucket, and an
     // unguarded 0/0 THROWS under Spark 4's default ANSI mode — one
@@ -237,9 +238,9 @@ object Similarity {
   def oversizedEmbeddingBuckets(df: DataFrame, vecCol: String, bits: Int = 8,
                                 seed: Long = 42L, dim: Int = 0,
                                 maxBucket: Int): DataFrame = {
-    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim else df.select(size(colExact(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
-    df.select(srpSignature(col(vecCol), planes).as("sig"))
+    df.select(srpSignature(colExact(vecCol), planes).as("sig"))
       .groupBy("sig").agg(count(lit(1)).as("n_ids"))
       .where(col("n_ids") > maxBucket)
   }

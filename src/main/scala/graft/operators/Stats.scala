@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Table-level column statistics (north rule: "column stats via
   * single-pass aggregators"). Two tiers:
@@ -28,28 +29,28 @@ object Stats {
     * `try_cast` (junk → NULL), everything else reports NULL numeric
     * stats while the type-agnostic counters still run.
     */
-  private def asDouble(df: DataFrame, c: String): Column =
+  private[operators] def asDouble(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case _: org.apache.spark.sql.types.NumericType |
-           org.apache.spark.sql.types.BooleanType => col(c).cast("double")
-      case org.apache.spark.sql.types.StringType  => col(c).try_cast("double")
+           org.apache.spark.sql.types.BooleanType => colExact(c).cast("double")
+      case org.apache.spark.sql.types.StringType  => colExact(c).try_cast("double")
       case _                                      => lit(null).cast("double")
     }
 
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
+        count(colExact(c)).as(s"__cnt_$c"),
+        sum(when(colExact(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
         min(asDouble(df, c)).as(s"__min_$c"),
         max(asDouble(df, c)).as(s"__max_$c"),
-        countDistinct(col(c)).as(s"__dst_$c"))
+        countDistinct(colExact(c)).as(s"__dst_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"__cnt_$c").as("n_present"),
-        col(s"__nul_$c").as("n_nulls"), col(s"__min_$c").as("min_val"),
-        col(s"__max_$c").as("max_val"), col(s"__dst_$c").as("n_distinct"))
+      struct(lit(c).as("col_name"), colExact(s"__cnt_$c").as("n_present"),
+        colExact(s"__nul_$c").as("n_nulls"), colExact(s"__min_$c").as("min_val"),
+        colExact(s"__max_$c").as("max_val"), colExact(s"__dst_$c").as("n_distinct"))
     }: _*)
     one.select(explode(rows).as("s")).select("s.*")
   }
@@ -61,15 +62,15 @@ object Stats {
   def sketchStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
-        approx_count_distinct(col(c)).as(s"__adst_$c"),
+        approx_count_distinct(colExact(c)).as(s"__adst_$c"),
         percentile_approx(asDouble(df, c),
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000)).as(s"__q_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"__adst_$c").as("approx_distinct"),
-        col(s"__q_$c").getItem(0).as("p25"), col(s"__q_$c").getItem(1).as("p50"),
-        col(s"__q_$c").getItem(2).as("p75"), col(s"__q_$c").getItem(3).as("p99"))
+      struct(lit(c).as("col_name"), colExact(s"__adst_$c").as("approx_distinct"),
+        colExact(s"__q_$c").getItem(0).as("p25"), colExact(s"__q_$c").getItem(1).as("p50"),
+        colExact(s"__q_$c").getItem(2).as("p75"), colExact(s"__q_$c").getItem(3).as("p99"))
     }: _*)
     one.select(explode(rows).as("s")).select("s.*")
   }
@@ -87,7 +88,7 @@ object Stats {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>
       struct(lit(c).as("col_name") +: probs.zipWithIndex.map { case (p, i) =>
-        col(s"__td_$c").getItem(i).as(s"q${(p * 100).round}")
+        colExact(s"__td_$c").getItem(i).as(s"q${(p * 100).round}")
       }: _*)
     }: _*)
     one.select(explode(rows).as("s")).select("s.*")

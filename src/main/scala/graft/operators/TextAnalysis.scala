@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, n-gram-heuristic language ID, document
@@ -38,10 +39,10 @@ object TextAnalysis {
     * cross-engine type parity).
     */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      subwordCount(col(textCol)).cast("long").as("n_subwords"))
+    df.select(colExact(idCol),
+      length(colExact(textCol)).cast("long").as("n_chars"),
+      tokenCount(colExact(textCol)).cast("long").as("n_tokens"),
+      subwordCount(colExact(textCol)).cast("long").as("n_subwords"))
 
   // one tokenizer across the module family: language-ID/quality and
   // dedup shingling must agree on what a word is (Dedup.tokens)
@@ -55,7 +56,7 @@ object TextAnalysis {
     * rounded to 6 decimals so independent engines agree bit-for-bit.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = colExact(textCol)
     val nChars = length(t).cast("double")
     val nTokens = tokenCount(t).cast("double")
     val punct = length(t) - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]{}]", ""))
@@ -72,7 +73,7 @@ object TextAnalysis {
           * when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.5))
           * when(digitRatio <= 0.3, lit(1.0)).otherwise(lit(0.5))
           * least(lit(1.0), lit(0.5) + stopRatio * 2.0))
-    df.select(col(idCol),
+    df.select(colExact(idCol),
       round(punctRatio, 6).as("punct_ratio"),
       round(digitRatio, 6).as("digit_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
@@ -87,7 +88,7 @@ object TextAnalysis {
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // token array let-bound: the argmax fold references each hit count
     // several times, and each would otherwise re-tokenize the document
-    val guess = Dedup.let(alnumTokens(col(textCol))) { toks =>
+    val guess = Dedup.let(alnumTokens(colExact(textCol))) { toks =>
       val hits = stopwords.map { case (lang, ws) =>
         lang -> size(filter(toks, t => t.isInCollection(ws)))
       }
@@ -96,7 +97,7 @@ object TextAnalysis {
         when(h > 0 && h === best, lit(lang)).otherwise(acc)
       }
     }
-    df.select(col(idCol), guess.as("lang_guess"))
+    df.select(colExact(idCol), guess.as("lang_guess"))
   }
 
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
@@ -110,8 +111,8 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, shingleN: Int = 3): DataFrame =
-    df.select(col(idCol),
-      sha2(col(textCol), 256).as("content_hash"),
-      array_join(slice(array_sort(transform(array_distinct(Dedup.shingles(col(textCol), shingleN)),
+    df.select(colExact(idCol),
+      sha2(colExact(textCol), 256).as("content_hash"),
+      array_join(slice(array_sort(transform(array_distinct(Dedup.shingles(colExact(textCol), shingleN)),
         sh => md5(sh))), 1, k), ",").as("bottom_k"))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
 
 /** Uniqueness constraint via SALTED two-stage hash aggregation (north
   * rule: "uniqueness on (repo,path,commit) via salted hash-aggregate to
@@ -22,10 +23,10 @@ object Uniqueness {
 
   /** Keys occurring more than once, with their multiplicities. */
   def duplicates(df: DataFrame, keys: Seq[String], saltBuckets: Int = 64): DataFrame =
-    df.select(keys.map(col) :+ pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).as("__salt"): _*)
-      .groupBy((keys :+ "__salt").map(col): _*)
+    df.select(keys.map(colExact) :+ pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).as("__salt"): _*)
+      .groupBy((keys :+ "__salt").map(colExact): _*)
       .agg(count(lit(1)).as("__partial"))
-      .groupBy(keys.map(col): _*)
+      .groupBy(keys.map(colExact): _*)
       .agg(sum("__partial").as("n_rows"))
       .where(col("n_rows") > 1)
 

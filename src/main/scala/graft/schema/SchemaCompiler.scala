@@ -74,32 +74,68 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
     docCache(baseC) = (doc, base)
     scanIds(doc, base)
     val root = compileAt(doc, base, baseC, "")
-    rejectPureRefCycles()
+    rejectNoProgressCycles()
     root
   }
 
-  /** A `$ref` that delegates (possibly through a chain of pure-`$ref`
-    * schemas) back to itself consumes no input: evaluating it would
-    * recurse forever per row, wedging every Spark task. The reference
-    * does not survive this either — resolveSelf recurses unboundedly
+  /** A `$ref` cycle that consumes no input — a loop whose every edge
+    * applies a subschema to the SAME instance (`$ref` delegation,
+    * `allOf`/`anyOf`/`oneOf`/`not` children, schema-form
+    * `dependencies`) — recurses forever per row at evaluation time,
+    * wedging every Spark task. The reference does not survive these
+    * either: resolveSelf recurses unboundedly on a self-`$ref`
     * (reference.go:87-96; its own TODO at reference.go:98 admits
-    * looping refs are unhandled) — so failing COMPILE with a clear
-    * error is the graceful analogue. Recursion through a consuming
-    * keyword (properties/items/…) is untouched: those cells carry a
-    * non-ref keyword and terminate by instance descent.
+    * looping refs are unhandled), and a combinator loop recurses in its
+    * Validate. Failing COMPILE with a clear error is the graceful
+    * analogue. Recursion through a consuming keyword (`properties`,
+    * `items`, …) is untouched — those edges descend into a strictly
+    * smaller instance and terminate.
     */
-  private def rejectPureRefCycles(): Unit =
-    compiledCache.values.foreach { start =>
-      val seen = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[CompiledSchema, java.lang.Boolean]())
-      var cur = start
-      while (cur.keywords.lengthCompare(1) == 0 && cur.keywords.head.isInstanceOf[RefK]) {
-        if (!seen.add(cur))
-          throw new SchemaCompileException(
-            s"$$ref cycle with no validating keyword (pure delegation loop) at '${start.uri}'")
-        cur = cur.keywords.head.asInstanceOf[RefK].target
+  private def rejectNoProgressCycles(): Unit = {
+    // iterative DFS with WHITE/GRAY/BLACK coloring over same-instance
+    // edges; a GRAY revisit = a cycle every evaluation of which loops
+    val BLACK = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[CompiledSchema, java.lang.Boolean]())
+    def sameInstanceChildren(c: CompiledSchema): Vector[CompiledSchema] =
+      c.keywords.flatMap {
+        case RefK(t)                 => Vector(t)
+        case AllOfK(ss)              => ss
+        case AnyOfK(ss)              => ss
+        case OneOfK(ss)              => ss
+        case NotK(s)                 => Vector(s)
+        case DependenciesK(sd, _)    => sd.map(_._2)
+        case _                       => Vector.empty
+      }
+    compiledCache.values.toVector.foreach { start =>
+      if (!BLACK.contains(start)) {
+        val gray = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[CompiledSchema, java.lang.Boolean]())
+        // stack of (cell, remaining children); explicit — schema graphs
+        // can be deep and this runs on the caller's thread
+        val stack = scala.collection.mutable.Stack[(CompiledSchema, Iterator[CompiledSchema])]()
+        gray.add(start)
+        stack.push((start, sameInstanceChildren(start).iterator))
+        while (stack.nonEmpty) {
+          val (cell, kids) = stack.top
+          if (kids.hasNext) {
+            val k = kids.next()
+            if (gray.contains(k))
+              throw new SchemaCompileException(
+                s"$$ref/combinator cycle with no input descent at '${k.uri}' " +
+                  s"(reached from '${cell.uri}') — evaluation would never terminate")
+            if (!BLACK.contains(k)) {
+              gray.add(k)
+              stack.push((k, sameInstanceChildren(k).iterator))
+            }
+          } else {
+            stack.pop()
+            gray.remove(cell)
+            BLACK.add(cell): Unit
+          }
+        }
       }
     }
+  }
 
   private def freshAnonBase(): String = {
     anonCounter += 1
@@ -153,6 +189,13 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
       }
       obj.fields.foreach {
         case ("enum", _) => () // enum members are data, not schemas
+        // map-of-schema keywords: their VALUE objects are keyed by
+        // arbitrary property names, not schema keywords — descend
+        // straight into the values, so a property literally named
+        // "enum" (a real subschema) is scanned, not skipped
+        case (k, m: JObj) if k == "properties" || k == "patternProperties" ||
+                             k == "definitions" || k == "dependencies" =>
+          m.fields.foreach { case (_, sub) => scanIds(sub, newScope) }
         case (_, child)  => scanIds(child, newScope)
       }
     case JArr(items) => items.foreach(scanIds(_, scope))
@@ -351,24 +394,29 @@ final class SchemaCompiler(registry: Map[String, String] = Map.empty) {
             case JArr(items) => out += EnumK(items)
             case _           => ()
           }
+        // decimalOpt guards: a numeric token whose exponent overflows
+        // BigDecimal (e.g. 1e2147483648) has no decimal value — the
+        // keyword is DROPPED, the reference's undecodable-keyword
+        // behavior (jsonschema.go:106-113), not a raw
+        // NoSuchElementException out of compile()
         case "maximum" =>
           value match {
             case n: JNum =>
               val excl = obj.get("exclusiveMaximum").contains(JBool(true))
-              out += MaximumK(n.decimal, excl)
+              n.decimalOpt.foreach(d => out += MaximumK(d, excl))
             case _ => ()
           }
         case "minimum" =>
           value match {
             case n: JNum =>
               val excl = obj.get("exclusiveMinimum").contains(JBool(true))
-              out += MinimumK(n.decimal, excl)
+              n.decimalOpt.foreach(d => out += MinimumK(d, excl))
             case _ => ()
           }
         case "multipleOf" =>
           value match {
-            case n: JNum if n.decimal > 0 => out += MultipleOfK(n.decimal)
-            case _                        => ()
+            case n: JNum => n.decimalOpt.filter(_ > 0).foreach(out += MultipleOfK(_))
+            case _       => ()
           }
         case "maxLength" => asNonNegLong(value).foreach(out += MaxLengthK(_))
         case "minLength" => asNonNegLong(value).foreach(out += MinLengthK(_))

@@ -17,16 +17,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Exact-arity gate for the SQL builders: the FunctionRegistry hands
+    * the builder whatever argument list the query wrote — without this,
+    * `simhash64(tokens, salt)` would silently DROP `salt` and hash only
+    * `tokens` (wrong results, no diagnostic), and a missing argument
+    * would surface as a raw IndexOutOfBoundsException instead of a
+    * clear analysis error.
+    */
+  private def exactly(name: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n argument(s), got ${children.length}")
+    children
+  }
+
   val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      (children: Seq[Expression]) => SimHash64(exactly("simhash64", 1, children).head)),
     (new FunctionIdentifier("validate_json"),
       new ExpressionInfo(classOf[ValidateJson].getName, "validate_json"),
-      (children: Seq[Expression]) => ValidateJson(children(0), children(1))),
+      (children0: Seq[Expression]) => {
+        val children = exactly("validate_json", 2, children0)
+        ValidateJson(children(0), children(1))
+      }),
     (new FunctionIdentifier("format_is"),
       new ExpressionInfo(classOf[FormatIs].getName, "format_is"),
-      (children: Seq[Expression]) => FormatIs({
+      (children0: Seq[Expression]) => { val children = exactly("format_is", 2, children0); FormatIs({
         val f = children.head
         if (!f.foldable)
           throw new IllegalArgumentException("format_is: format name must be a constant string")
@@ -38,10 +55,12 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"format_is: format name must be a non-null string, got $other")
         }
-      }, children(1))),
+      }, children(1)) }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(children(0), {
+      (children0: Seq[Expression]) => {
+        val children = exactly("minhash_sig", 2, children0)
+        MinHashSig(children(0), {
         val kExpr = children(1)
         if (!kExpr.foldable)
           throw new IllegalArgumentException("minhash_sig: k must be a constant integer")
@@ -50,7 +69,7 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"minhash_sig: k must be a non-null integer, got $other")
         }
-      })))
+      }) }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

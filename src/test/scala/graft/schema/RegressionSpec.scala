@@ -135,4 +135,31 @@ class RegressionSpec extends AnyFunSuite {
     val v = JObj(Vector("next" -> JObj(Vector("next" -> JNull))))
     assert(Evaluator.validate(rec, v).isEmpty)
   }
+  test("no-progress cycles through combinators also fail compile") {
+    intercept[SchemaCompileException](compile("""{"allOf":[{"$ref":"#"}]}"""))
+    intercept[SchemaCompileException](compile("""{"not":{"$ref":"#"}}"""))
+    intercept[SchemaCompileException](compile(
+      """{"dependencies":{"k":{"$ref":"#"}}}"""))
+    // a combinator that refs a schema with only consuming keywords is fine
+    val ok = compile(
+      """{"anyOf":[{"type":"null"},{"$ref":"#/definitions/leaf"}],
+        |"definitions":{"leaf":{"type":"string"}}}""".stripMargin)
+    assert(Evaluator.validate(ok, JStr("x")).isEmpty)
+  }
+
+  test("a property literally named 'enum' is a schema, not data") {
+    val s = compile(
+      """{"properties":{"enum":{"id":"#item","type":"string"}},
+        |"items":{"$ref":"#item"}}""".stripMargin)
+    // the plain-name fragment under properties.enum must resolve
+    assert(Evaluator.validate(s, JArr(Vector(JStr("ok")))).isEmpty)
+    assert(Evaluator.validate(s, JArr(Vector(JNum("3")))).nonEmpty)
+  }
+
+  test("numeric keyword with an unrepresentable bound is dropped, not a crash") {
+    // exponent overflows BigDecimal: the reference drops undecodable
+    // keywords (jsonschema.go:106-113) — everything validates
+    val s = compile("""{"properties":{"x":{"maximum":1e2147483648}}}""")
+    assert(Evaluator.validate(s, JObj(Vector("x" -> JNum("5")))).isEmpty)
+  }
 }

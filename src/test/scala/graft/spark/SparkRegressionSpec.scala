@@ -129,4 +129,34 @@ class SparkRegressionSpec extends AnyFunSuite {
     val tree3 = Validate.treeViolations(df3, s3, Seq("x")).count()
     assert(fast3 == 1L && tree3 == 1L)
   }
+  test("operators accept dotted column names") {
+    val df = Seq(("a", 1.0, 2.0), ("a", 3.0, 4.0), ("b", 5.0, 5.0))
+      .toDF("grp.key", "val.x", "val.y")
+    val stats = graft.operators.Stats.columnStats(df, Seq("val.x"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats("val.x") == 3L)
+    val dups = graft.operators.Uniqueness.duplicates(df, Seq("grp.key")).collect()
+    assert(dups.map(_.getString(0)).toSeq == Seq("a"))
+    val top = graft.operators.Ranking.topKPerGroup(
+      df.select(col("`grp.key`"), col("`val.x`")), Seq("grp.key"), Seq(col("`val.x`").desc), k = 1)
+    assert(top.count() == 2L)
+  }
+
+  test("SQL function arity is validated") {
+    graft.spark.GraftExtensions.register(spark)
+    Seq(1L).toDF("x").createOrReplaceTempView("arity_t")
+    val e = intercept[Exception](
+      spark.sql("SELECT simhash64(array('a'), 42) FROM arity_t").collect())
+    assert(e.getMessage.contains("simhash64"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT format_is('email') FROM arity_t").collect())
+    assert(e2.getMessage.contains("format_is"), e2.getMessage)
+  }
+
+  test("drift over a string column with junk degrades, not crashes (ANSI)") {
+    val df = Seq("1.0", "2.0", "N/A", "3.0").toDF("price")
+    val h = graft.operators.Drift.histogram(df, "price", 0.0, 4.0, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 3L, s"junk row excluded, got $h")
+  }
 }
