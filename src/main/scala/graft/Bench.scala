@@ -205,12 +205,24 @@ object Bench {
     // (best-effort: a missing table must degrade per-query, not abort)
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
-    val queryTimes =
-      if (scalingOnly) Seq.empty[(String, Double)]
+    // Best-of-N per query, all samples disclosed: single-shot numbers
+    // publish phantom regressions — round-2's table reported 25.4 s for
+    // a query whose best-of-3 is 0.57 s, the difference being first-run
+    // plan-compile/JIT plus co-tenant noise. The BEST sample is the
+    // reproducible capacity number (same rationale as the scaling-
+    // ladder floors); session-staged inputs (the jsonl corpus copy, the
+    // LSH signature layout) are paid by rep 1 only, so the best
+    // converges to the operator itself.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val queryTimes: Seq[(String, Double, Seq[Double])] =
+      if (scalingOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
-        System.err.println(f"[bench] $name: $sec%.1fs")
-        name -> sec
+        val walls = (1 to queryReps).map { _ =>
+          timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })._2
+        }
+        System.err.println(f"[bench] $name: best ${walls.min}%.2fs  " +
+          s"(samples ${walls.map(w => f"$w%.2f").mkString(",")})")
+        (name, walls.min, walls)
       }
     // warm-up: one full pass so JIT/codegen cost lands on neither level
     val (_, warmSec) = timed(fullPass(spark, spark.read.parquet(srcDir)))
@@ -269,7 +281,10 @@ object Bench {
     // pass itself changes (fullPass stages, scheduler, input generator)
     // so floors can never be inherited from a different engine — the
     // samples pooled under one epoch all measure the same code path.
-    val poolEpoch = "r2-pooling"
+    // r3: per-query timing went best-of-N (3 timed reps now precede the
+    // warm-up pass, so the scaling ladder starts from a warmer JVM than
+    // the r2 protocol) — epoch bumped, floors re-banked from scratch
+    val poolEpoch = "r3-qreps"
     val meta = s"meta epoch=$poolEpoch rows=$rowsN n=$nCpus four=$n4Cpus full=$cpus"
     def poolRows(): Option[Seq[String]] =
       if (!Files.exists(poolPath)) None
@@ -307,10 +322,13 @@ object Bench {
     val eff = thr4N / (4.0 * thrN)
     val effRun = (rowsN / sec4N) / (4.0 * (rowsN / secN))
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = queryTimes.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val qSamples = queryTimes.map { case (k, _, ws) =>
+      "\"" + k + "\":[" + ws.map(w => f"$w%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val scaling = f"""{"rows":$rowsN,"n_cpus":$nCpus,"throughput_n_rows_per_sec":$thrN%.1f,"4n_cpus":$n4Cpus,"throughput_4n_rows_per_sec":$thr4N%.1f,"efficiency":$eff%.3f,"efficiency_this_run":$effRun%.3f,"full_cpus":$cpus,"throughput_full_rows_per_sec":$thrFull%.1f,"wall_samples":{"n":${fmtWalls(wN)},"4n":${fmtWalls(w4N)},"full":${fmtWalls(wF)}},"pool_floors":{"n":$floorN%.2f,"4n":$floor4N%.2f,"full":$floorFull%.2f,"sizes":[${poolN.size},${pool4N.size},${poolF.size}]}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_per_sec":$thrFull%.1f,"scaling":$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$queryReps,"query_samples":$qSamples,"sf":"$sfDir","rows_per_sec":$thrFull%.1f,"scaling":$scaling}""")
 
     if (scalingOnly) return // A/B probe: never overwrite the shipped numbers
     Files.createDirectories(Paths.get("BENCH"))
@@ -348,9 +366,14 @@ object Bench {
          |measure host saturation, not engine scaling. The full-machine
          |row is the headline single-node throughput.
          |
-         |Per-query wall times (sf dir `$sfDir`, local[$cpus]):
+         |Per-query wall times (sf dir `$sfDir`, local[$cpus]) —
+         |best of $queryReps reps per query, every sample shown (the
+         |best is the capacity number; first reps absorb plan-compile /
+         |JIT / staged-input cost and co-tenant noise):
          |
-         |${queryTimes.map { case (k, v) => f"| $k | $v%.3f s |" }.mkString("| query | wall |\n|---|---|\n", "\n", "")}
+         |${queryTimes.map { case (k, v, ws) =>
+             f"| $k | $v%.3f s | ${ws.map(w => f"$w%.3f").mkString(", ")} |"
+           }.mkString("| query | best | samples |\n|---|---|---|\n", "\n", "")}
          |""".stripMargin)
   }
 }

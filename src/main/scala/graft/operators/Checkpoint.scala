@@ -20,8 +20,10 @@ import graft.spark.ColumnCompiler.colExact
   * Layout under `checkpointDir`:
   *   - `lineage/`          append-only (run_id, stage, partition_id,
   *                         status, rows_seen, violations, attempt_wall_ms)
-  *   - `output/<stage>/`   the stage's durable violation rows, stamped
-  *                         with run_id
+  *   - `output/<stage>/`   the stage's durable violation rows,
+  *                         PARTITIONED BY run_id (one directory per
+  *                         attempt — resume reads prune dead attempts
+  *                         instead of scanning them)
   *
   * Durability contract: a stage's output is written BEFORE its
   * partitions are marked done — a crash in between re-processes those
@@ -81,8 +83,14 @@ object Checkpoint {
     val todo = pending(stamped, completedPartitions(spark, checkpointDir, stage)).cache()
     val t0 = System.nanoTime()
     val out = outputDir(checkpointDir, stage)
+    // PARTITIONED BY run_id: each attempt appends its own directory, so
+    // this attempt's read-back (and [[readStageOutput]]'s
+    // chosen-run filter) prunes to the matching directories instead of
+    // scanning every historical attempt's data — after many
+    // crash/resume cycles at 10^12-row stages that difference is the
+    // whole file listing + scan.
     violationsOf(todo).withColumn("run_id", lit(attemptId))
-      .write.mode("append").parquet(out)
+      .write.mode("append").partitionBy("run_id").parquet(out)
     val written = spark.read.parquet(out).where(col("run_id") === attemptId)
     // ATTEMPT-level wall (durable write included), stamped identically
     // on every partition row — per-partition timing would need
@@ -110,7 +118,14 @@ object Checkpoint {
     val chosen = spark.read.parquet(lineageDir(checkpointDir))
       .where(col("stage") === stage && col("status") === "done")
       .groupBy("partition_id").agg(min("run_id").as("run_id"))
+    // chosen run ids (≤ one per partition — driver-tiny by the same
+    // bound as the broadcast below) become a STATIC filter on the
+    // run_id PARTITION column, so dead attempts' directories are never
+    // listed or read; the broadcast semi-join then restores exact
+    // (run_id, partition_id) membership within the survivors.
+    val runIds = chosen.select("run_id").distinct().collect().map(_.getString(0)).toSeq
     spark.read.parquet(outputDir(checkpointDir, stage))
+      .where(col("run_id").isin(runIds: _*))
       .join(broadcast(chosen), Seq("run_id", "partition_id"), "left_semi")
       .drop("run_id")
   }

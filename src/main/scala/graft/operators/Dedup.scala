@@ -152,6 +152,10 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs with EXACT n-gram Jaccard verify:
     * (id_a, id_b, jaccard ≥ minJaccard). The verify join ships shingle
     * sets only for candidate ids (semi-joined), not the corpus.
+    *
+    * EAGER: the verify join runs at call time (see the cache-lifecycle
+    * note at the bottom) — the returned frame is the materialized pair
+    * set, so later filters compose but no longer push into the scan.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
@@ -183,7 +187,19 @@ object Dedup {
       .select(colExact(idCol).as("id"),
         array_distinct(transform(shingles(colExact(textCol), shingleN), s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardVerify(cands, sets, minJaccard)
+    // EAGER materialization of the (small) verified-pairs result so both
+    // caches above are released deterministically before returning — the
+    // caller only ever gets a handle to the result, so without this every
+    // invocation in a long-lived session would strand its candidate +
+    // shingle-set blocks in MEMORY_AND_DISK for the application lifetime.
+    // localCheckpoint keeps the handle lazy-to-the-caller while cutting
+    // lineage back to the cached intermediates; its own blocks are the
+    // verified pairs only (a sliver of what the caches held) and are
+    // reclaimed by the ContextCleaner when the handle is dropped.
+    val verified = jaccardVerify(cands, sets, minJaccard).localCheckpoint()
+    cands.unpersist()
+    sets.unpersist()
+    verified
   }
 
   /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */

@@ -14,14 +14,18 @@ import graft.spark.ColumnCompiler.colExact
   *    per-partition top-k then a k-row driver merge
   *    (`TakeOrderedAndProject`) — no shuffle of the corpus. At 100 TB
   *    this is the fallback when recall must be 1.0.
-  *  - [[lshTopK]] — the scale path: random-hyperplane (SRP) LSH. Each
+  *  - [[lshTopK]] — random-hyperplane (SRP) LSH, in-memory tier. Each
   *    vector gets a `bits`-bit signature (sign of dot with `bits`
   *    fixed hyperplanes); candidates = vectors whose signature lies
   *    within `probeHamming` of the query's (multi-probe), scored
-  *    exactly, top-k. The scan prunes on a LONG equality/IN predicate
-  *    over a precomputable signature column — at scale the signature
-  *    is materialized + partition-bucketed, so a probe touches only
-  *    matching buckets.
+  *    exactly, top-k. Computes every signature per query — fine for a
+  *    one-off probe over an unindexed frame, NOT the 100 TB path.
+  *  - [[writeSignatures]] / [[signatureTopK]] — the scale path: the
+  *    corpus written PARTITIONED BY its SRP signature (mirroring the
+  *    IVF [[writeClustered]]/[[clusteredTopK]] pair), so a multi-probe
+  *    query becomes source partition PRUNING — only the C(bits, ≤r)
+  *    probed buckets are listed, opened, or read, and signatures are
+  *    computed once at write time, never per query.
   *
   * Dot products ride `aggregate`/`zip_with` higher-order expressions —
   * codegen'd, no UDF.
@@ -72,20 +76,75 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** The query's SRP signature, computed on the driver with the same
+    * planes/bit order as [[srpSignature]] — ONE definition shared by
+    * the in-memory and materialized probes so they can never diverge.
+    */
+  def querySignature(query: Array[Float], planes: Array[Array[Float]]): Long =
+    planes.zipWithIndex.map { case (p, b) =>
+      val d = p.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      if (d >= 0.0) 1L << b else 0L
+    }.reduce(_ | _)
+
   /** LSH-bucketed ANN: score only vectors whose SRP signature is
-    * within `probeHamming` bits of the query's signature.
+    * within `probeHamming` bits of the query's signature. In-memory
+    * tier — recomputes signatures per query; use [[signatureTopK]]
+    * over a [[writeSignatures]] layout at scale.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float],
               k: Int, bits: Int = 16, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, bits, seed)
-    // query signature computed on the driver with the same planes
-    val qSig = planes.zipWithIndex.map { case (p, b) =>
-      val d = p.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      if (d >= 0.0) 1L << b else 0L
-    }.reduce(_ | _)
+    val qSig = querySignature(query, planes)
     df.select(colExact(idCol), colExact(vecCol),
         srpSignature(colExact(vecCol), planes).as("sig"))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), colExact(idCol))
+      .limit(k)
+  }
+
+  /** Every signature within Hamming distance ≤ `r` of `sig` over
+    * `bits` bits — the multi-probe bucket set, enumerated on the
+    * driver (C(bits, ≤r) values; e.g. 37 for bits=8, r=2).
+    */
+  def probeSignatures(sig: Long, bits: Int, r: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 64 && r >= 0, s"bits=$bits r=$r")
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else (start until bits).flatMap(b => flips(b + 1, left - 1, cur ^ (1L << b)))
+    (0 to math.min(r, bits)).flatMap(flips(0, _, sig))
+  }
+
+  /** Materialize the SRP-LSH layout: the corpus written PARTITIONED BY
+    * its `bits`-bit signature. At 100 TB the hash family is the
+    * storage layout itself, exactly like the IVF [[writeClustered]]
+    * tier — each of the ≤2^bits occupied buckets is a parquet
+    * partition directory, the signature is computed ONCE per vector at
+    * write time (one map-side pass, no shuffle beyond the write), and
+    * a probe reads only its bucket directories.
+    */
+  def writeSignatures(df: DataFrame, vecCol: String, bits: Int, path: String,
+                      seed: Long = 42L, dim: Int = 0): Unit = {
+    val d = if (dim > 0) dim else df.select(size(colExact(vecCol))).head().getInt(0)
+    df.withColumn("sig", srpSignature(colExact(vecCol), hyperplanes(d, bits, seed)))
+      .write.partitionBy("sig").mode("overwrite").parquet(path)
+  }
+
+  /** ANN top-k over a [[writeSignatures]] layout: the multi-probe
+    * bucket set resolves on the driver, the scan reads ONLY those
+    * signature partitions (PartitionFilters, plan-asserted in
+    * PlanShapeSpec), and exact cosine rescoring +
+    * TakeOrderedAndProject run on that slice. Result-identical to
+    * [[lshTopK]] with the same (bits, probeHamming, seed) — the IN
+    * probe set IS the Hamming ball the predicate form scans for.
+    */
+  def signatureTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    vecCol: String, idCol: String, query: Array[Float], k: Int,
+                    bits: Int, probeHamming: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, bits, seed)
+    val probe = probeSignatures(querySignature(query, planes), bits, probeHamming)
+    spark.read.parquet(path)
+      .where(col("sig").isin(probe: _*)) // partition-column filter ⇒ pruning
       .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
       .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)

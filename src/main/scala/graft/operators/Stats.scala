@@ -9,9 +9,12 @@ import graft.spark.ColumnCompiler.colExact
   *
   *  - [[columnStats]]: exact count / null-count / min / max /
   *    distinct-count in ONE aggregation job (DuckDB-oracle-able).
-  *    `count(distinct)` over several columns uses Catalyst's Expand —
-  *    still a single pass over the input, two-phase partial+final
-  *    hash aggregation, no row explosion proportional to data width.
+  *    `count(distinct)` over several columns goes through Catalyst's
+  *    Expand, which REPLICATES each input row ×(distinct-aggs + 1)
+  *    before the partial aggregation — still a single scan and no
+  *    extra shuffle beyond the two-phase agg, but the map-side row
+  *    volume grows with the number of audited columns, which is why
+  *    [[sketchStats]] is the web-scale path.
   *  - [[sketchStats]]: the 100 TB path — HyperLogLog++
   *    (`approx_count_distinct`) and Gretzel-Khanna quantile sketches
   *    (`percentile_approx`), both mergeable partial aggregates with
@@ -81,9 +84,10 @@ object Stats {
     * with tail-accurate error bounds instead of rank-error ones.
     */
   def tdigestStats(df: DataFrame, cols: Seq[String],
-                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99)): DataFrame = {
+                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99),
+                   compression: Double = 100.0): DataFrame = {
     val aggs = cols.map { c =>
-      graft.functions.TDigest.quantilesAgg(asDouble(df, c), probs).as(s"__td_$c")
+      graft.functions.TDigest.quantilesAgg(asDouble(df, c), probs, compression).as(s"__td_$c")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>

@@ -287,19 +287,40 @@ object ColumnCompiler {
         if (doubleExact(b)) Some(lit(b.toDouble)) else None
     }
 
-    /** Exact multipleOf predicate for an integer-typed column. A whole
-      * divisor beyond long range must NOT go through `m.toLong` — that
-      * wraps (1e19 → negative) or zeroes (2^64 → REMAINDER_BY_ZERO
-      * under ANSI mode); once the divisor exceeds the column's value
-      * domain the only representable multiple is 0, which is what the
-      * tree path's exact BigDecimal remainder reports too.
+    /** Exact multipleOf predicate builder for an integer-typed column;
+      * None ⇒ the fast path cannot express it exactly ⇒ whole schema →
+      * tree path. A whole divisor beyond long range must NOT go through
+      * `m.toLong` — that wraps (1e19 → negative) or zeroes (2^64 →
+      * REMAINDER_BY_ZERO under ANSI mode). Beyond-long divisors, per
+      * column type:
+      *  - decimal: divide exactly via a NORMALIZED literal — an
+      *    exponent-form divisor like 1e19 carries scale −19, which
+      *    undercounts `precision` (1, not 20) AND throws at `lit()`
+      *    (Spark decimals have no negative scale); same flattening rule
+      *    as [[decimalEnumMember]]. A normalized divisor of > 38 digits
+      *    exceeds every decimal(38, 0) value, so only 0 is a multiple.
+      *  - long: m == 2^63 exactly also divides Long.MinValue
+      *    (−1 × 2^63), not just 0; any larger whole m exceeds the value
+      *    domain entirely. Int/short/byte domains are smaller still, so
+      *    only 0 divides.
+      *  - float/double never reach here today (jsonType "number" takes
+      *    the tree path) — None keeps that exact if a caller's guard
+      *    ever widens: a double can hold true multiples of a
+      *    beyond-long divisor (1e20 is a multiple of 1e19) that
+      *    `c === 0` would flag.
       */
-    def multipleOfPred(m: BigDecimal, c: Column): Column =
-      if (fitsLong(m)) pmod(c, lit(m.toLongExact)) === 0
+    def multipleOfPred(m: BigDecimal): Option[Column => Column] =
+      if (fitsLong(m)) Some(c => pmod(c, lit(m.toLongExact)) === 0)
       else dt match {
-        // whole m with ≤38 digits can still divide decimal(38,0) values
-        case _: DecimalType if m.precision <= 38 => pmod(c, lit(m.underlying)) === 0
-        case _ => c === 0 // |every column value| < m ⇒ only 0 divides
+        case _: DecimalType =>
+          val stripped = m.underlying.stripTrailingZeros
+          val bd = if (stripped.scale < 0) stripped.setScale(0) else stripped
+          if (bd.precision <= 38) Some(c => pmod(c, lit(bd)) === 0)
+          else Some(c => c === 0) // divisor exceeds every decimal(38,0) value
+        case LongType if m == BigDecimal(2).pow(63) =>
+          Some(c => (c === 0) || (c === Long.MinValue))
+        case LongType | IntegerType | ShortType | ByteType => Some(c => c === 0)
+        case _ => None
       }
 
     // numeric enum members are filtered to those representable exactly
@@ -397,7 +418,7 @@ object ColumnCompiler {
           preds += (if (exclusive) numValue(c) > b else numValue(c) >= b)
         case _: MinimumK => ()
         case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
-          preds += multipleOfPred(m, c)
+          preds += multipleOfPred(m).getOrElse(return None)(c)
         case MultipleOfK(_) if isNumeric => return None
         case _: MultipleOfK => ()
         case MaxLengthK(n) if jsonType == "string" => preds += (length(c) <= n)
@@ -449,7 +470,8 @@ object ColumnCompiler {
       case _: MinimumK => ()
 
       case MultipleOfK(m) if jsonType == "integer" && m.isWhole =>
-        out += PredCheck("multipleOf", ptr, Msg.multipleOf(m), guarded(multipleOfPred(m, c)))
+        val pred = multipleOfPred(m).getOrElse(return None)
+        out += PredCheck("multipleOf", ptr, Msg.multipleOf(m), guarded(pred(c)))
       case MultipleOfK(_) if isNumeric => return None // float modulo: exact-decimal tree path only
       case _: MultipleOfK => ()
 
@@ -569,8 +591,12 @@ object ColumnCompiler {
           x => x.isNotNull && !(if (exclusive) ops.numValue(x) > b else ops.numValue(x) >= b))
       case _: MinimumK => ()
       case MultipleOfK(m) if jt == "integer" && m.isWhole =>
+        // resolve the builder EAGERLY: a `return None` inside the
+        // deferred `x => …` lambda would escape as NonLocalReturnControl
+        // after this method has already returned
+        val pred = ops.multipleOfPred(m).getOrElse(return None)
         out += ElemCond("multipleOf", _ => lit(Msg.multipleOf(m)),
-          x => x.isNotNull && !ops.multipleOfPred(m, x))
+          x => x.isNotNull && !pred(x))
       case MultipleOfK(_) if ops.isNumeric => return None
       case _: MultipleOfK => ()
       case MaxLengthK(n) if jt == "string" =>

@@ -79,8 +79,8 @@ object StreamingValidate {
     // running totals. Decoded back before emission (NULL key rows emit
     // key = null).
     val keyed = stream.select(
-      when(col(keyCol).isNull, lit("n"))
-        .otherwise(concat(lit("v"), col(keyCol).cast("string"))).as("key"),
+      when(ColumnCompiler.colExact(keyCol).isNull, lit("n"))
+        .otherwise(concat(lit("v"), ColumnCompiler.colExact(keyCol).cast("string"))).as("key"),
       coalesce(Validate.passColumn(checks), lit(false)).as("pass"))
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean)
     implicit val outEnc = Encoders.product[KeyTotals]
@@ -137,11 +137,21 @@ object StreamingValidate {
   def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
                      watermarkDelay: String): DataFrame = {
     val h = "__graft_content_hash" // collision-proof vs input columns
-    val hashed = stream.withColumn(h, sha2(col(textCol).cast("binary"), 256))
-      .withWatermark(tsCol, watermarkDelay)
+    // Both input columns resolve through colExact like the batch
+    // operators (a literal dot in the name must not parse as
+    // nested-field access). withWatermark takes a NAME and dot-SPLITS
+    // it (UnresolvedAttribute.apply), so the event time rides a
+    // colExact-resolved helper column that is dropped afterwards —
+    // downstream stateful stages re-declare their own watermark, as
+    // Structured Streaming requires anyway.
+    val ts = "__graft_event_ts"
+    val hashed = stream
+      .withColumn(h, sha2(ColumnCompiler.colExact(textCol).cast("binary"), 256))
+      .withColumn(ts, ColumnCompiler.colExact(tsCol))
+      .withWatermark(ts, watermarkDelay)
     hashed.where(col(h).isNotNull).dropDuplicatesWithinWatermark(h)
       .unionByName(hashed.where(col(h).isNull))
-      .drop(h) // internal helper — keep the input schema
+      .drop(h, ts) // internal helpers — keep the input schema
   }
 
   /** Per-window, per-keyword violation counts with event-time
@@ -150,9 +160,16 @@ object StreamingValidate {
     */
   def windowedViolationCounts(stream: DataFrame, schema: CompiledSchema,
                               tsCol: String, windowDuration: String,
-                              watermarkDelay: String): DataFrame =
+                              watermarkDelay: String): DataFrame = {
+    // same dotted-name rule as [[dedupByContent]]: withWatermark
+    // dot-splits its name argument, so the event time is re-projected
+    // under a helper name via colExact; tsCol itself is not in the
+    // output (only the derived window is), so nothing needs renaming
+    val ts = "__graft_event_ts"
     violations(stream, schema, Seq(tsCol))
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration), col("keyword"))
+      .withColumn(ts, ColumnCompiler.colExact(tsCol))
+      .withWatermark(ts, watermarkDelay)
+      .groupBy(window(col(ts), windowDuration), col("keyword"))
       .agg(count(lit(1)).as("n_violations"))
+  }
 }

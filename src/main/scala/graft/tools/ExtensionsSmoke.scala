@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit smoke for the `SparkSessionExtensions` registration
+  * path: proves the SQL surface (`validate_json`, `simhash64`, …)
+  * resolves through `--conf spark.sql.extensions=graft.spark.GraftExtensions`
+  * alone — the cluster-deployment story — with NO post-hoc
+  * `GraftExtensions.register()` call anywhere in this main.
+  *
+  * Run:
+  * {{{
+  * sbt -batch package
+  * /opt/spark/bin/spark-submit --master local[4] \
+  *   --conf spark.sql.extensions=graft.spark.GraftExtensions \
+  *   --class graft.tools.ExtensionsSmoke \
+  *   target/scala-2.13/jsonschemaspark_2.13-0.1.0.jar
+  * }}}
+  *
+  * Prints `EXTENSIONS_SMOKE_OK` and exits 0 iff every function resolved
+  * and returned the expected values; an unconfigured session fails loud
+  * (UNRESOLVED_ROUTINE from the first sql()).
+  */
+object ExtensionsSmoke {
+  def main(args: Array[String]): Unit = {
+    // spark-submit supplies master + the extensions conf; nothing is
+    // registered here by hand — that is the point of the smoke
+    val spark = SparkSession.builder().getOrCreate()
+    try {
+      val viols = spark.sql(
+        """SELECT v.keyword, v.json_pointer FROM (SELECT explode(validate_json(
+          |  '{"type":"object","required":["k"],"properties":{"k":{"maximum":5}}}',
+          |  '{"k":9}')) AS v)""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      require(viols == Seq(("maximum", "/k")),
+        s"validate_json via spark.sql.extensions returned $viols")
+      import org.apache.spark.sql.functions.{array, lit}
+      val sqlHash = spark.sql("SELECT simhash64(array('a','b'))").head().getLong(0)
+      val apiHash = spark.range(1)
+        .select(graft.functions.SimHash64.simhash64(array(lit("a"), lit("b"))))
+        .head().getLong(0)
+      require(sqlHash == apiHash, s"SQL simhash64 $sqlHash != API $apiHash")
+      val fmt = spark.sql("SELECT format_is('ipv4', '10.0.0.1')").head().getBoolean(0)
+      require(fmt, "format_is('ipv4', '10.0.0.1') must be true")
+      println("EXTENSIONS_SMOKE_OK")
+    } finally spark.stop()
+  }
+}

@@ -164,12 +164,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
     // the candidate pipeline fans out 5 ways in the verify join; the
-    // cached cands/sets must serve those reads (one minhash pass total,
-    // not five) — pin the cache in the physical plan
-    val plan = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"candidate set must be cached, not recomputed per consumer:\n$plan")
+    // caches serve those reads DURING the call, then are released and
+    // the caller gets the materialized pair set — so the consumer-facing
+    // plan must be a checkpoint scan (zero recompute), and of the three
+    // persisted intermediates (cands, sets, checkpoint) only the
+    // checkpointed result may remain registered after the call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"result must be the materialized pair set, not a recomputing plan:\n$plan")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"cands/sets caches must be unpersisted after the call; still registered: $added")
   }
 
   test("minhash_sig native expression: SQL == Scala API, k respected") {

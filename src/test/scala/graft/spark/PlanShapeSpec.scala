@@ -156,6 +156,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == e.count())
   }
 
+  test("materialized LSH signature layout prunes partitions at the source") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString + "/sigs"
+    Similarity.writeSignatures(e, "embedding", bits = 8, path, dim = 64)
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val topk = Similarity.signatureTopK(spark, path, "embedding", "vec_id", q, 5,
+      bits = 8, probeHamming = 2)
+    val p = plan(topk)
+    // the multi-probe IN-list lands on the signature PARTITION column:
+    // scanned partitions are the C(8,≤2)=37 probed buckets, not the corpus
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("sig")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // result-identical to the in-memory probe on the same planes
+    val direct = Similarity.lshTopK(e, "embedding", "vec_id", q, 5, bits = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val layered = topk.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(layered == direct, s"layered=$layered direct=$direct")
+    // the layout holds the full corpus (pruning is per-query, not lossy)
+    assert(spark.read.parquet(path).count() == e.count())
+  }
+
+  test("checkpoint stage read-back prunes dead attempts by run_id partition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_plan").toString + "/checkpoint"
+    val stamped = Checkpoint.stampPartitions(docs, Seq("doc_id"), 4)
+    Checkpoint.runStage(spark, ckpt, "r1", "validate", stamped) { todo =>
+      todo.where(col("n_chars") > 250).select(col("partition_id"), col("doc_id"))
+    }
+    val out = Checkpoint.readStageOutput(spark, ckpt, "validate")
+    val p = plan(out)
+    // the chosen-run filter is a static predicate on the run_id
+    // PARTITION column — dead attempts' directories are pruned, not read
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("run_id")), p)
+    assert(out.count() == docs.where(col("n_chars") > 250).count())
+  }
+
   test("container-column validation queries stay on the codegen fast path") {
     // the SparkEntry container queries (array items / map object
     // keywords) must compile to higher-order Catalyst expressions —

@@ -37,6 +37,30 @@ class SparkRegressionSpec extends AnyFunSuite {
     assert(q.getDouble(1) == 100.0, s"median with nulls skipped: ${q.getDouble(1)}")
   }
 
+  test("t-digest with compression ≥ 2N degenerates to exact midpoint interpolation") {
+    // the c_stats_tdigest oracle depends on this: at δ = 2N the k1
+    // merge bound can never absorb a second unit point, every input is
+    // its own centroid, and quantile() is deterministic interpolation
+    // over the sorted values — replayed here in plain Scala (duplicates
+    // included, exercising tie handling across partitions)
+    val xs = (1 to 101).map(i => (i % 10).toDouble * 1.5 + i / 50)
+    val df = xs.toDF("x").repartition(7)
+    val probs = Seq(0.25, 0.5, 0.75, 0.99)
+    val got = Stats.tdigestStats(df, Seq("x"), probs, compression = 2.0 * xs.size).head()
+    def ref(p: Double): Double = {
+      val s = xs.sorted; val n = s.size; val t = p * n
+      if (n == 1 || t <= 0.5) s.head
+      else if (t >= n - 0.5) s.last
+      else {
+        val lo = math.ceil(t - 0.5).toInt // 1-indexed row of the lower centroid
+        s(lo - 1) + (t - (lo - 0.5)) * (s(lo) - s(lo - 1))
+      }
+    }
+    probs.zipWithIndex.foreach { case (p, i) =>
+      assert(got.getDouble(i + 1) == ref(p), s"p=$p got=${got.getDouble(i + 1)} ref=${ref(p)}")
+    }
+  }
+
   test("NaN in a double column yields violations, not a crashed task") {
     val df = Seq(Double.NaN, 50.0).toDF("x")
     val schema = Validate.compileSchema("""{"properties":{"x":{"maximum":100}}}""")
@@ -69,6 +93,34 @@ class SparkRegressionSpec extends AnyFunSuite {
     val fast19 = Validate.violations(df, s19, Seq("x")).collect().map(_.getLong(0)).toSet
     val tree19 = Validate.treeViolations(df, s19, Seq("x")).collect().map(_.getLong(0)).toSet
     assert(fast19 == Set(5L, -8446744073709551616L) && fast19 == tree19)
+  }
+
+  test("multipleOf exponent-form divisor (1e19) compiles and stays exact") {
+    import org.apache.spark.sql.types._
+    // the divisor arrives as unscaled 1 / scale −19: precision is 1
+    // (undercounted) and an unnormalized lit() throws at check
+    // compilation — the fast path must flatten it like enum members do
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(new java.math.BigDecimal("30000000000000000000")), // 3e19
+        org.apache.spark.sql.Row(new java.math.BigDecimal(7))),
+      StructType(Seq(StructField("x", DecimalType(38, 0)))))
+    val s = Validate.compileSchema("""{"properties":{"x":{"multipleOf":1e19}}}""")
+    assert(ColumnCompiler.compile(s, df.schema).isDefined, "stays on the fast path")
+    val fast = Validate.violations(df, s, Seq("x")).count()
+    val tree = Validate.treeViolations(df, s, Seq("x")).count()
+    assert(fast == 1L && tree == 1L) // 3e19 IS a multiple of 1e19; 7 is not
+  }
+
+  test("multipleOf 2^63 accepts Long.MinValue (−1 × 2^63) on long columns") {
+    val df = Seq(Long.MinValue, 0L, 5L).toDF("x")
+    val s = Validate.compileSchema(
+      """{"properties":{"x":{"multipleOf":9223372036854775808}}}""")
+    assert(ColumnCompiler.compile(s, df.schema).isDefined)
+    val fast = Validate.violations(df, s, Seq("x")).collect().map(_.getLong(0)).toSet
+    val tree = Validate.treeViolations(df, s, Seq("x")).collect().map(_.getLong(0)).toSet
+    assert(fast == Set(5L), s"Long.MinValue is a true multiple of 2^63: $fast")
+    assert(fast == tree)
   }
 
   test("multipleOf beyond long range on a wide decimal column stays exact") {

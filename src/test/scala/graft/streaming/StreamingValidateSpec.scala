@@ -199,4 +199,35 @@ class StreamingValidateSpec extends AnyFunSuite {
     // one row under the SQL-NULL key, two under the real "null" string
     assert(totals == Map(None -> 1L, Some("null") -> 2L), s"totals=$totals")
   }
+
+  test("streaming dedup accepts dotted column names (exact resolution)") {
+    val mem = MemoryStream[DocEvent]
+    mem.addData(rows(0), rows(1), rows(0).copy(doc_id = 9L)) // same text as row 0
+    val dotted = mem.toDF()
+      .withColumnRenamed("text", "doc.text")
+      .withColumnRenamed("ts", "event.ts")
+    val q = StreamingValidate.dedupByContent(dotted, "doc.text", "event.ts", "10 minutes")
+      .writeStream.format("memory").queryName("stream_dotted_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("stream_dotted_dedup")
+    assert(out.columns.toSet == dotted.columns.toSet) // helpers dropped, names intact
+    assert(out.count() == 2, "the duplicated text must dedup, not resolve a wrong column")
+  }
+
+  test("running totals accept a dotted key column name") {
+    val mem = MemoryStream[DocEvent]
+    val dotted = mem.toDF().withColumnRenamed("lang", "doc.lang")
+    val q = StreamingValidate.runningViolationRates(dotted, schema, "doc.lang")
+      .writeStream.format("memory").queryName("stream_rates_dotted")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(3): _*) // en, en, zz
+      q.processAllAvailable()
+    } finally q.stop()
+    val totals = spark.table("stream_rates_dotted")
+      .groupBy("key").agg(max("rows_seen").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == Map("en" -> 2L, "zz" -> 1L), s"totals=$totals")
+  }
 }
