@@ -190,6 +190,15 @@ object SparkEntry {
         .select(round(col("psi"), 6).as("psi"), round(col("ks"), 6).as("ks"))
     }),
 
+    // two-table drift: histogram full-outer compare against a separate
+    // (checkpointed-)baseline table — the histogramCompare tier; the
+    // single-scan same-table split variant is c_drift_hist
+    "c_drift_baseline" -> ((s, dir) => {
+      val base = table(s, dir, "orders").select(col("o_totalprice").as("price"))
+      val curr = table(s, dir, "lineitem").select(col("l_extendedprice").as("price"))
+      graft.operators.Drift.histogramCompare(base, curr, "price", 0.0, 500000.0, 20)
+    }),
+
     // rollup aggregation: per-(lang, source) + per-lang + grand totals
     // in one pass (grouping-sets hash agg)
     "c_stats_rollup" -> ((s, dir) =>
@@ -251,6 +260,27 @@ object SparkEntry {
       graft.operators.Checkpoint.runStage(s, ckpt, "r1", "validate", stamped) { todo =>
         Validate.violations(todo, documentSchema, Seq("doc_id", "partition_id"))
       }.groupBy("keyword").agg(count(lit(1)).as("n"))
+    }),
+
+    // checkpoint RESUME: run the stage, then run it AGAIN under a new
+    // run id — the anti-join sees every partition complete, the second
+    // attempt processes zero rows, and readStageOutput's chosen-run
+    // dedup still returns exactly one copy of each violation (same
+    // oracle slice as x_checkpoint_stage, read through the resume path)
+    "x_resume_dedup" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_resume").toString + "/checkpoint"
+      val stamped = graft.operators.Checkpoint.stampPartitions(
+        table(s, dir, "documents"), Seq("lang", "doc_id"), 8)
+      def run(runId: String) =
+        graft.operators.Checkpoint.runStage(s, ckpt, runId, "validate", stamped) { todo =>
+          Validate.violations(todo, documentSchema, Seq("doc_id", "partition_id"))
+        }
+      run("r1").count()
+      val second = run("r2") // resume: nothing pending
+      require(second.isEmpty, "resume run must process zero pending partitions")
+      graft.operators.Checkpoint.readStageOutput(s, ckpt, "validate")
+        .groupBy("keyword").agg(count(lit(1)).as("n"))
     }),
 
     // --- training-data pipeline ops (dedup / similarity / text) ------
@@ -646,6 +676,35 @@ object SparkEntry {
         |  sum(q) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq FROM p)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
         |       round(max(abs(cp - cq)), 6) AS ks FROM c""".stripMargin,
+
+    // same bucketing as the engine: explicit DOUBLE casts so decimal
+    // division cannot place an edge value in a different bucket
+    "c_drift_baseline" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(o_totalprice AS DOUBLE) / 25000.0), 0), 19) AS BIGINT) AS bucket,
+        |         count(*) AS n_base
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 25000.0), 0), 19) AS BIGINT) AS bucket,
+        |         count(*) AS n_curr
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(b.bucket, c.bucket) AS bucket,
+        |       COALESCE(n_base, 0) AS n_base,
+        |       COALESCE(n_curr, 0) AS n_curr
+        |FROM b FULL OUTER JOIN c ON b.bucket = c.bucket""".stripMargin,
+
+    "x_resume_dedup" ->
+      """SELECT keyword, count(*) AS n FROM (
+        |  SELECT 'enum' AS keyword FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |  UNION ALL
+        |  SELECT 'minLength' FROM documents WHERE length(text) < 50
+        |  UNION ALL
+        |  SELECT 'maxLength' FROM documents WHERE length(text) > 520
+        |  UNION ALL
+        |  SELECT 'pattern' FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |  UNION ALL
+        |  SELECT 'maximum' FROM documents WHERE n_chars > 500
+        |) GROUP BY keyword""".stripMargin,
 
     "c_stats_rollup" ->
       """SELECT lang, source, count(*) AS n_rows,
