@@ -213,16 +213,28 @@ object Bench {
     // ladder floors); session-staged inputs (the jsonl corpus copy, the
     // LSH signature layout) are paid by rep 1 only, so the best
     // converges to the operator itself.
-    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val queryTimes: Seq[(String, Double, Seq[Double])] =
       if (scalingOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // a FAILED rep must not win the min — a 0.3 s transient error
+        // would otherwise be published as the query's capacity number.
+        // Failed reps are disclosed as NEGATED walls in the samples
+        // (sign = failure flag); best = min over successes, or -1.0
+        // when every rep failed (an unmistakably-broken marker).
         val walls = (1 to queryReps).map { _ =>
-          timed(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })._2
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (ok) sec else -sec
         }
-        System.err.println(f"[bench] $name: best ${walls.min}%.2fs  " +
+        val good = walls.filter(_ > 0)
+        val best = if (good.nonEmpty) good.min else -1.0
+        System.err.println(f"[bench] $name: best $best%.2fs  " +
           s"(samples ${walls.map(w => f"$w%.2f").mkString(",")})")
-        (name, walls.min, walls)
+        (name, best, walls)
       }
     // warm-up: one full pass so JIT/codegen cost lands on neither level
     val (_, warmSec) = timed(fullPass(spark, spark.read.parquet(srcDir)))

@@ -253,8 +253,12 @@ object SparkEntry {
     // checkpoint/resume lineage: fresh run over documents validation,
     // per-partition metrics aggregated (deterministic; rows-only)
     "x_checkpoint_stage" -> ((s, dir) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt").toString + "/checkpoint"
+      // fresh dir per invocation (a reused checkpoint would see every
+      // partition complete and return an empty second run); registered
+      // for JVM-exit cleanup so bench reps don't accumulate orphans
+      val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      cleanupOnExit(root)
+      val ckpt = root + "/checkpoint"
       val stamped = graft.operators.Checkpoint.stampPartitions(
         table(s, dir, "documents"), Seq("lang", "doc_id"), 8)
       graft.operators.Checkpoint.runStage(s, ckpt, "r1", "validate", stamped) { todo =>
@@ -268,8 +272,9 @@ object SparkEntry {
     // dedup still returns exactly one copy of each violation (same
     // oracle slice as x_checkpoint_stage, read through the resume path)
     "x_resume_dedup" -> ((s, dir) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_resume").toString + "/checkpoint"
+      val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+      cleanupOnExit(root)
+      val ckpt = root + "/checkpoint"
       val stamped = graft.operators.Checkpoint.stampPartitions(
         table(s, dir, "documents"), Seq("lang", "doc_id"), 8)
       def run(runId: String) =

@@ -89,9 +89,17 @@ object Checkpoint {
     // scanning every historical attempt's data — after many
     // crash/resume cycles at 10^12-row stages that difference is the
     // whole file listing + scan.
-    violationsOf(todo).withColumn("run_id", lit(attemptId))
-      .write.mode("append").partitionBy("run_id").parquet(out)
-    val written = spark.read.parquet(out).where(col("run_id") === attemptId)
+    val viols = violationsOf(todo).withColumn("run_id", lit(attemptId))
+    viols.write.mode("append").partitionBy("run_id").parquet(out)
+    // A zero-violation attempt writes NO data files under partitionBy
+    // (only _SUCCESS), and schema inference on such a directory THROWS —
+    // so (a) this attempt's read-back supplies the schema explicitly,
+    // and (b) a `_schema` sidecar (underscore ⇒ invisible to partition
+    // discovery) is kept for [[readStageOutput]], which cannot know the
+    // caller's violation schema.
+    viols.limit(0).drop("run_id").write.mode("overwrite").parquet(s"$out/_schema")
+    val written = spark.read.schema(viols.schema).parquet(out)
+      .where(col("run_id") === attemptId)
     // ATTEMPT-level wall (durable write included), stamped identically
     // on every partition row — per-partition timing would need
     // instrumentation inside the caller's arbitrary transform. The
@@ -124,7 +132,20 @@ object Checkpoint {
     // listed or read; the broadcast semi-join then restores exact
     // (run_id, partition_id) membership within the survivors.
     val runIds = chosen.select("run_id").distinct().collect().map(_.getString(0)).toSeq
-    spark.read.parquet(outputDir(checkpointDir, stage))
+    val out = outputDir(checkpointDir, stage)
+    // every completed attempt may have written zero violation rows —
+    // partitionBy then left no data files and inference throws; fall
+    // back to the `_schema` sidecar [[runStage]] maintains
+    val data =
+      try spark.read.parquet(out)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Unable to infer schema") =>
+          spark.read.parquet(s"$out/_schema")
+            .withColumn("run_id", lit(null).cast("string")).limit(0)
+      }
+    data
       .where(col("run_id").isin(runIds: _*))
       .join(broadcast(chosen), Seq("run_id", "partition_id"), "left_semi")
       .drop("run_id")

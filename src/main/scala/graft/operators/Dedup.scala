@@ -192,13 +192,21 @@ object Dedup {
     // caller only ever gets a handle to the result, so without this every
     // invocation in a long-lived session would strand its candidate +
     // shingle-set blocks in MEMORY_AND_DISK for the application lifetime.
-    // localCheckpoint keeps the handle lazy-to-the-caller while cutting
-    // lineage back to the cached intermediates; its own blocks are the
-    // verified pairs only (a sliver of what the caches held) and are
-    // reclaimed by the ContextCleaner when the handle is dropped.
-    val verified = jaccardVerify(cands, sets, minJaccard).localCheckpoint()
-    cands.unpersist()
-    sets.unpersist()
+    // persist + count (NOT localCheckpoint): the logical lineage stays
+    // intact, so a lost executor recomputes from source — checkpoint
+    // blocks would be unrecoverable under dynamic allocation/preemption.
+    // The result cache holds verified pairs only (a sliver of what the
+    // intermediates held) and is reclaimed by the ContextCleaner when
+    // the caller drops the handle. The release is exception-safe: a
+    // failed verify job must not strand the big caches either.
+    val verified = jaccardVerify(cands, sets, minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try verified.count()
+    catch { case t: Throwable => verified.unpersist(); throw t }
+    finally {
+      cands.unpersist()
+      sets.unpersist()
+    }
     verified
   }
 

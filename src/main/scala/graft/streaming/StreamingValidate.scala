@@ -140,18 +140,24 @@ object StreamingValidate {
     // Both input columns resolve through colExact like the batch
     // operators (a literal dot in the name must not parse as
     // nested-field access). withWatermark takes a NAME and dot-SPLITS
-    // it (UnresolvedAttribute.apply), so the event time rides a
-    // colExact-resolved helper column that is dropped afterwards —
-    // downstream stateful stages re-declare their own watermark, as
-    // Structured Streaming requires anyway.
-    val ts = "__graft_event_ts"
-    val hashed = stream
-      .withColumn(h, sha2(ColumnCompiler.colExact(textCol).cast("binary"), 256))
-      .withColumn(ts, ColumnCompiler.colExact(tsCol))
-      .withWatermark(ts, watermarkDelay)
+    // it (UnresolvedAttribute.apply), so an undotted tsCol is
+    // watermarked DIRECTLY — the watermark stays on the retained input
+    // column and propagates to downstream stateful stages exactly as
+    // before — while a dotted tsCol (which withWatermark would
+    // mis-resolve) rides a colExact-resolved helper column that is
+    // dropped afterwards; in that case downstream stateful consumers
+    // must re-declare their watermark on the dotted column themselves.
+    val hashed0 = stream.withColumn(h, sha2(ColumnCompiler.colExact(textCol).cast("binary"), 256))
+    val (hashed, helpers) =
+      if (!tsCol.contains(".")) (hashed0.withWatermark(tsCol, watermarkDelay), Seq(h))
+      else {
+        val ts = "__graft_event_ts"
+        (hashed0.withColumn(ts, ColumnCompiler.colExact(tsCol))
+          .withWatermark(ts, watermarkDelay), Seq(h, ts))
+      }
     hashed.where(col(h).isNotNull).dropDuplicatesWithinWatermark(h)
       .unionByName(hashed.where(col(h).isNull))
-      .drop(h, ts) // internal helpers — keep the input schema
+      .drop(helpers: _*) // internal helpers — keep the input schema
   }
 
   /** Per-window, per-keyword violation counts with event-time
@@ -161,15 +167,21 @@ object StreamingValidate {
   def windowedViolationCounts(stream: DataFrame, schema: CompiledSchema,
                               tsCol: String, windowDuration: String,
                               watermarkDelay: String): DataFrame = {
-    // same dotted-name rule as [[dedupByContent]]: withWatermark
-    // dot-splits its name argument, so the event time is re-projected
-    // under a helper name via colExact; tsCol itself is not in the
-    // output (only the derived window is), so nothing needs renaming
-    val ts = "__graft_event_ts"
-    violations(stream, schema, Seq(tsCol))
-      .withColumn(ts, ColumnCompiler.colExact(tsCol))
-      .withWatermark(ts, watermarkDelay)
-      .groupBy(window(col(ts), windowDuration), col("keyword"))
+    // same dotted-name rule as [[dedupByContent]]: an undotted tsCol is
+    // watermarked directly; a dotted one (withWatermark dot-splits its
+    // name argument) is re-projected under a helper name via colExact —
+    // tsCol itself is not in the output (only the derived window is),
+    // so nothing needs renaming
+    val v = violations(stream, schema, Seq(tsCol))
+    val (marked, tsName) =
+      if (!tsCol.contains(".")) (v.withWatermark(tsCol, watermarkDelay), tsCol)
+      else {
+        val ts = "__graft_event_ts"
+        (v.withColumn(ts, ColumnCompiler.colExact(tsCol))
+          .withWatermark(ts, watermarkDelay), ts)
+      }
+    marked
+      .groupBy(window(ColumnCompiler.colExact(tsName), windowDuration), col("keyword"))
       .agg(count(lit(1)).as("n_violations"))
   }
 }

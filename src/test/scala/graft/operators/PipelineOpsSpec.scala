@@ -165,15 +165,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
     // the candidate pipeline fans out 5 ways in the verify join; the
     // caches serve those reads DURING the call, then are released and
-    // the caller gets the materialized pair set — so the consumer-facing
-    // plan must be a checkpoint scan (zero recompute), and of the three
-    // persisted intermediates (cands, sets, checkpoint) only the
-    // checkpointed result may remain registered after the call
+    // the caller gets the cached materialized pair set — so the
+    // consumer-facing plan reads the result cache (lineage intact for
+    // executor-loss recompute), and of the three persisted frames
+    // (cands, sets, result) only the result may remain registered
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
     val plan = result.queryExecution.executedPlan.toString
-    assert(plan.contains("Scan ExistingRDD"),
-      s"result must be the materialized pair set, not a recomputing plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"result must serve from its materialized cache, not recompute:\n$plan")
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.size <= 1,
       s"cands/sets caches must be unpersisted after the call; still registered: $added")

@@ -194,6 +194,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count() == docs.where(col("n_chars") > 250).count())
   }
 
+  test("zero-violation checkpoint stage survives partitioned write + read-back") {
+    // an empty dynamic-partitioned write leaves only _SUCCESS: both the
+    // attempt read-back (explicit schema) and readStageOutput (the
+    // _schema sidecar) must return empty frames, not throw
+    // UNABLE_TO_INFER_SCHEMA — the healthy-data case must not be the
+    // one that crashes checkpointing
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_empty").toString + "/checkpoint"
+    val stamped = Checkpoint.stampPartitions(docs, Seq("doc_id"), 4)
+    val written = Checkpoint.runStage(spark, ckpt, "r1", "clean", stamped) { todo =>
+      todo.where(lit(false)).select(col("partition_id"), col("doc_id"))
+    }
+    assert(written.count() == 0)
+    val out = Checkpoint.readStageOutput(spark, ckpt, "clean")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("partition_id", "doc_id"))
+    // all partitions ARE complete — a resume must skip everything
+    val done = Checkpoint.completedPartitions(spark, ckpt, "clean").count()
+    assert(done == 4, s"all 4 partitions must be marked done, got $done")
+  }
+
   test("container-column validation queries stay on the codegen fast path") {
     // the SparkEntry container queries (array items / map object
     // keywords) must compile to higher-order Catalyst expressions —
