@@ -421,6 +421,29 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>
       graft.operators.TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
 
+    // PII redaction: deterministic synthetic PII (email/ip/phone derived
+    // from doc_id) appended to each document, scrubbed by the RE2-safe
+    // rule set, per-rule match counts from the original text
+    "t_redact" -> ((s, dir) =>
+      graft.operators.TextAnalysis.redact(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+            pmod(col("doc_id"), lit(200)), lit(".77 tel +1 555 01"),
+            pmod(col("doc_id"), lit(89)), lit("00")).as("text")),
+        "doc_id", "text")),
+
+    // sequence packing: greedy per-shard token-budget bin assignment
+    // (docs never split; windows never span shards — no global sort)
+    "t_pack" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextAnalysis.packSequences(
+        docs.select(col("doc_id"), col("text")), "doc_id",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        budget = 512, shards = 8)
+        .select("doc_id", "n_tokens", "shard", "bin")
+    }),
+
     // multimodal: binary columns + batched stub decode + frame sampling
     // (feature vector rendered as a canonical string — the driver's
     // pandas compare cannot sort array-typed columns)
@@ -799,6 +822,41 @@ object SparkEntry {
          |  ELSE 'und' END AS lang_guess
          |FROM t""".stripMargin
     },
+
+    // mirrors TextAnalysis.redact: same synthetic-PII concat, rules
+    // applied in the same order ('g' = replace all, like Spark), counts
+    // from the original text. Single-quoted SQL strings keep the
+    // backslashes literal for DuckDB's RE2.
+    "t_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+        |    (doc_id % 200) || '.77 tel +1 555 01' || (doc_id % 89) || '00' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone
+        |FROM t""".stripMargin,
+
+    // mirrors TextAnalysis.packSequences: pmod shard, per-shard ordered
+    // prefix sum (ROWS frame), floor(prefix-before / budget)
+    "t_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(FLOOR(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+        |       / 512.0) AS BIGINT) AS bin
+        |FROM t""".stripMargin,
 
     // mirrors TextAnalysis.fingerprint: sha256 content hash + bottom-8
     // md5 hashes of distinct word-3-gram shingles, comma-joined

@@ -100,6 +100,65 @@ object TextAnalysis {
     df.select(colExact(idCol), guess.as("lang_guess"))
   }
 
+  /** PII redaction rules: (label, regex, replacement). Patterns are
+    * deliberately RE2-safe (no lookaround/backreferences) so the SAME
+    * pattern text behaves identically under Java's engine (Spark
+    * `regexp_replace`) and RE2-based engines (the DuckDB oracle) —
+    * cross-engine agreement is what makes redaction auditable.
+    */
+  val redactionRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+?\\d[\\d -]{7,}\\d", "[PHONE]"))
+
+  /** PII scrubbing for training corpora: apply `rules` in order
+    * (replacements are sequential, so a later rule sees earlier rules'
+    * placeholder tokens, never the raw match) and count each rule's
+    * matches against the ORIGINAL text. Pure per-row regex work — one
+    * scan, zero shuffle, whole-stage codegen.
+    * Output: (id, text_redacted, n_<label>…).
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String, String)] = redactionRules): DataFrame = {
+    val counts = rules.map { case (label, re, _) =>
+      regexp_count(colExact(textCol), lit(re)).cast("long").as(s"n_$label")
+    }
+    val redacted = rules.foldLeft(colExact(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    df.select(colExact(idCol) +: redacted.as("text_redacted") +: counts: _*)
+  }
+
+  /** Greedy sequential sequence packing for LLM batch assembly: shard
+    * documents (pack windows never span shards — the single global
+    * ordered window a naive cumsum needs would serialize 100 TB through
+    * ONE reducer; per-shard windows shuffle once on the shard key and
+    * sort within), order by id within shard, and assign each document
+    * to the bin its running token count STARTS in. Documents are never
+    * split, so a bin can overflow by at most one document — the
+    * standard greedy packing contract. Deterministic and exact
+    * (DuckDB-oracle-able). `idCol` must be numeric (the shard is
+    * `pmod(id, shards)` so an external engine can replay it; hash
+    * sharding would be engine-specific). Output:
+    * (id, n_tokens, shard, bin).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(colExact(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(colExact(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(colExact(idCol).cast("long"), lit(shards.toLong)).cast("int"))
+      // floor of the prefix-BEFORE-this-doc over the budget; double
+      // division is exact for prefix sums < 2^53 and replays in SQL
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") /
+          lit(budget.toDouble)).cast("long"))
+  }
+
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
     * md5 shingle hashes (winnowing-style selection of the k smallest
     * window hashes — resilient to small edits), rendered as a canonical

@@ -179,6 +179,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"cands/sets caches must be unpersisted after the call; still registered: $added")
   }
 
+  test("redact scrubs emails/ips/phones and counts matches on the original text") {
+    val df = Seq(
+      (1L, "mail a.b+c@test.org or 10.1.2.3 call +1 555 123 4567 end"),
+      (2L, "clean")).toDF("id", "text")
+    val out = TextAnalysis.redact(df, "id", "text")
+    assert(out.columns.toSeq == Seq("id", "text_redacted", "n_email", "n_ipv4", "n_phone"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "mail [EMAIL] or [IP] call [PHONE] end",
+      rows(1L).getString(1))
+    assert(rows(1L).getLong(2) == 1 && rows(1L).getLong(3) == 1 && rows(1L).getLong(4) == 1)
+    assert(rows(2L).getString(1) == "clean" && rows(2L).getLong(2) == 0)
+  }
+
+  test("sequence packing assigns docs to per-shard token bins, never splitting docs") {
+    val df = Seq((0L, "a b c"), (8L, "d e"), (16L, "f g h i"), (1L, "x y z w v"))
+      .toDF("id", "text")
+    val out = TextAnalysis.packSequences(df, "id",
+        TextAnalysis.tokenCount(col("text")), budget = 4, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    // shard 0 holds ids 0,8,16 (tokens 3,2,4): prefixes-before 0,3,5 → bins 0,0,1;
+    // id 1 is alone on shard 1 → bin 0. The 4-token doc lands in bin 1
+    // whole (bins overflow by at most one document, docs never split).
+    assert(out == Set((0L, 0, 0L), (8L, 0, 0L), (16L, 0, 1L), (1L, 1, 0L)), out.toString)
+  }
+
   test("minhash_sig native expression: SQL == Scala API, k respected") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT minhash_sig(array('a','b','c'), 8)")

@@ -101,7 +101,13 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     Gen.oneOf(
       """{"enum": [1, "a", true]}""",
       """{"enum": [2.5, "ab9", -5]}""",
-      """{"enum": [0, "", 3.0]}"""))
+      """{"enum": [0, "", 3.0]}"""),
+    // exotic divisors: exponent form (negative-scale decimal), 2^63
+    // (Long.MinValue is a true multiple), 1e19 (toLong would wrap),
+    // non-whole (tree-only on integer columns), plain small
+    Gen.oneOf("2", "3", "1.5", "0.25", "1e19", "1E+2",
+      "10000000000000000000", "9223372036854775808")
+      .map(m => s"""{"multipleOf": $m}"""))
 
   private def genValueSchema(depth: Int): Gen[String] =
     if (depth == 0) genLeaf
@@ -123,7 +129,8 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
 
   private val genFuzzRow: Gen[Row] = for {
     s <- Gen.oneOf("", "a", "ab9", "bbb", "abab", "a" * 9, null)
-    i <- Gen.oneOf(Gen.chooseNum(-6L, 12L).map(Long.box), Gen.const(null))
+    i <- Gen.oneOf(Gen.chooseNum(-6L, 12L).map(Long.box),
+      Gen.const(Long.box(Long.MinValue)), Gen.const(null))
     d <- Gen.oneOf[Any](Double.box(-2.5), Double.box(0.0), Double.box(3.0),
       Double.box(Double.NaN), Double.box(Double.PositiveInfinity),
       Double.box(Double.NegativeInfinity), null)
@@ -192,7 +199,9 @@ object SparkParityPropertySpec extends Properties("graft.spark.parity") {
     Gen.const("""{"enum": [1, 2, null, "en"]}"""),
     Gen.chooseNum(0, 3).map(n => s"""{"minLength": $n}"""),
     Gen.chooseNum(0, 3).map(n => s"""{"maxLength": $n}"""),
-    Gen.oneOf("^e", "[0-9]").map(p => s"""{"pattern": "$p"}"""))
+    Gen.oneOf("^e", "[0-9]").map(p => s"""{"pattern": "$p"}"""),
+    Gen.oneOf("2", "3", "9223372036854775808", "1e19")
+      .map(m => s"""{"multipleOf": $m}"""))
 
   private val genElemSchema: Gen[String] = Gen.frequency(
     4 -> genElemLeaf,
