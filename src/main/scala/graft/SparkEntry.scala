@@ -314,6 +314,14 @@ object SparkEntry {
         minCosine = 0.35, bits = 3, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 3).as("cos_sim"))),
 
+    // exact all-pairs embedding near-dups on a bounded slice — the
+    // exactness baseline the SRP-bucketed d_embed_dups is audited
+    // against; hash-exact vs a DuckDB cross-join replay
+    "d_embed_exact" -> ((s, dir) =>
+      graft.operators.Similarity.exactNearDupPairs(
+        table(s, dir, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", minCosine = 0.35)),
+
     // brute-force cosine top-k (exact ANN baseline; query = vec 0)
     "s_cosine_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -765,6 +773,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "s_cosine_topk" -> bruteForceTopKSql,
+
+    // same double arithmetic as the engine (list_cosine_similarity over
+    // DOUBLE[]), threshold applied to the ROUNDED value on both sides
+    "d_embed_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35""".stripMargin,
 
     // IVF is asserted to achieve EXACT recall: the oracle is the same
     // brute-force top-10 the baseline query carries. Everything in the

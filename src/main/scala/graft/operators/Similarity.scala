@@ -291,6 +291,24 @@ object Similarity {
       .where(col("cos_sim") >= minCosine)
   }
 
+  /** Exact all-pairs embedding near-duplicates — the EXACTNESS BASELINE
+    * for [[embeddingNearDupPairs]] (same contract: unordered pairs with
+    * rounded cosine ≥ minCosine, id_a < id_b), via a theta self-join.
+    * O(n²) pair work: for verification slices and recall audits of the
+    * SRP-bucketed operator, NOT the 100 TB path. The threshold applies
+    * to the ROUNDED similarity so an external engine replaying the
+    * same arithmetic can never disagree at the boundary.
+    */
+  def exactNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                        minCosine: Double, roundTo: Int = 3): DataFrame = {
+    val a = df.select(colExact(idCol).as("id_a"), colExact(vecCol).as("v_a"))
+    val b = df.select(colExact(idCol).as("id_b"), colExact(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+
   /** (sig, n_ids) of SRP buckets larger than `maxBucket` — what
     * [[embeddingNearDupPairs]] declines to expand.
     */
