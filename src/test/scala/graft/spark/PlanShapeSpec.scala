@@ -194,6 +194,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count() == docs.where(col("n_chars") > 250).count())
   }
 
+  test("redaction is pure per-row regex work: one scan, no shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(TextAnalysis.redact(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sequence packing shuffles once on the shard key, never globally sorts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(TextAnalysis.packSequences(docs.select(col("doc_id"), col("text")),
+      "doc_id", TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8))
+    // per-shard window ⇒ ONE hash exchange on shard; a global ordered
+    // window would show Exchange SinglePartition / rangepartitioning
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange hashpartitioning") && p.contains("shard"), p)
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("rangepartitioning"), p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("zero-violation checkpoint stage survives partitioned write + read-back") {
     // an empty dynamic-partitioned write leaves only _SUCCESS: both the
     // attempt read-back (explicit schema) and readStageOutput (the
