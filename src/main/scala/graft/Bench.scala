@@ -223,11 +223,10 @@ object Bench {
         // (sign = failure flag); best = min over successes, or -1.0
         // when every rep failed (an unmistakably-broken marker).
         val walls = (1 to queryReps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case e: Throwable =>
-                     System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); false }
-          val sec = (System.nanoTime() - t0) / 1e9
+          val (ok, sec) = timed(
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); false })
           if (ok) sec else -sec
         }
         val good = walls.filter(_ > 0)
@@ -338,7 +337,13 @@ object Bench {
     val qSamples = queryTimes.map { case (k, _, ws) =>
       "\"" + k + "\":[" + ws.map(w => f"$w%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum
+    // an all-reps-failed query (best = -1 sentinel) must POISON the
+    // total, not subtract from it — a regression that breaks a query
+    // outright may never improve the headline number
+    val failed = queryTimes.filter(_._2 < 0).map(_._1)
+    val total = if (failed.nonEmpty) -1.0 else queryTimes.map(_._2).sum
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (total poisoned): ${failed.mkString(",")}")
     val scaling = f"""{"rows":$rowsN,"n_cpus":$nCpus,"throughput_n_rows_per_sec":$thrN%.1f,"4n_cpus":$n4Cpus,"throughput_4n_rows_per_sec":$thr4N%.1f,"efficiency":$eff%.3f,"efficiency_this_run":$effRun%.3f,"full_cpus":$cpus,"throughput_full_rows_per_sec":$thrFull%.1f,"wall_samples":{"n":${fmtWalls(wN)},"4n":${fmtWalls(w4N)},"full":${fmtWalls(wF)}},"pool_floors":{"n":$floorN%.2f,"4n":$floor4N%.2f,"full":$floorFull%.2f,"sizes":[${poolN.size},${pool4N.size},${poolF.size}]}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$queryReps,"query_samples":$qSamples,"sf":"$sfDir","rows_per_sec":$thrFull%.1f,"scaling":$scaling}""")
 

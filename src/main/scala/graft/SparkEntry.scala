@@ -775,13 +775,20 @@ object SparkEntry {
     "s_cosine_topk" -> bruteForceTopKSql,
 
     // same double arithmetic as the engine (list_cosine_similarity over
-    // DOUBLE[]), threshold applied to the ROUNDED value on both sides
+    // DOUBLE[]), threshold applied to the ROUNDED value on both sides.
+    // Zero-norm guard: the engine defines a zero vector's similarity as
+    // 0.0 (dropped by any positive threshold), while DuckDB's
+    // list_cosine_similarity yields NaN — which its ordering treats as
+    // GREATER than everything, so without the guard a padding embedding
+    // would emit oracle rows the engine correctly filters out
     "d_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35""".stripMargin,
 

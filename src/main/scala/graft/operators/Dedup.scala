@@ -153,14 +153,29 @@ object Dedup {
     * (id_a, id_b, jaccard ≥ minJaccard). The verify join ships shingle
     * sets only for candidate ids (semi-joined), not the corpus.
     *
-    * EAGER: the verify join runs at call time (see the cache-lifecycle
-    * note at the bottom) — the returned frame is the materialized pair
-    * set, so later filters compose but no longer push into the scan.
+    * EAGER by default (`eager = true`): the verify join runs at call
+    * time and the (small) pair set comes back as a localCheckpoint,
+    * which lets BOTH internal caches release deterministically in a
+    * try/finally (see the cache-lifecycle note at the bottom). The
+    * checkpoint blocks belong to this invocation's RDD alone — no
+    * CacheManager registration, so a later identical call re-executes
+    * honestly instead of silently serving this call's cache, and the
+    * blocks are ContextCleaner-reclaimed when the handle is dropped.
+    * The trade: checkpoint blocks are NOT recomputable after executor
+    * loss — on a preemptible/dynamic-allocation cluster, write the
+    * result to durable storage promptly (what a production dedup stage
+    * does anyway), or pass `eager = false`.
+    *
+    * `eager = false` returns the LAZY verify plan: fully recoverable
+    * and composable (filters push down), but the two internal caches
+    * stay registered to serve the plan's 5-way internal fan-out — the
+    * CALLER owns their lifecycle then (one cache pair per invocation
+    * until session end or `spark.catalog.clearCache()`).
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
                          shingleN: Int = 3, maxBucket: Int = Int.MaxValue,
-                         cap: Int = 4096): DataFrame = {
+                         cap: Int = 4096, eager: Boolean = true): DataFrame = {
     // cands fans out FIVE ways below (pair probe + two candIds union
     // branches, each consumed by the two sides of the verify join);
     // uncached, every consumer re-derives the whole shingle→minhash→
@@ -187,27 +202,23 @@ object Dedup {
       .select(colExact(idCol).as("id"),
         array_distinct(transform(shingles(colExact(textCol), shingleN), s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EAGER materialization of the (small) verified-pairs result so both
-    // caches above are released deterministically before returning — the
-    // caller only ever gets a handle to the result, so without this every
-    // invocation in a long-lived session would strand its candidate +
-    // shingle-set blocks in MEMORY_AND_DISK for the application lifetime.
-    // persist + count (NOT localCheckpoint): the logical lineage stays
-    // intact, so a lost executor recomputes from source — checkpoint
-    // blocks would be unrecoverable under dynamic allocation/preemption.
-    // The result cache holds verified pairs only (a sliver of what the
-    // intermediates held) and is reclaimed by the ContextCleaner when
-    // the caller drops the handle. The release is exception-safe: a
-    // failed verify job must not strand the big caches either.
-    val verified = jaccardVerify(cands, sets, minJaccard)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try verified.count()
-    catch { case t: Throwable => verified.unpersist(); throw t }
-    finally {
-      cands.unpersist()
-      sets.unpersist()
-    }
-    verified
+    // NOT Dataset.persist for the result: CacheManager holds persisted
+    // plans by canonicalized equality until an explicit unpersist — the
+    // handle going away frees nothing, and a later identical invocation
+    // would silently serve THIS call's cached rows (stale if the source
+    // gained files, and a lie in any timing harness). localCheckpoint
+    // stores plain RDD blocks owned by this invocation, reclaimed by
+    // the ContextCleaner with the handle. The release of the two big
+    // intermediate caches is exception-safe: a failed verify job must
+    // not strand them either.
+    val verify = jaccardVerify(cands, sets, minJaccard)
+    if (!eager) verify
+    else
+      try verify.localCheckpoint()
+      finally {
+        cands.unpersist()
+        sets.unpersist()
+      }
   }
 
   /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */

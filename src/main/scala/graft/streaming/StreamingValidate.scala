@@ -29,6 +29,14 @@ case class KeyTotals(key: String, rows_seen: Long, rows_failed: Long, fail_rate:
   */
 object StreamingValidate {
 
+  /** True when a column name cannot go through `withWatermark`'s
+    * name-based resolution verbatim: dots are SPLIT into nested-field
+    * access and stray backticks fail attribute-name parsing — such
+    * names ride a colExact-projected helper column instead.
+    */
+  private def needsExactName(name: String): Boolean =
+    name.contains(".") || name.contains("`")
+
   /** Violation rows for a streaming (or static) DataFrame — append-mode
     * safe (stateless). Keys carried through as in the batch pass.
     * Fast path when the schema compiles; otherwise the tree evaluator,
@@ -149,7 +157,7 @@ object StreamingValidate {
     // must re-declare their watermark on the dotted column themselves.
     val hashed0 = stream.withColumn(h, sha2(ColumnCompiler.colExact(textCol).cast("binary"), 256))
     val (hashed, helpers) =
-      if (!tsCol.contains(".")) (hashed0.withWatermark(tsCol, watermarkDelay), Seq(h))
+      if (!needsExactName(tsCol)) (hashed0.withWatermark(tsCol, watermarkDelay), Seq(h))
       else {
         val ts = "__graft_event_ts"
         (hashed0.withColumn(ts, ColumnCompiler.colExact(tsCol))
@@ -174,7 +182,7 @@ object StreamingValidate {
     // so nothing needs renaming
     val v = violations(stream, schema, Seq(tsCol))
     val (marked, tsName) =
-      if (!tsCol.contains(".")) (v.withWatermark(tsCol, watermarkDelay), tsCol)
+      if (!needsExactName(tsCol)) (v.withWatermark(tsCol, watermarkDelay), tsCol)
       else {
         val ts = "__graft_event_ts"
         (v.withColumn(ts, ColumnCompiler.colExact(tsCol))

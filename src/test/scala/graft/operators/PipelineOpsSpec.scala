@@ -165,18 +165,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
     // the candidate pipeline fans out 5 ways in the verify join; the
     // caches serve those reads DURING the call, then are released and
-    // the caller gets the cached materialized pair set — so the
-    // consumer-facing plan reads the result cache (lineage intact for
-    // executor-loss recompute), and of the three persisted frames
-    // (cands, sets, result) only the result may remain registered
+    // the caller gets this invocation's OWN checkpointed pair set — so
+    // the consumer-facing plan is a checkpoint scan, at most the
+    // checkpoint RDD itself remains registered, and a repeat invocation
+    // re-executes instead of aliasing to a CacheManager entry
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
     val plan = result.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"result must serve from its materialized cache, not recompute:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"result must be this invocation's materialized pair set:\n$plan")
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.size <= 1,
       s"cands/sets caches must be unpersisted after the call; still registered: $added")
+    // a second identical call must NOT serve the first call's blocks
+    // (Dataset.persist would canonicalize-match and return stale rows)
+    val again = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5)
+    assert(!again.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "repeat invocation aliased to a CacheManager entry")
+    // opt-out path: the lazy plan stays recoverable/composable and
+    // produces the same rows (its two internal caches are caller-owned)
+    val lazyPairs = Dedup.nearDuplicatePairs(docs, "id", "text", minJaccard = 0.5, eager = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lazyPairs == result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("redact scrubs emails/ips/phones and counts matches on the original text") {
