@@ -301,11 +301,19 @@ object Similarity {
     */
   def exactNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, roundTo: Int = 3): DataFrame = {
-    val a = df.select(colExact(idCol).as("id_a"), colExact(vecCol).as("v_a"))
-    val b = df.select(colExact(idCol).as("id_b"), colExact(vecCol).as("v_b"))
+    // norms precomputed ONCE per side (n rows), not per pair (n²/2):
+    // same double ops in the same order as [[cosine]] — dot/(n_a·n_b)
+    // with the zero-norm → 0.0 convention — so results are bit-identical
+    // while each pair pays one dot product instead of three
+    val a = df.select(colExact(idCol).as("id_a"), colExact(vecCol).as("v_a"),
+      l2norm(colExact(vecCol)).as("n_a"))
+    val b = df.select(colExact(idCol).as("id_b"), colExact(vecCol).as("v_b"),
+      l2norm(colExact(vecCol)).as("n_b"))
+    val normProd = col("n_a") * col("n_b")
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos_sim"))
+        round(when(normProd === 0.0, lit(0.0))
+          .otherwise(dot(col("v_a"), col("v_b")) / normProd), roundTo).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 
