@@ -42,12 +42,16 @@ object Similarity {
   /** A zero vector has no direction: its similarity to anything is 0
     * by convention — and the guard matters operationally, because an
     * unguarded 0/0 THROWS under Spark 4's default ANSI mode (one
-    * all-zero padding embedding would kill the whole job).
+    * all-zero padding embedding would kill the whole job). ONE
+    * definition of the guarded division, shared by [[cosine]] and the
+    * precomputed-norm pairing operators, so the convention (and the
+    * exactness-baseline parity contract built on it) can never diverge.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val norms = l2norm(a) * l2norm(b)
-    when(norms === 0.0, lit(0.0)).otherwise(dot(a, b) / norms)
-  }
+  def cosineFromNorms(dotProd: Column, normProd: Column): Column =
+    when(normProd === 0.0, lit(0.0)).otherwise(dotProd / normProd)
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(dot(a, b), l2norm(a) * l2norm(b))
 
   private def queryLit(q: Array[Float]): Column = array(q.map(lit): _*)
 
@@ -286,8 +290,7 @@ object Similarity {
     val normProd = col("a.n") * col("b.n")
     Pairs.blockedPairs(sigd.select("sig", "id", "v", "n"), Seq("sig"), cap, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        when(normProd === 0.0, lit(0.0))
-          .otherwise(dot(col("a.v"), col("b.v")) / normProd).as("cos_sim"))
+        cosineFromNorms(dot(col("a.v"), col("b.v")), normProd).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 
@@ -312,8 +315,7 @@ object Similarity {
     val normProd = col("n_a") * col("n_b")
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(when(normProd === 0.0, lit(0.0))
-          .otherwise(dot(col("v_a"), col("v_b")) / normProd), roundTo).as("cos_sim"))
+        round(cosineFromNorms(dot(col("v_a"), col("v_b")), normProd), roundTo).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 
