@@ -302,6 +302,15 @@ object SparkEntry {
       graft.operators.Dedup.nearDuplicatePairs(
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)),
 
+    // EXACT all-pairs n-gram Jaccard via prefix-filtered inverted
+    // index — the exactness baseline d_minhash_pairs' recall is audited
+    // against, and the one near-dup pairing DuckDB can replay verbatim
+    // (string shingles, same tokenizer): hash-exact in CORRECTNESS
+    "d_jaccard_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exactJaccardPairs(
+        table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
     // SimHash (native codegen expression) near-dup pairs by hamming
     "d_simhash_pairs" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(
@@ -771,6 +780,29 @@ object SparkEntry {
     "d_exact_dups" ->
       """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    // brute-force replay of exactJaccardPairs: same tokenizer (lower +
+    // non-alnum split, empties dropped), same 3-word shingles with the
+    // short-doc whole-text fallback, Jaccard over DISTINCT shingle sets.
+    // The engine intersects 64-bit shingle hashes, the oracle shingle
+    // STRINGS — identical counts barring xxhash64 collisions (~|A∪B|²/2⁶⁴
+    // per pair). The threshold is applied to the same double division on
+    // both sides; round(…,6) only formats the published value
+    "d_jaccard_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
 
     "s_cosine_topk" -> bruteForceTopKSql,
 

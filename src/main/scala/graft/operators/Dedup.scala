@@ -221,6 +221,68 @@ object Dedup {
       }
   }
 
+  /** EXACT all-pairs n-gram Jaccard near-dup pairs — the exactness
+    * baseline MinHash recall is audited against, via PREFIX-FILTERED
+    * inverted index (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+    * "Scaling Up All Pairs Similarity Search"), never a cartesian:
+    *
+    *  1. per-doc sorted distinct shingle-hash set (one scan);
+    *  2. candidate generation from the set's PREFIX only — under any
+    *     shared total order (hash order here), two sets with
+    *     J(A,B) ≥ t must share an element among the first
+    *     ⌊(1−t)·|A|⌋+1 of each (pigeonhole on the required overlap
+    *     ⌈t·|A|⌉ ≤ |A∩B|), so exploding just the prefix and bucketing
+    *     on the shingle loses NO qualifying pair while emitting ~(1−t)
+    *     of the inverted index;
+    *  3. in-bucket pair expansion via [[Pairs.blockedPairs]] (bounded
+    *     aggregation rows, same engine primitive as the LSH paths),
+    *     with the size filter min ≥ t·max applied MAP-SIDE before the
+    *     distinct's shuffle (J ≥ t forces |A∩B| ≥ t·|A∪B|, and
+    *     |A∩B| ≤ min, |A∪B| ≥ max);
+    *  4. exact [[jaccardVerify]] on the candidate sliver.
+    *
+    * Exactness contract: with default `maxBucket` the result is the
+    * full brute-force pair set (cap only bounds row sizes, dropping
+    * nothing). A hot shingle — boilerplate preamble shared by millions
+    * of docs — costs O(bucket²) pairs only if it lands in those docs'
+    * prefixes; hash order spreads that risk uniformly, and `maxBucket`
+    * + [[oversizedBuckets]] remain the opt-in, never-silent escape.
+    * Same eager/lazy cache lifecycle as [[nearDuplicatePairs]].
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double = 0.7, shingleN: Int = 3,
+                        cap: Int = 4096, maxBucket: Long = Long.MaxValue,
+                        eager: Boolean = true): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard = $minJaccard outside (0, 1] — at 0 the prefix is the whole set and the result is all pairs")
+    // sets fans out 3 ways (prefix derivation + both verify sides);
+    // uncached each consumer would re-shingle the corpus
+    val sets = df.select(colExact(idCol).as("id"),
+        array_sort(array_distinct(
+          transform(shingles(colExact(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ⌊(1−t)|A|⌋+1 computed in doubles: the 1e-9 slack can only WIDEN
+    // the prefix when (1−t)·|A| rounds just below an exact integer —
+    // a superset of candidates, never a missed pair
+    val prefixLen = (floor(size(col("sh")) * lit(1.0 - minJaccard) + lit(1e-9)) + 1).cast("int")
+    val prefix = sets.select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+      .select("shingle", "id", "sz")
+    // size filter stated as the SAME double division the verify uses
+    // (min/max ≥ min/union ≥ J), so float rounding can never exclude a
+    // pair the verify would keep
+    val cands = Pairs.blockedPairs(prefix, Seq("shingle"), cap, maxBucket)
+      .where(least(col("a.sz"), col("b.sz")).cast("double") /
+        greatest(col("a.sz"), col("b.sz")) >= minJaccard)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val verify = jaccardVerify(cands, sets, minJaccard)
+    if (!eager) verify
+    else
+      try verify.localCheckpoint()
+      finally sets.unpersist()
+  }
+
   /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame =
     pairs

@@ -189,6 +189,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lazyPairs == result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("exact Jaccard pairs == brute force on an edit-spread corpus, blocked and unblocked") {
+    // variants of 4 base sentences with 0-6 random word replacements:
+    // pairwise Jaccard spreads across the 0.3 threshold, exercising the
+    // prefix filter's boundary (⌊(1−t)|A|⌋+1) on both sides; two short
+    // docs (< shingleN words) ride the whole-text fallback shingle
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val bases = Vector(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "distributed query engines shuffle partitioned data across executor nodes every stage",
+      "schema validation compiles keyword predicates into catalyst expressions for codegen",
+      "training corpora need deduplication before tokenization and quality filtering at scale")
+    val corpus = (Seq.tabulate(60) { i =>
+      val words = bases(i % 4).split(" ").toVector
+      val k = rnd.nextInt(7)
+      val edited = (0 until k).foldLeft(words) { (w, _) =>
+        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
+      }
+      (i.toLong, edited.mkString(" "))
+    } ++ Seq((100L, "tiny doc"), (101L, "tiny doc"))).toDF("id", "text")
+    val sets = corpus.select(col("id"),
+      array_distinct(transform(Dedup.shingles(col("text")), s => xxhash64(s))).as("sh"))
+    val brute = sets.as("a").crossJoin(sets.as("b")).where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .where(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the corpus must actually plant qualifying pairs AND excluded ones
+    assert(brute.size > 50, s"corpus too sparse: ${brute.size}")
+    assert(brute.size < 62L * 61 / 2, "corpus degenerate: every pair qualifies")
+    assert(brute.contains((100L, 101L, 1.0))) // short-doc fallback pair
+    def got(cap: Int) =
+      Dedup.exactJaccardPairs(corpus, "id", "text", minJaccard = 0.3, cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got(Int.MaxValue) == brute)
+    assert(got(4) == brute) // triangle blocking drops nothing
+  }
+
+  test("exact Jaccard pairs: eager call releases its cache; lazy matches eager") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.5)
+    assert(res.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "eager result must be this invocation's materialized pair set")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"shingle-set cache must be unpersisted after the eager call: $added")
+    val keys = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    val lazyKeys = Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.5, eager = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lazyKeys == keys)
+    intercept[IllegalArgumentException] {
+      Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.0)
+    }
+  }
+
   test("redact scrubs emails/ips/phones and counts matches on the original text") {
     val df = Seq(
       (1L, "mail a.b+c@test.org or 10.1.2.3 call +1 555 123 4567 end"),

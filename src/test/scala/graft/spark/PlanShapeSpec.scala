@@ -113,6 +113,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("minhash_sig".r.findAllIn(p).size <= 1, s"signature computed twice:\n$p")
   }
 
+  test("exact Jaccard pairing never goes cartesian — prefix inverted index only") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g i"),
+      (3L, "x y z w v u")).toDF("id", "text")
+    val p = plan(Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.5, eager = false))
+    // exact all-pairs must come from the shingle inverted index + hash
+    // verify joins, never a cross product of the corpus with itself
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation explodes only the (1−t)-prefix of each set
+    assert(p.contains("slice"), p)
+  }
+
   test("pair expansion sizes buckets BEFORE the collect (no giant aggregation row)") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
     val p = plan(Dedup.simhashPairs(docs, "id", "text"))
