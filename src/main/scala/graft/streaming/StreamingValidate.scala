@@ -168,6 +168,48 @@ object StreamingValidate {
       .drop(helpers: _*) // internal helpers — keep the input schema
   }
 
+  /** Per-key validation totals per event-time SESSION: a key's rows
+    * separated by more than `gap` start a new session — `session_window`
+    * rides Spark's merging session state store (sessions grow/merge as
+    * late rows arrive; fundamentally different state machinery from the
+    * fixed windows of [[windowedViolationCounts]]). The natural shape
+    * for ingest-burst monitoring: one crawler push = one session row
+    * (key, session start/end, rows_seen, rows_failed).
+    *
+    * Watermark bounds state — a session is finalized (and in append
+    * mode emitted) once the watermark passes its end + gap, so state is
+    * O(open sessions), independent of stream length. Complete output
+    * mode is NOT supported by session windows (Spark would have to keep
+    * every closed session forever); use append (finalized sessions
+    * only) or update. Both key and timestamp columns resolve via
+    * colExact (dotted names ride helper columns, same rule as
+    * [[dedupByContent]]).
+    */
+  def sessionViolationCounts(stream: DataFrame, schema: CompiledSchema,
+                             keyCol: String, tsCol: String, gap: String,
+                             watermarkDelay: String): DataFrame = {
+    val checks = ColumnCompiler.compile(schema, stream.schema)
+      .getOrElse(sys.error("streaming validation requires the fast path"))
+    val pass = "__graft_pass"
+    val rowed = stream.withColumn(pass, coalesce(Validate.passColumn(checks), lit(false)))
+    val (marked, tsName) =
+      if (!needsExactName(tsCol)) (rowed.withWatermark(tsCol, watermarkDelay), tsCol)
+      else {
+        val ts = "__graft_event_ts"
+        (rowed.withColumn(ts, ColumnCompiler.colExact(tsCol))
+          .withWatermark(ts, watermarkDelay), ts)
+      }
+    marked
+      .groupBy(session_window(ColumnCompiler.colExact(tsName), gap),
+        ColumnCompiler.colExact(keyCol).as("key"))
+      .agg(count(lit(1)).as("rows_seen"),
+        sum(when(col(pass), 0L).otherwise(1L)).as("rows_failed"))
+      .select(col("key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("rows_seen"), col("rows_failed"))
+  }
+
   /** Per-window, per-keyword violation counts with event-time
     * watermarking. `tsCol` must be a timestamp column present in the
     * input; it rides along as a key column into the violation rows.

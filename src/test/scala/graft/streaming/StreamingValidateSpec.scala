@@ -165,6 +165,43 @@ class StreamingValidateSpec extends AnyFunSuite {
     assert(counts((w2, "maxLength")) == 1L)
     assert(counts((w2, "maximum")) == 1L)
   }
+  test("session windows split a key's bursts by gap and finalize on watermark") {
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingValidate.sessionViolationCounts(
+        mem.toDF(), schema, "lang", "ts", gap = "10 minutes",
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    def sessions = spark.table("stream_sessions")
+      .select(col("key"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("rows_seen"), col("rows_failed"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    try {
+      // burst 1: three 'en' rows 10:00-10:02 (one failing), then a lone
+      // 'en' row at 10:31 — past the 10-minute gap, so a SECOND session
+      mem.addData(
+        DocEvent(1L, ts(0), "x" * 100, "en", "src1", 100L),  // clean
+        DocEvent(2L, ts(1), "x" * 10, "en", "src1", 10L),    // minLength
+        DocEvent(3L, ts(2), "x" * 100, "en", "src1", 100L),  // clean
+        DocEvent(4L, ts(31), "x" * 100, "en", "src1", 100L)) // burst 2
+      q.processAllAvailable()
+      // the trailing no-data micro-batch advances the watermark to
+      // 10:26 (10:31 − 5m): burst 1 (ends 10:02 + 10m gap = 10:12) is
+      // finalized and emitted; burst 2 (ends 10:41) is still open —
+      // append mode holds it until the watermark passes it
+      assert(sessions == Set(
+        ("en", "2026-01-01 10:00:00", "2026-01-01 10:12:00", 3L, 1L)), sessions.toString)
+      // watermark → 10:50 (10:55 − 5m): finalizes burst 2
+      mem.addData(DocEvent(5L, ts(55), "x" * 100, "de", "src1", 100L))
+      q.processAllAvailable()
+      assert(sessions.contains(
+        ("en", "2026-01-01 10:31:00", "2026-01-01 10:41:00", 1L, 0L)), sessions.toString)
+      // the open 'de' session (10:55-11:05) must NOT have been emitted
+      assert(sessions.size == 2, sessions.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup: NULL-text rows all pass through, not collapsed") {
     val mem = MemoryStream[DocEvent]
     mem.addData(
