@@ -166,6 +166,28 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // the CO-LOCATED layout variant: both sides written ONCE as
+    // hash-bucketed+sorted tables, then the anti-join plans with no
+    // Exchange/Sort on either side (plan-asserted in PlanShapeSpec —
+    // the shuffle is paid at layout time, not per recurring run).
+    // Same orphan verdicts as c_ref_lang, through the bucketed path;
+    // every synthetic FK pairing is orphan-free, so the lang check is
+    // the one with planted non-zero verdicts to hash against.
+    "c_ref_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Referential.writeBucketed(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), s"graft_bk_docs_$tag", buckets = 8)
+      graft.operators.Referential.writeBucketed(
+        Seq("en", "de", "fr", "es").toDF("lang"),
+        Seq("lang"), s"graft_bk_langs_$tag", buckets = 8)
+      graft.operators.Referential.bucketedOrphans(s,
+          s"graft_bk_docs_$tag", Seq("lang"),
+          s"graft_bk_langs_$tag", Seq("lang"))
+        .select("doc_id", "lang")
+    }),
+
     // sort-merge anti-join referential check (orders → customer)
     "c_ref_orders" -> ((s, dir) =>
       graft.operators.Referential
@@ -410,6 +432,29 @@ object SparkEntry {
         .select("doc_id", "keyword", "json_pointer", "message")
     }),
 
+    // one-scan clean/quarantine split: the pass predicate becomes a
+    // verdict partition column (Sinks.writeSplit — single scan, no
+    // shuffle, partitionBy fan-out), both halves read back verdict-
+    // pruned. Clean side feeds training, quarantine side feeds triage.
+    "x_split_clean" -> ((s, dir) => {
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_split_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}"
+      cleanupOnExit(root)
+      val df = table(s, dir, "documents")
+      val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      graft.spark.Sinks.writeSplit(df, Validate.passColumn(checks), s"$root/split")
+      graft.spark.Sinks.readVerdict(s, s"$root/split", "clean").select("doc_id")
+    }),
+    "x_split_quarantine" -> ((s, dir) => {
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_splitq_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}"
+      cleanupOnExit(root)
+      val df = table(s, dir, "documents")
+      val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      graft.spark.Sinks.writeSplit(df, Validate.passColumn(checks), s"$root/split")
+      graft.spark.Sinks.readVerdict(s, s"$root/split", "quarantine").select("doc_id")
+    }),
+
     // curation pipeline composition: schema-valid docs that clear the
     // quality bar, in ONE scan (validation predicate pushed into the
     // same map stage as the quality features — no join, no shuffle)
@@ -562,6 +607,23 @@ object SparkEntry {
         |       'String length must be at least 50 characters.' AS message
         |FROM documents WHERE length(text) < 50""".stripMargin,
 
+    // the split halves partition the table exactly: clean = rows with
+    // ZERO violations under the document schema (all columns present in
+    // parquet, so required/type never fire at the shipped SFs),
+    // quarantine = the rest
+    "x_split_clean" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en','de','fr','es')
+        |  AND length(text) BETWEEN 50 AND 520
+        |  AND regexp_matches(source, '^src[0-9]$')
+        |  AND n_chars <= 500 AND doc_id >= 0""".stripMargin,
+    "x_split_quarantine" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT (lang IN ('en','de','fr','es')
+        |  AND length(text) BETWEEN 50 AND 520
+        |  AND regexp_matches(source, '^src[0-9]$')
+        |  AND n_chars <= 500 AND doc_id >= 0)""".stripMargin,
+
     "v_doc_violations" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
         |       'Enum error. The data must be equal to one of the allowed values.' AS message
@@ -693,6 +755,10 @@ object SparkEntry {
         |FROM documents GROUP BY lang, source HAVING count(*) > 1""".stripMargin,
 
     "c_ref_lang" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang NOT IN ('en','de','fr','es')""".stripMargin,
+
+    "c_ref_bucketed" ->
       """SELECT doc_id, lang FROM documents
         |WHERE lang NOT IN ('en','de','fr','es')""".stripMargin,
 

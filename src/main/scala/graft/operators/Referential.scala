@@ -34,6 +34,62 @@ object Referential {
     f.join(d, joinCond(f, fkCols, d, pkCols), "left_anti")
   }
 
+  /** Bucketed layout for the CO-LOCATED variant of [[shuffleOrphans]]:
+    * when the same big-big referential check runs every validation
+    * cycle (commit→repo, nightly, 10^12 rows), re-shuffling both sides
+    * each run is the dominant cost. Writing each side ONCE as a
+    * parquet table hash-bucketed and sorted on the join key pays that
+    * shuffle a single time; every subsequent [[bucketedOrphans]] join
+    * reads both scans already co-partitioned AND sorted — the
+    * sort-merge anti-join plans with NO Exchange on either side, and
+    * with `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (sound here because this writer guarantees one file per bucket,
+    * which is the precondition that made Spark gate the sorted-scan
+    * optimization behind that conf) NO Sort either — both
+    * plan-asserted in PlanShapeSpec. Both sides must use the SAME
+    * bucket count (Spark only elides the shuffle when the output
+    * partitionings match; with `spark.sql.bucketing.coalesceBucketsInJoin`
+    * a multiple also works, at reduced parallelism).
+    */
+  def writeBucketed(df: DataFrame, cols: Seq[String], tableName: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed table's directory can outlive its catalog entry (the
+    // default catalog is in-memory: a killed JVM loses the entry, the
+    // warehouse dir persists) — saveAsTable(overwrite) only replaces
+    // CATALOGED tables and refuses an orphaned location, so clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // pre-shuffle into the bucket partitioning (repartition and
+    // bucketBy hash identically) so each task holds exactly one
+    // bucket → ONE file per bucket. That is what lets the read-side
+    // scan report its sortBy order (multi-file buckets interleave and
+    // force a query-time Sort) and keeps file count = buckets instead
+    // of tasks × buckets.
+    df.repartition(buckets, cols.map(colExact): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(tableName)
+  }
+
+  /** Orphans between two [[writeBucketed]] tables — the zero-shuffle
+    * query-time plan. The fk-presence filter and dim-side projection
+    * are alias-preserving, so the bucketed scans' hash partitioning
+    * carries through to the join.
+    */
+  def bucketedOrphans(spark: org.apache.spark.sql.SparkSession,
+                      factTable: String, fkCols: Seq[String],
+                      dimTable: String, pkCols: Seq[String]): DataFrame = {
+    val d = renameDim(spark.table(dimTable), pkCols)
+    val f = spark.table(factTable).where(fkPresent(fkCols))
+    f.join(d, joinCond(f, fkCols, d, pkCols), "left_anti")
+  }
+
   /** SQL FK semantics (MATCH SIMPLE): a row whose foreign key is NULL
     * in any component references nothing, so it is not an orphan —
     * without this filter the anti-join keeps every null-FK row (NULL

@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sinks — persisted violation tables with scale-aware layout. The
@@ -39,8 +39,62 @@ object Sinks {
     * Concurrent writers to ONE sink path still need external
     * coordination — last manifest published wins.
     */
-  def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit = {
-    val hconf = violations.sparkSession.sparkContext.hadoopConfiguration
+  def writeViolations(violations: DataFrame, path: String, keyCols: Seq[String]): Unit =
+    withNewVersion(violations, path) { versionDir =>
+      violations
+        .repartition((("keyword") +: keyCols).map(col): _*)
+        .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
+        .write.mode("overwrite").partitionBy("keyword").parquet(versionDir)
+      violations.limit(0).write.mode("overwrite").parquet(versionDir + "/_schema")
+    }
+
+  /** ONE-SCAN split of a table into its schema-clean and quarantined
+    * rows — the curation shape where both halves are outputs (clean
+    * rows feed training, quarantined rows feed triage). Filtering twice
+    * (`where(pass)` write + `where(!pass)` write) scans the 100 TB
+    * source twice; here the pass predicate becomes a `verdict`
+    * partition column and `partitionBy` fans each task's rows into the
+    * two directory families in a single pass — no shuffle either
+    * (`repartition("verdict")` would funnel ~all rows through the
+    * clean-side reducers; each task just writes up to two files).
+    * A NULL predicate (absent optional fields) quarantines — review
+    * beats silently training on it. Same snapshot commit protocol as
+    * [[writeViolations]].
+    */
+  def writeSplit(df: DataFrame, pass: Column, path: String): Unit = {
+    val marked = df.withColumn("verdict",
+      when(coalesce(pass, lit(false)), lit("clean")).otherwise(lit("quarantine")))
+    withNewVersion(df, path) { versionDir =>
+      marked.write.mode("overwrite").partitionBy("verdict").parquet(versionDir)
+      marked.limit(0).write.mode("overwrite").parquet(versionDir + "/_schema")
+    }
+  }
+
+  /** One side of a [[writeSplit]] sink ("clean" | "quarantine") —
+    * directory-pruned on the verdict partition; an all-one-sided sink
+    * still reads back typed via the `_schema` sidecar.
+    */
+  def readVerdict(spark: org.apache.spark.sql.SparkSession, path: String,
+                  verdict: String): DataFrame = {
+    val data = resolveDataDir(spark, path)
+    val df =
+      try spark.read.parquet(data)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Unable to infer schema") =>
+          spark.read.parquet(s"$data/_schema")
+      }
+    df.where(col("verdict") === verdict)
+  }
+
+  /** Sweep stale artifacts, run `body` against a fresh `v-<token>/`
+    * version directory, then publish it with one atomic single-file
+    * manifest replace (the snapshot protocol documented on
+    * [[writeViolations]]).
+    */
+  private def withNewVersion(df: DataFrame, path: String)(body: String => Unit): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -62,12 +116,7 @@ object Sinks {
       }
     }
 
-    val versionDir = new Path(root, "v-" + token)
-    violations
-      .repartition((("keyword") +: keyCols).map(col): _*)
-      .sortWithinPartitions((("keyword") +: keyCols).map(col): _*)
-      .write.mode("overwrite").partitionBy("keyword").parquet(versionDir.toString)
-    violations.limit(0).write.mode("overwrite").parquet(versionDir.toString + "/_schema")
+    body(new Path(root, "v-" + token).toString)
 
     // publish: single-file atomic replace of the manifest
     val tmpManifest = new Path(root, Manifest + ".tmp-" + token)

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.schema.CompiledSchema
+
+/** Exactly-once file sink for streaming violation rows.
+  *
+  * Structured Streaming's `foreachBatch` gives AT-LEAST-ONCE batch
+  * delivery: after a crash the engine replays the last micro-batch with
+  * the SAME `batchId`. Exactly-once therefore needs an idempotent,
+  * atomically-visible write per batch id — this object provides it with
+  * plain parquet + two tiny manifests, the streaming sibling of the
+  * snapshot protocol in [[graft.spark.Sinks]] (single-file atomic
+  * rename publishes; readers never see a half-written state):
+  *
+  *  - `data/batch_id=<id>/keyword=<kw>/…` — one directory per
+  *    committed micro-batch, partitioned by keyword (same pruning story
+  *    as the batch sink: a "show me the pattern failures" read touches
+  *    one subdirectory per batch).
+  *  - `_batches` — every batch id ever committed, one per line. The
+  *    idempotence ledger: a replayed id found here is skipped outright.
+  *    Ids are never removed (compaction keeps them), so re-delivery
+  *    after a compact cannot re-append rows.
+  *  - `_live` — the directories readers should union, one per line
+  *    (relative to the sink root). Updated with the same
+  *    write-tmp-then-`FileContext.rename(OVERWRITE)` single-file
+  *    replace as `Sinks`' `_current`; readers resolve it in one read.
+  *  - `_schema` — empty-parquet sidecar so a sink that has only seen
+  *    empty batches (or none) still reads back with the right schema
+  *    (an empty `partitionBy` write leaves no schema-bearing file).
+  *
+  * Write order per batch: data directory (full overwrite — a replay
+  * after a crash rewrites any partial files), then `_live`, then
+  * `_batches`. A crash between the steps only ever loses VISIBILITY,
+  * never commits duplicates: the replay overwrites the data dir and
+  * repeats the manifest updates (both are idempotent set-adds).
+  *
+  * Like `Sinks`, one sink path assumes one writer (the streaming query
+  * itself is single-writer per checkpoint; don't point two queries at
+  * one root).
+  */
+object StreamingSink {
+
+  private val Batches = "_batches"
+  private val Live = "_live"
+  private val SchemaDir = "_schema"
+  private val DataDir = "data"
+
+  /** Idempotent, atomically-published write of one micro-batch.
+    * Safe to hand to `foreachBatch` directly.
+    */
+  def appendBatch(batch: DataFrame, root: String, batchId: Long): Unit = {
+    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(hconf)
+    if (readLines(fs, new Path(rootP, Batches)).contains(batchId.toString))
+      return // replayed batch — already committed, skip entirely
+
+    // schema sidecar once (before any early return for empty batches):
+    // batch_id rides as a LongType column so the empty-sink read has
+    // the same shape as the partition-discovered one
+    val schemaP = new Path(rootP, SchemaDir)
+    if (!fs.exists(schemaP))
+      batch.limit(0).withColumn("batch_id", lit(0L))
+        .write.mode("overwrite").parquet(schemaP.toString)
+
+    val dirName = s"$DataDir/batch_id=$batchId"
+    // isEmpty: one extra job per micro-batch, but an empty partitionBy
+    // write leaves an unreadable directory (no schema-bearing file) —
+    // empty batches commit to the ledger only
+    if (!batch.isEmpty) {
+      batch.write.mode("overwrite").partitionBy("keyword")
+        .parquet(new Path(rootP, dirName).toString)
+      updateManifest(hconf, rootP, Live)(_ + dirName)
+    }
+    updateManifest(hconf, rootP, Batches)(_ + batchId.toString)
+  }
+
+  /** All committed rows — the union of the `_live` directories, plus
+    * `batch_id` (long) and `keyword` from partition discovery. Empty
+    * (but correctly typed) before the first commit.
+    */
+  def readCommitted(spark: SparkSession, root: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(hconf)
+    val schemaP = new Path(rootP, SchemaDir)
+    if (!fs.exists(schemaP))
+      throw new IllegalStateException(
+        s"streaming sink at $root has no schema sidecar — nothing was ever committed")
+    val empty = spark.read.parquet(schemaP.toString)
+    val dirs = readLines(fs, new Path(rootP, Live)).toSeq.sorted
+      .map(new Path(rootP, _)).filter(fs.exists(_)) // grace-swept dirs may linger in old reads
+    dirs.foldLeft(empty) { (acc, dir) =>
+      // per-dir basePath: batch dirs surface batch_id+keyword from the
+      // path; compacted dirs carry both as real partition dirs inside.
+      // Partition inference may type batch_id as int — normalize to the
+      // sidecar's long, and let unionByName restore the column order.
+      val df = spark.read.option("basePath", basePathFor(rootP, dir).toString)
+        .parquet(dir.toString)
+      acc.unionByName(df.withColumn("batch_id", col("batch_id").cast("long")))
+    }
+  }
+
+  /** One keyword's rows — partition-pruned within every live dir. */
+  def readKeyword(spark: SparkSession, root: String, keyword: String): DataFrame =
+    readCommitted(spark, root).where(col("keyword") === keyword)
+
+  /** Rewrite all live directories as ONE compacted directory, fixing
+    * the many-small-files drift of long-running micro-batch sinks
+    * (every trigger adds a directory; at a 10 s trigger that is 8,640
+    * dirs/day — scan planning cost grows linearly until compacted).
+    * Rows keep their original `batch_id` (it is re-materialized as a
+    * partition column inside the compacted dir), `_batches` keeps every
+    * id (replays stay deduped), and visibility flips with the one
+    * atomic `_live` replace. Superseded directories are swept at the
+    * START of the next compact — a reader holding the previous `_live`
+    * keeps a one-compact grace period, the same contract as `Sinks`.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(hconf)
+
+    // sweep: anything outside the current _live set, the data/ dirs of
+    // committed batches still live, and the manifests, is a superseded
+    // compact or crashed-compact debris
+    val live = readLines(fs, new Path(rootP, Live))
+    val keep = live.map(d => new Path(rootP, d).getName) ++
+      Set(Batches, Live, SchemaDir, DataDir)
+    fs.listStatus(rootP).map(_.getPath).foreach { p =>
+      if (!keep.contains(p.getName)) fs.delete(p, true)
+    }
+    val liveData = live.filter(_.startsWith(DataDir + "/")).map(d => new Path(rootP, d).getName)
+    val dataP = new Path(rootP, DataDir)
+    if (fs.exists(dataP)) fs.listStatus(dataP).map(_.getPath).foreach { p =>
+      if (!liveData.contains(p.getName)) fs.delete(p, true)
+    }
+
+    val current = readCommitted(spark, root)
+    if (readLines(fs, new Path(rootP, Live)).isEmpty) return // nothing to fold
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"c-$token"
+    current
+      .repartition(col("keyword"))
+      .sortWithinPartitions(col("keyword"), col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id", "keyword")
+      .parquet(new Path(rootP, dirName).toString)
+    replaceManifest(hconf, rootP, Live, Set(dirName))
+    // old dirs stay until the next compact's sweep (reader grace)
+  }
+
+  /** The full streaming path: validate → violation rows → exactly-once
+    * sink. Caller sets `.option("checkpointLocation", …)`/trigger and
+    * starts; the checkpoint is what makes replayed batch ids stable.
+    */
+  def violationsToSink(stream: DataFrame, schema: CompiledSchema, keyCols: Seq[String],
+                       root: String): DataStreamWriter[Row] =
+    StreamingValidate.violations(stream, schema, keyCols)
+      .writeStream.outputMode("append")
+      .foreachBatch((batch: DataFrame, id: Long) => appendBatch(batch, root, id))
+
+  // basePath such that the relative path contributes exactly the
+  // batch_id=/keyword= segments: data/batch_id=N → data/; c-tok → itself
+  private def basePathFor(root: Path, dir: Path): Path =
+    if (dir.getName.startsWith("batch_id=")) dir.getParent else dir
+
+  private def readLines(fs: FileSystem, p: Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        acc.toString("UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+      } finally in.close()
+    }
+
+  private def updateManifest(hconf: Configuration, root: Path, name: String)
+                            (f: Set[String] => Set[String]): Unit = {
+    val fs = root.getFileSystem(hconf)
+    replaceManifest(hconf, root, name, f(readLines(fs, new Path(root, name))))
+  }
+
+  private def replaceManifest(hconf: Configuration, root: Path, name: String,
+                              lines: Set[String]): Unit = {
+    val fs = root.getFileSystem(hconf)
+    val tmp = new Path(root, name + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(lines.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, hconf)
+      .rename(tmp, new Path(root, name), Options.Rename.OVERWRITE)
+  }
+}

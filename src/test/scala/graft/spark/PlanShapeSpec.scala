@@ -35,6 +35,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("bucketed referential join plans with NO exchange and NO sort on either side") {
+    val fact = src.select("repo", "path", "commit")
+    val dim = SourceTable.knownCommits(src)
+    Referential.writeBucketed(fact, Seq("commit"), "bktest_fact", buckets = 4)
+    Referential.writeBucketed(dim, Seq("commit"), "bktest_dim", buckets = 4)
+    // isolated session (own SQLConf, shared catalog): suites run
+    // concurrently against ONE SparkTestSession — mutating its conf
+    // here would race every in-flight suite's plans
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    // one file per bucket (writeBucketed guarantees it) makes the scan's
+    // sortBy order usable — this conf is what turns it on since 3.0
+    iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val orphans = Referential.bucketedOrphans(iso, "bktest_fact", Seq("commit"),
+        "bktest_dim", Seq("commit"))
+      val p = orphans.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+      // the whole point of the layout: both scans arrive co-partitioned
+      // and pre-sorted — the one-time write paid the shuffle, the
+      // per-run query never does
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("+- Sort ") && !p.contains(":- Sort "), p)
+      assert(p.toLowerCase.contains("bucket"), p) // really the bucketed scan
+      // same verdicts as the ad-hoc shuffle plan
+      val adhoc = Referential.shuffleOrphans(fact, Seq("commit"), dim, Seq("commit"))
+      assert(orphans.count() == adhoc.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bktest_fact")
+      spark.sql("DROP TABLE IF EXISTS bktest_dim")
+    }
+  }
+
   test("salted uniqueness plans two-stage partial+final hash aggregation") {
     val p = plan(Uniqueness.duplicates(src, Seq("repo", "path", "commit")))
     assert(p.contains("HashAggregate"), p)

@@ -20,6 +20,44 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readKeyword(spark, path, "pattern").count() == 0)
   }
 
+  test("one-scan split partitions rows into verdict dirs, both sides pruned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(Schemas.document)
+    val checks = ColumnCompiler.compile(schema, docs.schema).get
+    val path = Files.createTempDirectory("graft_split").toString + "/split"
+
+    Sinks.writeSplit(docs, Validate.passColumn(checks), path)
+
+    val clean = Sinks.readVerdict(spark, path, "clean")
+    val quarantine = Sinks.readVerdict(spark, path, "quarantine")
+    // the halves partition the table exactly, matching the predicate
+    val expectedClean = docs.where(Validate.passColumn(checks)).count()
+    assert(clean.count() == expectedClean)
+    assert(quarantine.count() == docs.count() - expectedClean)
+    assert(clean.count() > 0 && quarantine.count() > 0) // planted defects exist
+    // verdict reads prune to one partition directory
+    val p = clean.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("verdict"), p)
+
+    // a re-write swaps the snapshot atomically: old version swept, new live
+    Sinks.writeSplit(docs.limit(10), lit(true), path)
+    assert(Sinks.readVerdict(spark, path, "clean").count() == 10)
+    assert(Sinks.readVerdict(spark, path, "quarantine").count() == 0)
+  }
+
+  test("all-one-sided split reads the empty side via the schema sidecar") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft_split1").toString + "/split"
+    Sinks.writeSplit(docs, lit(true), path) // everything clean
+    assert(Sinks.readVerdict(spark, path, "quarantine").count() == 0)
+    assert(Sinks.readVerdict(spark, path, "clean").count() == docs.count())
+    // NULL predicate quarantines (review beats silently training on it)
+    val path2 = Files.createTempDirectory("graft_split2").toString + "/split"
+    Sinks.writeSplit(docs, lit(null).cast("boolean"), path2)
+    assert(Sinks.readVerdict(spark, path2, "clean").count() == 0)
+    assert(Sinks.readVerdict(spark, path2, "quarantine").count() == docs.count())
+  }
+
   test("violations sink partitions by keyword and prunes reads to one directory") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val schema = Validate.compileSchema(Schemas.document)

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.Schemas
+import graft.spark.{SparkTestSession, Validate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactly-once streaming sink: replayed batch ids commit once, empty
+  * batches stay readable, compaction preserves rows + provenance, and
+  * the streaming referential check runs the same anti-join as batch.
+  */
+class StreamingSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val schema = Validate.compileSchema(Schemas.document)
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  private def tmpDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  private val rows = Seq(
+    DocEvent(1L, ts(0), "x" * 100, "en", "src1", 100L),   // clean
+    DocEvent(2L, ts(1), "x" * 10, "en", "src2", 10L),     // minLength
+    DocEvent(3L, ts(2), "x" * 100, "zz", "src3", 100L),   // enum
+    DocEvent(4L, ts(3), "x" * 100, "en", "badsource", 100L), // pattern
+    DocEvent(5L, ts(4), "x" * 600, "zz", "src4", 600L))   // maxLength+enum+maximum
+
+  private def violationKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "keyword", "json_pointer")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("foreachBatch sink commits each micro-batch exactly once, end to end") {
+    val root = tmpDir("graft-ssink")
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingSink.violationsToSink(mem.toDF(), schema, Seq("doc_id"), root)
+      .option("checkpointLocation", tmpDir("graft-ssink-ckpt"))
+      .start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val committed = StreamingSink.readCommitted(spark, root)
+    val batch = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    assert(violationKey(committed) == violationKey(batch))
+    assert(committed.select("batch_id").distinct().count() == 2) // one dir per micro-batch
+
+    // keyword read prunes to the requested keyword only
+    val pat = StreamingSink.readKeyword(spark, root, "pattern")
+    assert(pat.select("keyword").distinct().collect().map(_.getString(0)).toSeq == Seq("pattern"))
+    assert(violationKey(pat) == violationKey(batch.where(col("keyword") === "pattern")))
+  }
+
+  test("a replayed batch id is skipped — no duplicate rows") {
+    val root = tmpDir("graft-ssink-replay")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    StreamingSink.appendBatch(viols, root, 7L)
+    val once = StreamingSink.readCommitted(spark, root).count()
+    StreamingSink.appendBatch(viols, root, 7L) // at-least-once re-delivery
+    assert(StreamingSink.readCommitted(spark, root).count() == once)
+    StreamingSink.appendBatch(viols.limit(1), root, 8L) // a NEW id still lands
+    assert(StreamingSink.readCommitted(spark, root).count() == once + 1)
+  }
+
+  test("empty batches commit to the ledger and the sink stays readable") {
+    val root = tmpDir("graft-ssink-empty")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    StreamingSink.appendBatch(viols.limit(0), root, 0L)
+    val empty = StreamingSink.readCommitted(spark, root)
+    assert(empty.isEmpty && empty.columns.contains("batch_id"))
+    // the empty id is remembered: replaying it with DATA must still skip
+    StreamingSink.appendBatch(viols, root, 0L)
+    assert(StreamingSink.readCommitted(spark, root).isEmpty)
+  }
+
+  test("compact folds live dirs into one, keeping rows, batch ids and dedupe") {
+    val root = tmpDir("graft-ssink-compact")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    val b0 = viols.where(col("doc_id") <= 3)
+    val b1 = viols.where(col("doc_id") > 3)
+    StreamingSink.appendBatch(b0, root, 0L)
+    StreamingSink.appendBatch(b1, root, 1L)
+    val before = StreamingSink.readCommitted(spark, root)
+      .select("doc_id", "keyword", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    StreamingSink.compact(spark, root)
+    val after = StreamingSink.readCommitted(spark, root)
+    assert(after.select("doc_id", "keyword", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == before)
+    // provenance survives: both original batch ids are still present
+    assert(after.select("batch_id").distinct().count() == 2)
+
+    // a replay of a compacted-away batch id must NOT re-append
+    StreamingSink.appendBatch(b0, root, 0L)
+    assert(StreamingSink.readCommitted(spark, root).count() == before.size)
+    // new batches keep landing after a compact, and a second compact
+    // (which sweeps the superseded dirs) folds them in
+    StreamingSink.appendBatch(b0, root, 2L)
+    StreamingSink.compact(spark, root)
+    assert(StreamingSink.readCommitted(spark, root).count() == before.size + b0.count())
+  }
+
+  test("referential anti-join runs stream-static: orphan langs stream out") {
+    val dim = Seq("en", "de", "fr").toDF("lang")
+    val mem = MemoryStream[DocEvent]
+    val q = graft.operators.Referential.broadcastOrphans(
+        mem.toDF(), Seq("lang"), dim, Seq("lang"))
+      .writeStream.format("memory").queryName("stream_orphans")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*) // two 'zz' rows are orphans
+      q.processAllAvailable()
+    } finally q.stop()
+    val orphans = spark.table("stream_orphans")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(orphans == Set((3L, "zz"), (5L, "zz")))
+  }
+}
