@@ -175,7 +175,10 @@ object SparkEntry {
     // the one with planted non-zero verdicts to hash against.
     "c_ref_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // applicationId in the tag: concurrent sessions (bench + verify)
+      // share one warehouse dir; without it session B's DROP+rewrite
+      // races session A's scan of the same table location
+      val tag = (dir + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
       graft.operators.Referential.writeBucketed(
         table(s, dir, "documents").select("doc_id", "lang"),
         Seq("lang"), s"graft_bk_docs_$tag", buckets = 8)
@@ -617,12 +620,15 @@ object SparkEntry {
         |  AND length(text) BETWEEN 50 AND 520
         |  AND regexp_matches(source, '^src[0-9]$')
         |  AND n_chars <= 500 AND doc_id >= 0""".stripMargin,
+    // COALESCE(…, FALSE): the engine quarantines a NULL pass predicate
+    // (writeSplit's coalesce(pass, false)); a bare NOT(pred) would drop
+    // NULL-predicate rows from the oracle instead of quarantining them
     "x_split_quarantine" ->
       """SELECT doc_id FROM documents
-        |WHERE NOT (lang IN ('en','de','fr','es')
+        |WHERE NOT COALESCE(lang IN ('en','de','fr','es')
         |  AND length(text) BETWEEN 50 AND 520
         |  AND regexp_matches(source, '^src[0-9]$')
-        |  AND n_chars <= 500 AND doc_id >= 0)""".stripMargin,
+        |  AND n_chars <= 500 AND doc_id >= 0, FALSE)""".stripMargin,
 
     "v_doc_violations" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,

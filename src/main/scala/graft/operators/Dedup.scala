@@ -146,8 +146,8 @@ object Dedup {
     * channel for what [[candidatePairs]] declines to expand.
     */
   def oversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded.groupBy("band", "sig").agg(count(lit(1)).as("n_ids"))
-      .where(col("n_ids") > maxBucket)
+    Pairs.oversizedGroups(banded, Seq("band", "sig"), maxBucket)
+      .withColumnRenamed("n_members", "n_ids")
 
   /** MinHash+LSH near-duplicate pairs with EXACT n-gram Jaccard verify:
     * (id_a, id_b, jaccard ≥ minJaccard). The verify join ships shingle
@@ -246,7 +246,9 @@ object Dedup {
     * nothing). A hot shingle — boilerplate preamble shared by millions
     * of docs — costs O(bucket²) pairs only if it lands in those docs'
     * prefixes; hash order spreads that risk uniformly, and `maxBucket`
-    * + [[oversizedBuckets]] remain the opt-in, never-silent escape.
+    * + [[oversizedShingles]] (this operator's index is keyed on
+    * `shingle`, so the (band, sig) [[oversizedBuckets]] channel does
+    * not apply to it) remain the opt-in, never-silent escape.
     * Same eager/lazy cache lifecycle as [[nearDuplicatePairs]].
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -257,17 +259,9 @@ object Dedup {
       s"minJaccard = $minJaccard outside (0, 1] — at 0 the prefix is the whole set and the result is all pairs")
     // sets fans out 3 ways (prefix derivation + both verify sides);
     // uncached each consumer would re-shingle the corpus
-    val sets = df.select(colExact(idCol).as("id"),
-        array_sort(array_distinct(
-          transform(shingles(colExact(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+    val sets = shingleSets(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ⌊(1−t)|A|⌋+1 computed in doubles: the 1e-9 slack can only WIDEN
-    // the prefix when (1−t)·|A| rounds just below an exact integer —
-    // a superset of candidates, never a missed pair
-    val prefixLen = (floor(size(col("sh")) * lit(1.0 - minJaccard) + lit(1e-9)) + 1).cast("int")
-    val prefix = sets.select(col("id"), size(col("sh")).as("sz"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
-      .select("shingle", "id", "sz")
+    val prefix = prefixIndex(sets, minJaccard)
     // size filter stated as the SAME double division the verify uses
     // (min/max ≥ min/union ≥ J), so float rounding can never exclude a
     // pair the verify would keep
@@ -282,6 +276,39 @@ object Dedup {
       try verify.localCheckpoint()
       finally sets.unpersist()
   }
+
+  /** Per-doc sorted distinct shingle-hash sets: (id, sh). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    df.select(colExact(idCol).as("id"),
+      array_sort(array_distinct(
+        transform(shingles(colExact(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+
+  /** The prefix-filtered inverted index over `sets`: (shingle, id, sz).
+    * ⌊(1−t)|A|⌋+1 computed in doubles: the 1e-9 slack can only WIDEN
+    * the prefix when (1−t)·|A| rounds just below an exact integer —
+    * a superset of candidates, never a missed pair.
+    */
+  private def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
+    val prefixLen = (floor(size(col("sh")) * lit(1.0 - minJaccard) + lit(1e-9)) + 1).cast("int")
+    sets.select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+      .select("shingle", "id", "sz")
+  }
+
+  /** (shingle, n_ids) of prefix-index buckets larger than `maxBucket` —
+    * the side channel for what a capped [[exactJaccardPairs]] declines
+    * to expand. Same (df, idCol, textCol, minJaccard, shingleN) as the
+    * pairing call, so the buckets audited are exactly the ones it
+    * built.
+    */
+  def oversizedShingles(df: DataFrame, idCol: String, textCol: String,
+                        maxBucket: Long, minJaccard: Double = 0.7,
+                        shingleN: Int = 3): DataFrame =
+    Pairs.oversizedGroups(
+        prefixIndex(shingleSets(df, idCol, textCol, shingleN), minJaccard),
+        Seq("shingle"), maxBucket)
+      .withColumnRenamed("n_members", "n_ids")
 
   /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame =

@@ -93,4 +93,16 @@ object Pairs {
     blocks.select(keyCols.map(colExact) :+ explode(pairsArr).as("__p"): _*)
       .select(keyCols.map(colExact) :+ col("__p.a").as("a") :+ col("__p.b").as("b"): _*)
   }
+
+  /** (keyCols…, n_members) of key groups larger than `maxBucket` — the
+    * generic never-silent side channel for what a capped
+    * [[blockedPairs]] declines to expand, over the SAME frame and key
+    * columns the pairing call used (each caller exposes a shaped
+    * wrapper: [[Dedup.oversizedBuckets]] for (band, sig) LSH frames,
+    * [[Dedup.oversizedShingles]] for the prefix-filtered Jaccard
+    * index).
+    */
+  def oversizedGroups(df: DataFrame, keyCols: Seq[String], maxBucket: Long): DataFrame =
+    df.groupBy(keyCols.map(colExact): _*).agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 }

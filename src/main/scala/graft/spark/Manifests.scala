@@ -1,0 +1,52 @@
+package graft.spark
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** The one copy of the crash-safety-critical manifest protocol shared
+  * by the batch sink ([[Sinks]]) and the streaming sink
+  * ([[graft.streaming.StreamingSink]]): a read that loops until EOF
+  * (a single `InputStream.read` may legally return a partial buffer —
+  * a truncated manifest would mis-resolve and let a sweep delete live
+  * data) and a publish that writes a temp file and replaces the
+  * manifest with ONE atomic single-file `FileContext.rename(OVERWRITE)`
+  * (readers never observe a missing or half-written manifest).
+  */
+object Manifests {
+
+  /** Full manifest text, or None if absent. `maxBytes` bounds a
+    * corrupted/mis-pointed file — manifests are tiny by design, so a
+    * read past the cap throws loudly instead of buffering gigabytes.
+    */
+  def readText(fs: FileSystem, p: Path, maxBytes: Int = 1 << 20): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0 && acc.size <= maxBytes) { acc.write(buf, 0, n); n = in.read(buf) }
+        if (acc.size > maxBytes)
+          throw new IllegalStateException(
+            s"manifest at $p exceeds $maxBytes bytes — not a manifest this engine wrote")
+        Some(acc.toString("UTF-8"))
+      } finally in.close()
+    }
+
+  /** Non-empty trimmed lines of a manifest; empty seq if absent. */
+  def readLines(fs: FileSystem, p: Path): Seq[String] =
+    readText(fs, p).toSeq.flatMap(_.linesIterator).map(_.trim).filter(_.nonEmpty)
+
+  /** Atomic single-file replace: write `content` to a tmp sibling, then
+    * one `FileContext.rename(OVERWRITE)` onto `name`.
+    */
+  def atomicReplace(hconf: Configuration, root: Path, name: String, content: String): Unit = {
+    val fs = root.getFileSystem(hconf)
+    val tmp = new Path(root, name + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, hconf)
+      .rename(tmp, new Path(root, name), Options.Rename.OVERWRITE)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -119,35 +119,20 @@ object Sinks {
     body(new Path(root, "v-" + token).toString)
 
     // publish: single-file atomic replace of the manifest
-    val tmpManifest = new Path(root, Manifest + ".tmp-" + token)
-    val out = fs.create(tmpManifest, true)
-    try out.write(("v-" + token).getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(root.toUri, hconf)
-      .rename(tmpManifest, new Path(root, Manifest), Options.Rename.OVERWRITE)
+    Manifests.atomicReplace(hconf, root, Manifest, "v-" + token)
   }
 
   private def isVersionArtifact(name: String): Boolean =
     name.startsWith("v-") || name.startsWith(Manifest + ".tmp-")
 
-  /** The live version dir name from the manifest, if any. Loops the
-    * read: a single InputStream.read may legally return a partial
-    * buffer, and a truncated version name would mis-resolve (and let
-    * the sweep delete the live version).
+  /** The live version dir name from the manifest, if any — read via
+    * [[Manifests.readText]] (full read-until-EOF loop; a truncated
+    * version name would mis-resolve and let the sweep delete the live
+    * version).
     */
-  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[String] = {
-    val m = new Path(root, Manifest)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
-      try {
-        val acc = new java.io.ByteArrayOutputStream()
-        val bytes = new Array[Byte](256)
-        var n = in.read(bytes)
-        while (n >= 0 && acc.size <= 4096) { acc.write(bytes, 0, n); n = in.read(bytes) }
-        Some(acc.toString("UTF-8").trim).filter(_.nonEmpty)
-      } finally in.close()
-    }
-  }
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[String] =
+    Manifests.readText(fs, new Path(root, Manifest), maxBytes = 4096)
+      .map(_.trim).filter(_.nonEmpty)
 
   /** Resolve the live data directory of a sink: the manifest's version
     * dir, or (legacy / externally-written layout) the path itself when

@@ -1,12 +1,13 @@
 package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.schema.CompiledSchema
+import graft.spark.Manifests
 
 /** Exactly-once file sink for streaming violation rows.
   *
@@ -14,42 +15,55 @@ import graft.schema.CompiledSchema
   * delivery: after a crash the engine replays the last micro-batch with
   * the SAME `batchId`. Exactly-once therefore needs an idempotent,
   * atomically-visible write per batch id — this object provides it with
-  * plain parquet + two tiny manifests, the streaming sibling of the
-  * snapshot protocol in [[graft.spark.Sinks]] (single-file atomic
-  * rename publishes; readers never see a half-written state):
+  * plain parquet + two tiny manifests (published with the shared
+  * single-file atomic-rename protocol in [[graft.spark.Manifests]]):
   *
   *  - `data/batch_id=<id>/keyword=<kw>/…` — one directory per
   *    committed micro-batch, partitioned by keyword (same pruning story
   *    as the batch sink: a "show me the pattern failures" read touches
   *    one subdirectory per batch).
-  *  - `_batches` — every batch id ever committed, one per line. The
-  *    idempotence ledger: a replayed id found here is skipped outright.
-  *    Ids are never removed (compaction keeps them), so re-delivery
-  *    after a compact cannot re-append rows.
-  *  - `_live` — the directories readers should union, one per line
-  *    (relative to the sink root). Updated with the same
-  *    write-tmp-then-`FileContext.rename(OVERWRITE)` single-file
-  *    replace as `Sinks`' `_current`; readers resolve it in one read.
+  *  - `_batches` — the idempotence ledger, written ONLY by the query's
+  *    `foreachBatch` (serialized per checkpoint). Encoded as a
+  *    high-water mark (`wm <K>` ⇒ every id ≤ K committed) plus the few
+  *    ids above it, so the file stays O(1) — batch ids are contiguous,
+  *    so the tail folds into the mark on every commit and a year of
+  *    10 s triggers is still a one-line ledger, not a 3M-line file
+  *    re-read and rewritten per trigger. A replayed id found here is
+  *    skipped outright; compaction never touches this file, so
+  *    re-delivery after a compact cannot re-append rows.
+  *  - `_compacts` — written ONLY by [[compact]]: one line
+  *    `<dir> <covered-id-ranges>` naming the current compacted
+  *    directory and the batch ids folded into it. Batch-dir visibility
+  *    is DERIVED (id committed in `_batches`, directory present, id not
+  *    covered by `_compacts`), so append and compact touch disjoint
+  *    files and cannot race each other's manifests: a batch committed
+  *    while a compact runs simply stays visible as its own directory —
+  *    uncovered — until the next compact folds it. (Two CONCURRENT
+  *    compacts still race last-writer-wins on `_compacts`; run one
+  *    compactor at a time.)
   *  - `_schema` — empty-parquet sidecar so a sink that has only seen
   *    empty batches (or none) still reads back with the right schema
   *    (an empty `partitionBy` write leaves no schema-bearing file).
   *
   * Write order per batch: data directory (full overwrite — a replay
-  * after a crash rewrites any partial files), then `_live`, then
-  * `_batches`. A crash between the steps only ever loses VISIBILITY,
-  * never commits duplicates: the replay overwrites the data dir and
-  * repeats the manifest updates (both are idempotent set-adds).
+  * after a crash rewrites any partial files), then the `_batches`
+  * ledger. A crash between the steps only ever loses VISIBILITY, never
+  * commits duplicates: the replay overwrites the data dir and repeats
+  * the ledger add. [[compact]] folds only COMMITTED, uncovered batch
+  * dirs — an in-flight dir (data written, ledger pending) is neither
+  * folded nor swept, so a crashed-then-replayed batch can never have a
+  * partial copy frozen into a compacted dir.
   *
-  * Like `Sinks`, one sink path assumes one writer (the streaming query
-  * itself is single-writer per checkpoint; don't point two queries at
-  * one root).
+  * Like `Sinks`, one sink path assumes one writing query (per its
+  * checkpoint) and at most one concurrent compactor.
   */
 object StreamingSink {
 
   private val Batches = "_batches"
-  private val Live = "_live"
+  private val Compacts = "_compacts"
   private val SchemaDir = "_schema"
   private val DataDir = "data"
+  private val BatchPrefix = "batch_id="
 
   /** Idempotent, atomically-published write of one micro-batch.
     * Safe to hand to `foreachBatch` directly.
@@ -58,7 +72,8 @@ object StreamingSink {
     val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
-    if (readLines(fs, new Path(rootP, Batches)).contains(batchId.toString))
+    val ledger = readLedger(fs, rootP)
+    if (ledger.committed(batchId))
       return // replayed batch — already committed, skip entirely
 
     // schema sidecar once (before any early return for empty batches):
@@ -69,21 +84,19 @@ object StreamingSink {
       batch.limit(0).withColumn("batch_id", lit(0L))
         .write.mode("overwrite").parquet(schemaP.toString)
 
-    val dirName = s"$DataDir/batch_id=$batchId"
     // isEmpty: one extra job per micro-batch, but an empty partitionBy
     // write leaves an unreadable directory (no schema-bearing file) —
     // empty batches commit to the ledger only
-    if (!batch.isEmpty) {
+    if (!batch.isEmpty)
       batch.write.mode("overwrite").partitionBy("keyword")
-        .parquet(new Path(rootP, dirName).toString)
-      updateManifest(hconf, rootP, Live)(_ + dirName)
-    }
-    updateManifest(hconf, rootP, Batches)(_ + batchId.toString)
+        .parquet(new Path(rootP, s"$DataDir/$BatchPrefix$batchId").toString)
+    writeLedger(hconf, rootP, ledger.add(batchId))
   }
 
-  /** All committed rows — the union of the `_live` directories, plus
-    * `batch_id` (long) and `keyword` from partition discovery. Empty
-    * (but correctly typed) before the first commit.
+  /** All committed rows — the live compacted dir (if any) plus every
+    * committed, uncovered batch dir — with `batch_id` (long) and
+    * `keyword` from partition discovery. Empty (but correctly typed)
+    * before the first commit.
     */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -94,8 +107,7 @@ object StreamingSink {
       throw new IllegalStateException(
         s"streaming sink at $root has no schema sidecar — nothing was ever committed")
     val empty = spark.read.parquet(schemaP.toString)
-    val dirs = readLines(fs, new Path(rootP, Live)).toSeq.sorted
-      .map(new Path(rootP, _)).filter(fs.exists(_)) // grace-swept dirs may linger in old reads
+    val dirs = liveDirs(fs, rootP)
     dirs.foldLeft(empty) { (acc, dir) =>
       // per-dir basePath: batch dirs surface batch_id+keyword from the
       // path; compacted dirs carry both as real partition dirs inside.
@@ -111,48 +123,66 @@ object StreamingSink {
   def readKeyword(spark: SparkSession, root: String, keyword: String): DataFrame =
     readCommitted(spark, root).where(col("keyword") === keyword)
 
-  /** Rewrite all live directories as ONE compacted directory, fixing
+  /** Rewrite the live directories as ONE compacted directory, fixing
     * the many-small-files drift of long-running micro-batch sinks
     * (every trigger adds a directory; at a 10 s trigger that is 8,640
     * dirs/day — scan planning cost grows linearly until compacted).
-    * Rows keep their original `batch_id` (it is re-materialized as a
-    * partition column inside the compacted dir), `_batches` keeps every
-    * id (replays stay deduped), and visibility flips with the one
-    * atomic `_live` replace. Superseded directories are swept at the
-    * START of the next compact — a reader holding the previous `_live`
-    * keeps a one-compact grace period, the same contract as `Sinks`.
+    * Rows keep their original `batch_id` (re-materialized as a
+    * partition column inside the compacted dir) and the ledger keeps
+    * every id (replays stay deduped); visibility flips with the one
+    * atomic `_compacts` replace. Folded batch dirs and the superseded
+    * compacted dir are swept at the START of the next compact — a
+    * reader holding the previous `_compacts` keeps a one-compact grace
+    * period, the same contract as `Sinks`. Safe to run while the query
+    * appends (disjoint manifests — see the class doc), but run only
+    * one compact at a time.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
+    val prior = readCompacts(fs, rootP)
 
-    // sweep: anything outside the current _live set, the data/ dirs of
-    // committed batches still live, and the manifests, is a superseded
-    // compact or crashed-compact debris
-    val live = readLines(fs, new Path(rootP, Live))
-    val keep = live.map(d => new Path(rootP, d).getName) ++
-      Set(Batches, Live, SchemaDir, DataDir)
+    // sweep (one-compact grace expired): covered batch dirs were folded
+    // into the live compacted dir; c-dirs not named by _compacts are a
+    // superseded compact or crashed-compact debris. UNCOMMITTED batch
+    // dirs are left strictly alone — they may be a batch mid-append.
+    val keepRoot = prior.map(_.dir).toSet ++ Set(Compacts, SchemaDir, DataDir)
     fs.listStatus(rootP).map(_.getPath).foreach { p =>
-      if (!keep.contains(p.getName)) fs.delete(p, true)
+      // _batches AND its tmp siblings stay: a concurrent appendBatch may
+      // be mid-publish (tmp written, rename pending) — deleting its tmp
+      // would fail that batch's commit. Crashed-publish tmp debris is a
+      // few bytes per crash, not worth racing the ledger for.
+      if (!keepRoot.contains(p.getName) && !p.getName.startsWith(Batches))
+        fs.delete(p, true)
     }
-    val liveData = live.filter(_.startsWith(DataDir + "/")).map(d => new Path(rootP, d).getName)
+    val covered = prior.map(_.covered).getOrElse(IdRanges.empty)
     val dataP = new Path(rootP, DataDir)
     if (fs.exists(dataP)) fs.listStatus(dataP).map(_.getPath).foreach { p =>
-      if (!liveData.contains(p.getName)) fs.delete(p, true)
+      batchIdOf(p.getName).filter(covered.contains).foreach(_ => fs.delete(p, true))
     }
 
-    val current = readCommitted(spark, root)
-    if (readLines(fs, new Path(rootP, Live)).isEmpty) return // nothing to fold
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val dirName = s"c-$token"
+    // fold the snapshot of live dirs (committed ∩ present ∩ uncovered,
+    // plus the prior compacted dir); batches committed after this list
+    // is taken stay visible as their own uncovered dirs — no loss
+    val dirs = liveDirs(fs, rootP)
+    val foldedIds = dirs.flatMap(d => batchIdOf(d.getName))
+    if (dirs.isEmpty || (dirs.sizeIs == 1 && prior.exists(_.dir == dirs.head.getName)))
+      return // nothing to fold beyond an already-sole compacted dir
+    val empty = spark.read.parquet(new Path(rootP, SchemaDir).toString)
+    val current = dirs.foldLeft(empty) { (acc, dir) =>
+      acc.unionByName(spark.read.option("basePath", basePathFor(rootP, dir).toString)
+        .parquet(dir.toString).withColumn("batch_id", col("batch_id").cast("long")))
+    }
+    val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
     current
       .repartition(col("keyword"))
       .sortWithinPartitions(col("keyword"), col("batch_id"))
       .write.mode("overwrite").partitionBy("batch_id", "keyword")
       .parquet(new Path(rootP, dirName).toString)
-    replaceManifest(hconf, rootP, Live, Set(dirName))
-    // old dirs stay until the next compact's sweep (reader grace)
+    Manifests.atomicReplace(hconf, rootP, Compacts,
+      dirName + " " + covered.add(foldedIds).render)
+    // folded dirs stay until the next compact's sweep (reader grace)
   }
 
   /** The full streaming path: validate → violation rows → exactly-once
@@ -165,37 +195,97 @@ object StreamingSink {
       .writeStream.outputMode("append")
       .foreachBatch((batch: DataFrame, id: Long) => appendBatch(batch, root, id))
 
+  // ---- derived visibility ----------------------------------------------
+
+  /** Live compacted dir (if any) + committed, uncovered batch dirs, in
+    * deterministic order.
+    */
+  private def liveDirs(fs: FileSystem, rootP: Path): Seq[Path] = {
+    val ledger = readLedger(fs, rootP)
+    val comp = readCompacts(fs, rootP)
+    val covered = comp.map(_.covered).getOrElse(IdRanges.empty)
+    val dataP = new Path(rootP, DataDir)
+    val batchDirs =
+      if (!fs.exists(dataP)) Seq.empty
+      else fs.listStatus(dataP).map(_.getPath).toSeq
+        .filter { p =>
+          batchIdOf(p.getName).exists(id => ledger.committed(id) && !covered.contains(id))
+        }
+        .sortBy(p => batchIdOf(p.getName).get)
+    comp.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++ batchDirs
+  }
+
   // basePath such that the relative path contributes exactly the
   // batch_id=/keyword= segments: data/batch_id=N → data/; c-tok → itself
   private def basePathFor(root: Path, dir: Path): Path =
-    if (dir.getName.startsWith("batch_id=")) dir.getParent else dir
+    if (dir.getName.startsWith(BatchPrefix)) dir.getParent else dir
 
-  private def readLines(fs: FileSystem, p: Path): Set[String] =
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try {
-        val acc = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
-        acc.toString("UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-      } finally in.close()
+  private def batchIdOf(dirName: String): Option[Long] =
+    if (!dirName.startsWith(BatchPrefix)) None
+    else dirName.stripPrefix(BatchPrefix).toLongOption
+
+  // ---- _batches ledger (high-water mark + tail) ------------------------
+
+  private final case class Ledger(wm: Long, tail: Set[Long]) {
+    def committed(id: Long): Boolean = id <= wm || tail(id)
+    def add(id: Long): Ledger = {
+      var w = wm
+      var t = tail + id
+      while (t(w + 1)) { w += 1; t -= w }
+      Ledger(w, t)
     }
-
-  private def updateManifest(hconf: Configuration, root: Path, name: String)
-                            (f: Set[String] => Set[String]): Unit = {
-    val fs = root.getFileSystem(hconf)
-    replaceManifest(hconf, root, name, f(readLines(fs, new Path(root, name))))
   }
 
-  private def replaceManifest(hconf: Configuration, root: Path, name: String,
-                              lines: Set[String]): Unit = {
-    val fs = root.getFileSystem(hconf)
-    val tmp = new Path(root, name + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val out = fs.create(tmp, true)
-    try out.write(lines.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(root.toUri, hconf)
-      .rename(tmp, new Path(root, name), Options.Rename.OVERWRITE)
+  private def readLedger(fs: FileSystem, rootP: Path): Ledger = {
+    val lines = Manifests.readLines(fs, new Path(rootP, Batches))
+    val wm = lines.collectFirst { case s if s.startsWith("wm ") => s.drop(3).trim.toLong }
+    val ids = lines.filterNot(_.startsWith("wm ")).flatMap(_.toLongOption)
+    Ledger(wm.getOrElse(-1L), ids.toSet)
+  }
+
+  private def writeLedger(hconf: Configuration, rootP: Path, l: Ledger): Unit =
+    Manifests.atomicReplace(hconf, rootP, Batches,
+      (s"wm ${l.wm}" +: l.tail.toSeq.sorted.map(_.toString)).mkString("\n"))
+
+  // ---- _compacts manifest ----------------------------------------------
+
+  private final case class Compacted(dir: String, covered: IdRanges)
+
+  private def readCompacts(fs: FileSystem, rootP: Path): Option[Compacted] =
+    Manifests.readLines(fs, new Path(rootP, Compacts)).headOption.map { line =>
+      val (dir, spec) = line.span(!_.isWhitespace)
+      Compacted(dir, IdRanges.parse(spec.trim))
+    }
+
+  /** Sorted, merged closed ranges of batch ids — `0-5,7,9-12`. Batch
+    * ids are contiguous per query, so this is ~one range forever; kept
+    * as ranges (never materialized into a Set) so membership stays O(1)
+    * in file size.
+    */
+  private final case class IdRanges(ranges: Seq[(Long, Long)]) {
+    def contains(id: Long): Boolean = ranges.exists(r => id >= r._1 && id <= r._2)
+    def add(ids: Seq[Long]): IdRanges = {
+      val pts = ids.map(i => (i, i)) ++ ranges
+      val sorted = pts.sortBy(_._1)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: rest, (lo, hi)) if lo <= b + 1 => (a, math.max(b, hi)) :: rest
+        case (acc, r) => r :: acc
+      }
+      IdRanges(merged.reverse)
+    }
+    def render: String =
+      ranges.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
+  }
+
+  private object IdRanges {
+    val empty: IdRanges = IdRanges(Seq.empty)
+    def parse(s: String): IdRanges =
+      if (s.isEmpty) empty
+      else IdRanges(s.split(",").toSeq.map { part =>
+        part.split("-", 2) match {
+          case Array(a, b) => (a.toLong, b.toLong)
+          case Array(a) => (a.toLong, a.toLong)
+        }
+      })
   }
 }

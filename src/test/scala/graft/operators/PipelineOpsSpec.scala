@@ -248,6 +248,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("oversizedShingles names the hot prefix buckets a capped exactJaccardPairs declines") {
+    // 8 identical clones ⇒ every prefix shingle is a hot bucket of 8
+    val clones = (1L to 8L)
+      .map(i => (i, "identical boilerplate preamble shared by every clone document"))
+      .toDF("id", "text")
+    val full = Dedup.exactJaccardPairs(clones, "id", "text", minJaccard = 0.5)
+    assert(full.count() == 8L * 7 / 2) // exactness baseline: all pairs
+    val capped =
+      Dedup.exactJaccardPairs(clones, "id", "text", minJaccard = 0.5, maxBucket = 4)
+    assert(capped.count() < full.count()) // the opt-in cap declined pairs…
+    val over =
+      Dedup.oversizedShingles(clones, "id", "text", maxBucket = 4, minJaccard = 0.5)
+    assert(over.count() > 0) // …and the shingle-keyed side channel says so
+    assert(over.select(min(col("n_ids"))).head().getLong(0) > 4)
+  }
+
   test("redact scrubs emails/ips/phones and counts matches on the original text") {
     val df = Seq(
       (1L, "mail a.b+c@test.org or 10.1.2.3 call +1 555 123 4567 end"),

@@ -109,6 +109,56 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(StreamingSink.readCommitted(spark, root).count() == before.size + b0.count())
   }
 
+  test("the _batches ledger stays O(1): contiguous ids fold into the high-water mark") {
+    val root = tmpDir("graft-ssink-ledger")
+    val one = Validate.violations(rows.toDF(), schema, Seq("doc_id")).limit(1)
+    (0L to 24L).foreach(id => StreamingSink.appendBatch(one, root, id))
+    val ledger = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_batches")), "UTF-8")
+    assert(ledger.trim == "wm 24", s"expected a folded one-line ledger, got: $ledger")
+    assert(StreamingSink.readCommitted(spark, root)
+      .select("batch_id").distinct().count() == 25)
+  }
+
+  test("folded batch dirs keep one-compact reader grace, then are swept") {
+    val root = tmpDir("graft-ssink-grace")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    val b0 = viols.where(col("doc_id") <= 3)
+    StreamingSink.appendBatch(b0, root, 0L)
+    StreamingSink.appendBatch(viols.where(col("doc_id") > 3), root, 1L)
+    StreamingSink.compact(spark, root)
+    val dataDir = new java.io.File(root, "data")
+    // grace: a reader holding the pre-compact manifest can still scan
+    assert(dataDir.listFiles().map(_.getName).toSet ==
+      Set("batch_id=0", "batch_id=1"))
+    StreamingSink.appendBatch(b0, root, 2L)
+    StreamingSink.compact(spark, root)
+    // second compact swept the covered dirs; the newly folded one keeps
+    // ITS grace period
+    assert(dataDir.listFiles().map(_.getName).toSet == Set("batch_id=2"))
+    val cDirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("c-"))
+    assert(cDirs.length == 2, s"live + one-grace superseded compact, got: ${cDirs.toSeq}")
+    assert(StreamingSink.readCommitted(spark, root).count() == viols.count() + b0.count())
+  }
+
+  test("an uncommitted (crashed mid-append) batch dir is invisible, unfolded, unswept") {
+    val root = tmpDir("graft-ssink-crash")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    val b0 = viols.where(col("doc_id") <= 3)
+    val b1 = viols.where(col("doc_id") > 3)
+    StreamingSink.appendBatch(b0, root, 0L)
+    // simulate a crash between the data write and the ledger add
+    b1.write.mode("overwrite").partitionBy("keyword").parquet(s"$root/data/batch_id=1")
+    assert(StreamingSink.readCommitted(spark, root).count() == b0.count()) // invisible
+    StreamingSink.compact(spark, root)
+    // neither folded into the compacted dir nor deleted as debris —
+    // only the replay may decide its fate
+    assert(StreamingSink.readCommitted(spark, root).count() == b0.count())
+    assert(new java.io.File(s"$root/data/batch_id=1").exists())
+    StreamingSink.appendBatch(b1, root, 1L) // the engine replays batch 1
+    assert(StreamingSink.readCommitted(spark, root).count() == b0.count() + b1.count())
+  }
+
   test("referential anti-join runs stream-static: orphan langs stream out") {
     val dim = Seq("en", "de", "fr").toDF("lang")
     val mem = MemoryStream[DocEvent]
