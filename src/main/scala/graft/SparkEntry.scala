@@ -177,17 +177,26 @@ object SparkEntry {
       import s.implicits._
       // applicationId in the tag: concurrent sessions (bench + verify)
       // share one warehouse dir; without it session B's DROP+rewrite
-      // races session A's scan of the same table location
+      // races session A's scan of the same table location. The catalog
+      // entry dies with the in-memory catalog, but the warehouse dirs
+      // would outlive the JVM — and no later session reuses an appId-
+      // suffixed name, so they must be reclaimed at exit like every
+      // other session-scoped staging artifact in this file.
       val tag = (dir + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+      val bkTables = Seq(s"graft_bk_docs_$tag", s"graft_bk_langs_$tag")
+      bkTables.foreach { t =>
+        cleanupOnExit(new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.defaultTablePath(
+            s.sessionState.sqlParser.parseTableIdentifier(t))).toUri.getPath)
+      }
       graft.operators.Referential.writeBucketed(
         table(s, dir, "documents").select("doc_id", "lang"),
-        Seq("lang"), s"graft_bk_docs_$tag", buckets = 8)
+        Seq("lang"), bkTables.head, buckets = 8)
       graft.operators.Referential.writeBucketed(
         Seq("en", "de", "fr", "es").toDF("lang"),
-        Seq("lang"), s"graft_bk_langs_$tag", buckets = 8)
+        Seq("lang"), bkTables.last, buckets = 8)
       graft.operators.Referential.bucketedOrphans(s,
-          s"graft_bk_docs_$tag", Seq("lang"),
-          s"graft_bk_langs_$tag", Seq("lang"))
+          bkTables.head, Seq("lang"), bkTables.last, Seq("lang"))
         .select("doc_id", "lang")
     }),
 

@@ -25,22 +25,29 @@ import graft.spark.Manifests
   *  - `_batches` — the idempotence ledger, written ONLY by the query's
   *    `foreachBatch` (serialized per checkpoint). Encoded as a
   *    high-water mark (`wm <K>` ⇒ every id ≤ K committed) plus the few
-  *    ids above it, so the file stays O(1) — batch ids are contiguous,
-  *    so the tail folds into the mark on every commit and a year of
-  *    10 s triggers is still a one-line ledger, not a 3M-line file
-  *    re-read and rewritten per trigger. A replayed id found here is
-  *    skipped outright; compaction never touches this file, so
-  *    re-delivery after a compact cannot re-append rows.
+  *    ids above it, so the file stays O(1) — batch ids arrive in order
+  *    and contiguously, so the tail folds into the mark on every
+  *    commit (a first id > 0, e.g. a fresh sink attached to an old
+  *    checkpoint, SEEDS the mark: in-order delivery means the skipped
+  *    ids can never arrive later) and a year of 10 s triggers is still
+  *    a one-line ledger, not a 3M-line file re-read and rewritten per
+  *    trigger. A replayed id found here is skipped outright;
+  *    compaction never touches this file, so re-delivery after a
+  *    compact cannot re-append rows.
   *  - `_compacts` — written ONLY by [[compact]]: one line
   *    `<dir> <covered-id-ranges>` naming the current compacted
-  *    directory and the batch ids folded into it. Batch-dir visibility
+  *    directory and the batch ids it supersedes. Batch-dir visibility
   *    is DERIVED (id committed in `_batches`, directory present, id not
   *    covered by `_compacts`), so append and compact touch disjoint
   *    files and cannot race each other's manifests: a batch committed
   *    while a compact runs simply stays visible as its own directory —
-  *    uncovered — until the next compact folds it. (Two CONCURRENT
-  *    compacts still race last-writer-wins on `_compacts`; run one
-  *    compactor at a time.)
+  *    uncovered — until the next compact folds it. Each compact covers
+  *    EVERY id committed at its ledger snapshot — dirs by folding them,
+  *    empty batches (no dir to fold) by range — so the covered spec
+  *    stays one contiguous range even on streams where most triggers
+  *    have zero violations, never one fragment per empty batch. (Two
+  *    CONCURRENT compacts still race last-writer-wins on `_compacts`;
+  *    run one compactor at a time.)
   *  - `_schema` — empty-parquet sidecar so a sink that has only seen
   *    empty batches (or none) still reads back with the right schema
   *    (an empty `partitionBy` write leaves no schema-bearing file).
@@ -49,13 +56,15 @@ import graft.spark.Manifests
   * after a crash rewrites any partial files), then the `_batches`
   * ledger. A crash between the steps only ever loses VISIBILITY, never
   * commits duplicates: the replay overwrites the data dir and repeats
-  * the ledger add. [[compact]] folds only COMMITTED, uncovered batch
-  * dirs — an in-flight dir (data written, ledger pending) is neither
-  * folded nor swept, so a crashed-then-replayed batch can never have a
-  * partial copy frozen into a compacted dir.
+  * the ledger add. [[compact]] folds only COMMITTED batch dirs — an
+  * in-flight dir (data written, ledger pending) is neither folded nor
+  * swept, so a crashed-then-replayed batch can never have a partial
+  * copy frozen into a compacted dir.
   *
   * Like `Sinks`, one sink path assumes one writing query (per its
-  * checkpoint) and at most one concurrent compactor.
+  * checkpoint) and at most one concurrent compactor. A root holding
+  * the retired `_live`-manifest layout (an earlier build of this sink)
+  * is refused loudly rather than mis-read or swept.
   */
 object StreamingSink {
 
@@ -64,6 +73,7 @@ object StreamingSink {
   private val SchemaDir = "_schema"
   private val DataDir = "data"
   private val BatchPrefix = "batch_id="
+  private val LegacyLive = "_live"
 
   /** Idempotent, atomically-published write of one micro-batch.
     * Safe to hand to `foreachBatch` directly.
@@ -72,6 +82,7 @@ object StreamingSink {
     val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
+    guardLegacy(fs, rootP)
     val ledger = readLedger(fs, rootP)
     if (ledger.committed(batchId))
       return // replayed batch — already committed, skip entirely
@@ -102,21 +113,12 @@ object StreamingSink {
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
-    val schemaP = new Path(rootP, SchemaDir)
-    if (!fs.exists(schemaP))
-      throw new IllegalStateException(
-        s"streaming sink at $root has no schema sidecar — nothing was ever committed")
-    val empty = spark.read.parquet(schemaP.toString)
-    val dirs = liveDirs(fs, rootP)
-    dirs.foldLeft(empty) { (acc, dir) =>
-      // per-dir basePath: batch dirs surface batch_id+keyword from the
-      // path; compacted dirs carry both as real partition dirs inside.
-      // Partition inference may type batch_id as int — normalize to the
-      // sidecar's long, and let unionByName restore the column order.
-      val df = spark.read.option("basePath", basePathFor(rootP, dir).toString)
-        .parquet(dir.toString)
-      acc.unionByName(df.withColumn("batch_id", col("batch_id").cast("long")))
-    }
+    guardLegacy(fs, rootP)
+    val comp = readCompacts(fs, rootP)
+    val covered = comp.map(_.covered).getOrElse(IdRanges.empty)
+    val dirs = comp.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++
+      visibleBatchDirs(fs, rootP, readLedger(fs, rootP), covered)
+    readDirs(spark, rootP, dirs)
   }
 
   /** One keyword's rows — partition-pruned within every live dir. */
@@ -141,6 +143,7 @@ object StreamingSink {
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
+    guardLegacy(fs, rootP)
     val prior = readCompacts(fs, rootP)
 
     // sweep (one-compact grace expired): covered batch dirs were folded
@@ -162,26 +165,25 @@ object StreamingSink {
       batchIdOf(p.getName).filter(covered.contains).foreach(_ => fs.delete(p, true))
     }
 
-    // fold the snapshot of live dirs (committed ∩ present ∩ uncovered,
-    // plus the prior compacted dir); batches committed after this list
-    // is taken stay visible as their own uncovered dirs — no loss
-    val dirs = liveDirs(fs, rootP)
-    val foldedIds = dirs.flatMap(d => batchIdOf(d.getName))
+    // snapshot the ledger BEFORE listing dirs: a non-empty batch writes
+    // its dir before its ledger add, so every id committed by this
+    // snapshot either has its dir in the listing or was an empty batch —
+    // covering ALL snapshot-committed ids is therefore safe (and keeps
+    // the covered spec one contiguous range), while a batch committed
+    // after the snapshot stays visible as its own uncovered dir
+    val ledger = readLedger(fs, rootP)
+    val batchDirs = visibleBatchDirs(fs, rootP, ledger, covered)
+    val dirs = prior.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++ batchDirs
     if (dirs.isEmpty || (dirs.sizeIs == 1 && prior.exists(_.dir == dirs.head.getName)))
       return // nothing to fold beyond an already-sole compacted dir
-    val empty = spark.read.parquet(new Path(rootP, SchemaDir).toString)
-    val current = dirs.foldLeft(empty) { (acc, dir) =>
-      acc.unionByName(spark.read.option("basePath", basePathFor(rootP, dir).toString)
-        .parquet(dir.toString).withColumn("batch_id", col("batch_id").cast("long")))
-    }
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
-    current
+    readDirs(spark, rootP, dirs)
       .repartition(col("keyword"))
       .sortWithinPartitions(col("keyword"), col("batch_id"))
       .write.mode("overwrite").partitionBy("batch_id", "keyword")
       .parquet(new Path(rootP, dirName).toString)
     Manifests.atomicReplace(hconf, rootP, Compacts,
-      dirName + " " + covered.add(foldedIds).render)
+      dirName + " " + covered.add(ledger.committedRanges).render)
     // folded dirs stay until the next compact's sweep (reader grace)
   }
 
@@ -197,22 +199,46 @@ object StreamingSink {
 
   // ---- derived visibility ----------------------------------------------
 
-  /** Live compacted dir (if any) + committed, uncovered batch dirs, in
-    * deterministic order.
-    */
-  private def liveDirs(fs: FileSystem, rootP: Path): Seq[Path] = {
-    val ledger = readLedger(fs, rootP)
-    val comp = readCompacts(fs, rootP)
-    val covered = comp.map(_.covered).getOrElse(IdRanges.empty)
+  private def guardLegacy(fs: FileSystem, rootP: Path): Unit =
+    if (fs.exists(new Path(rootP, LegacyLive)))
+      throw new IllegalStateException(
+        s"streaming sink at $rootP uses the retired _live manifest layout; this build " +
+          "derives visibility from _batches/_compacts and would mis-read (and compact " +
+          "would sweep) the legacy state — union-read the _live dirs with the old build " +
+          "and re-append them, or point the query at a fresh root")
+
+  /** Committed, uncovered batch dirs under `data/`, in id order. */
+  private def visibleBatchDirs(fs: FileSystem, rootP: Path, ledger: Ledger,
+                               covered: IdRanges): Seq[Path] = {
     val dataP = new Path(rootP, DataDir)
-    val batchDirs =
-      if (!fs.exists(dataP)) Seq.empty
-      else fs.listStatus(dataP).map(_.getPath).toSeq
-        .filter { p =>
-          batchIdOf(p.getName).exists(id => ledger.committed(id) && !covered.contains(id))
-        }
-        .sortBy(p => batchIdOf(p.getName).get)
-    comp.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++ batchDirs
+    if (!fs.exists(dataP)) Seq.empty
+    else fs.listStatus(dataP).map(_.getPath).toSeq
+      .filter { p =>
+        batchIdOf(p.getName).exists(id => ledger.committed(id) && !covered.contains(id))
+      }
+      .sortBy(p => batchIdOf(p.getName).get)
+  }
+
+  /** Union of `dirs` against the `_schema` sidecar — the ONE copy of
+    * the per-dir basePath + int→long partition-inference normalization
+    * shared by [[readCommitted]] and [[compact]].
+    */
+  private def readDirs(spark: SparkSession, rootP: Path, dirs: Seq[Path]): DataFrame = {
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaP = new Path(rootP, SchemaDir)
+    if (!fs.exists(schemaP))
+      throw new IllegalStateException(
+        s"streaming sink at $rootP has no schema sidecar — nothing was ever committed")
+    val empty = spark.read.parquet(schemaP.toString)
+    dirs.foldLeft(empty) { (acc, dir) =>
+      // per-dir basePath: batch dirs surface batch_id+keyword from the
+      // path; compacted dirs carry both as real partition dirs inside.
+      // Partition inference may type batch_id as int — normalize to the
+      // sidecar's long, and let unionByName restore the column order.
+      val df = spark.read.option("basePath", basePathFor(rootP, dir).toString)
+        .parquet(dir.toString)
+      acc.unionByName(df.withColumn("batch_id", col("batch_id").cast("long")))
+    }
   }
 
   // basePath such that the relative path contributes exactly the
@@ -228,12 +254,18 @@ object StreamingSink {
 
   private final case class Ledger(wm: Long, tail: Set[Long]) {
     def committed(id: Long): Boolean = id <= wm || tail(id)
-    def add(id: Long): Ledger = {
-      var w = wm
-      var t = tail + id
-      while (t(w + 1)) { w += 1; t -= w }
-      Ledger(w, t)
-    }
+    def isEmpty: Boolean = wm < 0 && tail.isEmpty
+    def add(id: Long): Ledger =
+      if (isEmpty) Ledger(id, Set.empty) // seed the mark (see class doc)
+      else {
+        var w = wm
+        var t = tail + id
+        while (t(w + 1)) { w += 1; t -= w }
+        Ledger(w, t)
+      }
+    /** Every committed id, as ranges (for compact's covered spec). */
+    def committedRanges: Seq[(Long, Long)] =
+      (if (wm >= 0) Seq((0L, wm)) else Seq.empty) ++ tail.toSeq.sorted.map(i => (i, i))
   }
 
   private def readLedger(fs: FileSystem, rootP: Path): Ledger = {
@@ -257,16 +289,15 @@ object StreamingSink {
       Compacted(dir, IdRanges.parse(spec.trim))
     }
 
-  /** Sorted, merged closed ranges of batch ids — `0-5,7,9-12`. Batch
-    * ids are contiguous per query, so this is ~one range forever; kept
-    * as ranges (never materialized into a Set) so membership stays O(1)
-    * in file size.
+  /** Sorted, merged closed ranges of batch ids — `0-5,7,9-12`. Kept as
+    * ranges (never materialized into a Set) so membership stays O(file
+    * size); compact covers every snapshot-committed id, so in practice
+    * this is ONE range forever.
     */
   private final case class IdRanges(ranges: Seq[(Long, Long)]) {
     def contains(id: Long): Boolean = ranges.exists(r => id >= r._1 && id <= r._2)
-    def add(ids: Seq[Long]): IdRanges = {
-      val pts = ids.map(i => (i, i)) ++ ranges
-      val sorted = pts.sortBy(_._1)
+    def add(more: Seq[(Long, Long)]): IdRanges = {
+      val sorted = (ranges ++ more).sortBy(_._1)
       val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
         case ((a, b) :: rest, (lo, hi)) if lo <= b + 1 => (a, math.max(b, hi)) :: rest
         case (acc, r) => r :: acc

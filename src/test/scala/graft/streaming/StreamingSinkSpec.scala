@@ -159,6 +159,50 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(StreamingSink.readCommitted(spark, root).count() == b0.count() + b1.count())
   }
 
+  test("a first batch id above zero seeds the high-water mark (fresh sink, old checkpoint)") {
+    val root = tmpDir("graft-ssink-seed")
+    val one = Validate.violations(rows.toDF(), schema, Seq("doc_id")).limit(1)
+    StreamingSink.appendBatch(one, root, 5L) // checkpoint resumed at 5
+    StreamingSink.appendBatch(one, root, 6L)
+    val ledger = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_batches")), "UTF-8")
+    assert(ledger.trim == "wm 6", s"ids 5,6 must fold into the seeded mark, got: $ledger")
+    StreamingSink.appendBatch(one, root, 5L) // replay of the seed id still dedupes
+    assert(StreamingSink.readCommitted(spark, root)
+      .select("batch_id").distinct().count() == 2)
+  }
+
+  test("empty batches are covered by compaction — the covered spec stays one range") {
+    val root = tmpDir("graft-ssink-emptycover")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    val b0 = viols.where(col("doc_id") <= 3)
+    StreamingSink.appendBatch(b0, root, 0L)
+    StreamingSink.appendBatch(viols.limit(0), root, 1L) // zero-violation trigger
+    StreamingSink.appendBatch(viols.where(col("doc_id") > 3), root, 2L)
+    StreamingSink.appendBatch(viols.limit(0), root, 3L)
+    StreamingSink.compact(spark, root)
+    val spec = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_compacts")), "UTF-8").trim.split("\\s+").last
+    assert(spec == "0-3", s"empty ids must not fragment the covered ranges, got: $spec")
+    assert(StreamingSink.readCommitted(spark, root).count() == viols.count())
+    // a replay of a covered EMPTY id must still be deduped by the ledger
+    StreamingSink.appendBatch(b0, root, 1L)
+    assert(StreamingSink.readCommitted(spark, root).count() == viols.count())
+  }
+
+  test("a root in the retired _live layout is refused loudly, not mis-read or swept") {
+    val root = tmpDir("graft-ssink-legacy")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    StreamingSink.appendBatch(viols, root, 0L)
+    Files.write(java.nio.file.Paths.get(root, "_live"), "data/batch_id=0".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException](StreamingSink.readCommitted(spark, root))
+    assert(e1.getMessage.contains("_live"))
+    intercept[IllegalStateException](StreamingSink.appendBatch(viols, root, 1L))
+    intercept[IllegalStateException](StreamingSink.compact(spark, root))
+    // nothing was swept by the refused compact
+    assert(new java.io.File(s"$root/data/batch_id=0").exists())
+  }
+
   test("referential anti-join runs stream-static: orphan langs stream out") {
     val dim = Seq("en", "de", "fr").toDF("lang")
     val mem = MemoryStream[DocEvent]
