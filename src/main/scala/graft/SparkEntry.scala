@@ -427,6 +427,31 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
+    // the STREAMING sink's whole exactly-once protocol under the batch
+    // oracle (appendBatch/compact/readCommitted are plain-DataFrame
+    // calls — foreachBatch is just their streaming driver): the
+    // violation set lands as two "micro-batches" split by doc_id
+    // parity, batch 0 is re-delivered (at-least-once replay — the
+    // ledger must dedupe it), then a compact folds both dirs into one.
+    // The read-back must equal the plain violation set with batch_id
+    // provenance = the parity that routed each row; any replay
+    // duplicate, lost batch, or provenance corruption breaks the hash.
+    "x_stream_sink" -> ((s, dir) => {
+      import graft.streaming.StreamingSink
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_ssinkq_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}"
+      cleanupOnExit(root)
+      val sink = s"$root/sink"
+      val viols = Validate.violations(
+        table(s, dir, "documents"), documentSchema, Seq("doc_id"))
+      StreamingSink.appendBatch(viols.where(col("doc_id") % 2 === 0), sink, 0L)
+      StreamingSink.appendBatch(viols.where(col("doc_id") % 2 === 1), sink, 1L)
+      StreamingSink.appendBatch(viols.where(col("doc_id") % 2 === 0), sink, 0L) // replay
+      StreamingSink.compact(s, sink)
+      StreamingSink.readCommitted(s, sink)
+        .select("doc_id", "keyword", "json_pointer", "message", "batch_id")
+    }),
+
     // sink round-trip: the violation set written through the manifest-
     // committed, keyword-partitioned sink, read back for ONE keyword
     // (partition pruning on the keyword directory) — exercises the
@@ -618,6 +643,27 @@ object SparkEntry {
       """SELECT doc_id, 'minLength' AS keyword, '/text' AS json_pointer,
         |       'String length must be at least 50 characters.' AS message
         |FROM documents WHERE length(text) < 50""".stripMargin,
+
+    // the v_doc_violations arms + the parity that routed each row to
+    // its micro-batch (exactly-once: each violation appears ONCE with
+    // its original batch id, despite the replay and the compact)
+    "x_stream_sink" ->
+      """SELECT v.*, v.doc_id % 2 AS batch_id FROM (
+        |SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
+        |       'Enum error. The data must be equal to one of the allowed values.' AS message
+        |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL
+        |SELECT doc_id, 'minLength', '/text', 'String length must be at least 50 characters.'
+        |  FROM documents WHERE length(text) < 50
+        |UNION ALL
+        |SELECT doc_id, 'maxLength', '/text', 'String length must be at most 520 characters.'
+        |  FROM documents WHERE length(text) > 520
+        |UNION ALL
+        |SELECT doc_id, 'pattern', '/source', 'String must match the pattern: "^src[0-9]$".'
+        |  FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |UNION ALL
+        |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
+        |  FROM documents WHERE n_chars > 500) v""".stripMargin,
 
     // the split halves partition the table exactly: clean = rows with
     // ZERO violations under the document schema (all columns present in
