@@ -354,8 +354,8 @@ object SparkEntry {
     "d_embed_dups" -> ((s, dir) =>
       graft.operators.Similarity.embeddingNearDupPairs(
         table(s, dir, "embeddings"), "embedding", "vec_id",
-        minCosine = 0.35, bits = 3, dim = 64)
-        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 3).as("cos_sim"))),
+        minCosine = 0.35, bits = 3, dim = 64) // cos_sim already rounded to 3 (operator contract)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))),
 
     // exact all-pairs embedding near-dups on a bounded slice — the
     // exactness baseline the SRP-bucketed d_embed_dups is audited

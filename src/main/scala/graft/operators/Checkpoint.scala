@@ -136,16 +136,9 @@ object Checkpoint {
     // every completed attempt may have written zero violation rows —
     // partitionBy then left no data files and inference throws; fall
     // back to the `_schema` sidecar [[runStage]] maintains
-    val data =
-      try spark.read.parquet(out)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-             e.getMessage.contains("Unable to infer schema") =>
-          spark.read.parquet(s"$out/_schema")
-            .withColumn("run_id", lit(null).cast("string")).limit(0)
-      }
-    data
+    graft.spark.Manifests.readOrSchemaFallback(spark.read.parquet(out))(
+      spark.read.parquet(s"$out/_schema")
+        .withColumn("run_id", lit(null).cast("string")).limit(0))
       .where(col("run_id").isin(runIds: _*))
       .join(broadcast(chosen), Seq("run_id", "partition_id"), "left_semi")
       .drop("run_id")

@@ -129,9 +129,22 @@ object Similarity {
     */
   def writeSignatures(df: DataFrame, vecCol: String, bits: Int, path: String,
                       seed: Long = 42L, dim: Int = 0): Unit = {
-    val d = if (dim > 0) dim else df.select(size(colExact(vecCol))).head().getInt(0)
-    df.withColumn("sig", srpSignature(colExact(vecCol), hyperplanes(d, bits, seed)))
-      .write.partitionBy("sig").mode("overwrite").parquet(path)
+    // empty-corpus guard: an empty partitionBy write leaves no schema-
+    // bearing file, so (a) dim inference must not head() a frame with
+    // no rows, and (b) a `_schema` sidecar (underscore ⇒ invisible to
+    // partition discovery) keeps the layout readable — the same
+    // contract as every other sink ([[graft.spark.Sinks]], Checkpoint,
+    // StreamingSink). An empty corpus with dim unset still types `sig`
+    // (the signature of nothing is schema-only — a long).
+    val d =
+      if (dim > 0) dim
+      else df.select(size(colExact(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val sigd =
+      if (d > 0)
+        df.withColumn("sig", srpSignature(colExact(vecCol), hyperplanes(d, bits, seed)))
+      else df.withColumn("sig", lit(0L))
+    sigd.write.partitionBy("sig").mode("overwrite").parquet(path)
+    sigd.limit(0).write.mode("overwrite").parquet(path + "/_schema")
   }
 
   /** ANN top-k over a [[writeSignatures]] layout: the multi-probe
@@ -147,7 +160,8 @@ object Similarity {
                     bits: Int, probeHamming: Int, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, bits, seed)
     val probe = probeSignatures(querySignature(query, planes), bits, probeHamming)
-    spark.read.parquet(path)
+    graft.spark.Manifests.readOrSchemaFallback(spark.read.parquet(path))(
+        spark.read.parquet(path + "/_schema"))
       .where(col("sig").isin(probe: _*)) // partition-column filter ⇒ pruning
       .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
       .orderBy(desc("cos_sim"), colExact(idCol))
@@ -272,11 +286,18 @@ object Similarity {
     * still emitted. `maxBucket` is an OPT-IN bound (default unbounded —
     * truncation is never silent); a capped run must pair
     * [[oversizedEmbeddingBuckets]] to see what was declined.
+    *
+    * The threshold applies to the cosine ROUNDED to `roundTo` decimals
+    * — the SAME contract as the exactness baseline
+    * [[exactNearDupPairs]], so a recall audit comparing the two can
+    * never report a phantom boundary miss that is threshold-rounding
+    * skew rather than an LSH miss (and an external engine replaying the
+    * same arithmetic can never disagree at the boundary).
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             minCosine: Double, bits: Int = 8, seed: Long = 42L,
                             dim: Int = 0, maxBucket: Int = Int.MaxValue,
-                            cap: Int = 4096): DataFrame = {
+                            cap: Int = 4096, roundTo: Int = 3): DataFrame = {
     val d = if (dim > 0) dim else
       df.select(size(colExact(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
@@ -290,7 +311,7 @@ object Similarity {
     val normProd = col("a.n") * col("b.n")
     Pairs.blockedPairs(sigd.select("sig", "id", "v", "n"), Seq("sig"), cap, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineFromNorms(dot(col("a.v"), col("b.v")), normProd).as("cos_sim"))
+        round(cosineFromNorms(dot(col("a.v"), col("b.v")), normProd), roundTo).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 

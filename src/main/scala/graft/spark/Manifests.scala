@@ -38,6 +38,22 @@ object Manifests {
   def readLines(fs: FileSystem, p: Path): Seq[String] =
     readText(fs, p).toSeq.flatMap(_.linesIterator).map(_.trim).filter(_.nonEmpty)
 
+  /** Evaluate `read`, falling back to `fallback` when the data
+    * directory has no schema-bearing file (an empty `partitionBy` write
+    * leaves only `_SUCCESS`, and schema inference throws). The ONE copy
+    * of the message-string matching — Spark rewords this error across
+    * versions, and the sinks/checkpoints/signature layouts that guard
+    * empty layouts with a `_schema` sidecar must all track it together.
+    */
+  def readOrSchemaFallback(read: => org.apache.spark.sql.DataFrame)(
+      fallback: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    try read
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+           e.getMessage.contains("Unable to infer schema") => fallback
+    }
+
   /** Atomic single-file replace: write `content` to a tmp sibling, then
     * one `FileContext.rename(OVERWRITE)` onto `name`.
     */

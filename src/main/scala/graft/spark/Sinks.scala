@@ -60,8 +60,16 @@ object Sinks {
     * A NULL predicate (absent optional fields) quarantines — review
     * beats silently training on it. Same snapshot commit protocol as
     * [[writeViolations]].
+    *
+    * `verdict` is the sink's RESERVED partition-column name: an input
+    * that already carries one is refused loudly (withColumn would
+    * silently overwrite the caller's values in every written row —
+    * rename the upstream column before splitting).
     */
   def writeSplit(df: DataFrame, pass: Column, path: String): Unit = {
+    require(!df.columns.contains("verdict"),
+      "writeSplit reserves the 'verdict' column as its partition key; the input already " +
+        "has one and withColumn would silently overwrite it — rename it before splitting")
     val marked = df.withColumn("verdict",
       when(coalesce(pass, lit(false)), lit("clean")).otherwise(lit("quarantine")))
     withNewVersion(df, path) { versionDir =>
@@ -77,15 +85,9 @@ object Sinks {
   def readVerdict(spark: org.apache.spark.sql.SparkSession, path: String,
                   verdict: String): DataFrame = {
     val data = resolveDataDir(spark, path)
-    val df =
-      try spark.read.parquet(data)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-             e.getMessage.contains("Unable to infer schema") =>
-          spark.read.parquet(s"$data/_schema")
-      }
-    df.where(col("verdict") === verdict)
+    Manifests.readOrSchemaFallback(spark.read.parquet(data))(
+      spark.read.parquet(s"$data/_schema"))
+      .where(col("verdict") === verdict)
   }
 
   /** Sweep stale artifacts, run `body` against a fresh `v-<token>/`
@@ -166,30 +168,24 @@ object Sinks {
   def readKeyword(spark: org.apache.spark.sql.SparkSession, path: String,
                   keyword: String): DataFrame = {
     val data = resolveDataDir(spark, path)
-    try {
-      val df =
-        if (data != path) spark.read.parquet(data)
-        else {
-          // legacy (manifest-less) root: enumerate the legacy entries
-          // explicitly so a crashed upgrade's v-* staging debris (swept
-          // by the next successful write) cannot poison partition-layout
-          // inference with two directory depths in that window
-          val root = new Path(path)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val parts =
-            if (fs.exists(root))
-              fs.listStatus(root).map(_.getPath)
-                .filter(p => !isVersionArtifact(p.getName) && !p.getName.startsWith("_"))
-            else Array.empty[Path]
-          if (parts.isEmpty) spark.read.parquet(data)
-          else spark.read.option("basePath", path).parquet(parts.map(_.toString).toSeq: _*)
-        }
-      df.where(col("keyword") === keyword)
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-           e.getMessage.contains("Unable to infer schema") =>
-        spark.read.parquet(s"$data/_schema").where(col("keyword") === keyword)
-    }
+    Manifests.readOrSchemaFallback {
+      if (data != path) spark.read.parquet(data)
+      else {
+        // legacy (manifest-less) root: enumerate the legacy entries
+        // explicitly so a crashed upgrade's v-* staging debris (swept
+        // by the next successful write) cannot poison partition-layout
+        // inference with two directory depths in that window
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts =
+          if (fs.exists(root))
+            fs.listStatus(root).map(_.getPath)
+              .filter(p => !isVersionArtifact(p.getName) && !p.getName.startsWith("_"))
+          else Array.empty[Path]
+        if (parts.isEmpty) spark.read.parquet(data)
+        else spark.read.option("basePath", path).parquet(parts.map(_.toString).toSeq: _*)
+      }
+    }(spark.read.parquet(s"$data/_schema"))
+      .where(col("keyword") === keyword)
   }
 }

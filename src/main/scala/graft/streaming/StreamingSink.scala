@@ -107,7 +107,12 @@ object StreamingSink {
   /** All committed rows — the live compacted dir (if any) plus every
     * committed, uncovered batch dir — with `batch_id` (long) and
     * `keyword` from partition discovery. Empty (but correctly typed)
-    * before the first commit.
+    * once the first [[appendBatch]] has provisioned the `_schema`
+    * sidecar — even an all-empty-batches sink reads back typed. A root
+    * NEVER appended to has no schema to type the result, so it is
+    * refused loudly (IllegalStateException) rather than served as a
+    * guessed-shape frame; start the query (or call appendBatch once)
+    * before wiring downstream readers.
     */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration

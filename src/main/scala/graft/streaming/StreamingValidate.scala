@@ -37,6 +37,26 @@ object StreamingValidate {
   private def needsExactName(name: String): Boolean =
     name.contains(".") || name.contains("`")
 
+  /** Watermark `df` on `tsCol`, returning (marked frame, the name the
+    * event-time column now lives under). The ONE copy of the
+    * dotted-name rule shared by every stateful operator here:
+    * `withWatermark` takes a NAME and dot-SPLITS it
+    * (UnresolvedAttribute.apply), so an undotted tsCol is watermarked
+    * DIRECTLY — the watermark stays on the retained input column and
+    * propagates downstream — while a dotted/backticked tsCol (which
+    * withWatermark would mis-resolve) rides a colExact-resolved
+    * `__graft_event_ts` helper column. Callers that drop the helper
+    * afterwards leave downstream stateful consumers to re-declare
+    * their watermark on the dotted column themselves.
+    */
+  private def withEventTimeWatermark(df: DataFrame, tsCol: String,
+                                     delay: String): (DataFrame, String) =
+    if (!needsExactName(tsCol)) (df.withWatermark(tsCol, delay), tsCol)
+    else {
+      val ts = "__graft_event_ts"
+      (df.withColumn(ts, ColumnCompiler.colExact(tsCol)).withWatermark(ts, delay), ts)
+    }
+
   /** Violation rows for a streaming (or static) DataFrame — append-mode
     * safe (stateless). Keys carried through as in the batch pass.
     * Fast path when the schema compiles; otherwise the tree evaluator,
@@ -147,22 +167,12 @@ object StreamingValidate {
     val h = "__graft_content_hash" // collision-proof vs input columns
     // Both input columns resolve through colExact like the batch
     // operators (a literal dot in the name must not parse as
-    // nested-field access). withWatermark takes a NAME and dot-SPLITS
-    // it (UnresolvedAttribute.apply), so an undotted tsCol is
-    // watermarked DIRECTLY — the watermark stays on the retained input
-    // column and propagates to downstream stateful stages exactly as
-    // before — while a dotted tsCol (which withWatermark would
-    // mis-resolve) rides a colExact-resolved helper column that is
-    // dropped afterwards; in that case downstream stateful consumers
-    // must re-declare their watermark on the dotted column themselves.
+    // nested-field access) — the dotted-tsCol rule lives in
+    // [[withEventTimeWatermark]]; its helper column (if any) is dropped
+    // with the hash helper to keep the input schema.
     val hashed0 = stream.withColumn(h, sha2(ColumnCompiler.colExact(textCol).cast("binary"), 256))
-    val (hashed, helpers) =
-      if (!needsExactName(tsCol)) (hashed0.withWatermark(tsCol, watermarkDelay), Seq(h))
-      else {
-        val ts = "__graft_event_ts"
-        (hashed0.withColumn(ts, ColumnCompiler.colExact(tsCol))
-          .withWatermark(ts, watermarkDelay), Seq(h, ts))
-      }
+    val (hashed, tsName) = withEventTimeWatermark(hashed0, tsCol, watermarkDelay)
+    val helpers = if (tsName == tsCol) Seq(h) else Seq(h, tsName)
     hashed.where(col(h).isNotNull).dropDuplicatesWithinWatermark(h)
       .unionByName(hashed.where(col(h).isNull))
       .drop(helpers: _*) // internal helpers — keep the input schema
@@ -192,13 +202,7 @@ object StreamingValidate {
       .getOrElse(sys.error("streaming validation requires the fast path"))
     val pass = "__graft_pass"
     val rowed = stream.withColumn(pass, coalesce(Validate.passColumn(checks), lit(false)))
-    val (marked, tsName) =
-      if (!needsExactName(tsCol)) (rowed.withWatermark(tsCol, watermarkDelay), tsCol)
-      else {
-        val ts = "__graft_event_ts"
-        (rowed.withColumn(ts, ColumnCompiler.colExact(tsCol))
-          .withWatermark(ts, watermarkDelay), ts)
-      }
+    val (marked, tsName) = withEventTimeWatermark(rowed, tsCol, watermarkDelay)
     marked
       .groupBy(session_window(ColumnCompiler.colExact(tsName), gap),
         ColumnCompiler.colExact(keyCol).as("key"))
@@ -217,19 +221,11 @@ object StreamingValidate {
   def windowedViolationCounts(stream: DataFrame, schema: CompiledSchema,
                               tsCol: String, windowDuration: String,
                               watermarkDelay: String): DataFrame = {
-    // same dotted-name rule as [[dedupByContent]]: an undotted tsCol is
-    // watermarked directly; a dotted one (withWatermark dot-splits its
-    // name argument) is re-projected under a helper name via colExact —
-    // tsCol itself is not in the output (only the derived window is),
-    // so nothing needs renaming
+    // dotted-name rule in [[withEventTimeWatermark]]; tsCol itself is
+    // not in the output (only the derived window is), so nothing needs
+    // renaming
     val v = violations(stream, schema, Seq(tsCol))
-    val (marked, tsName) =
-      if (!needsExactName(tsCol)) (v.withWatermark(tsCol, watermarkDelay), tsCol)
-      else {
-        val ts = "__graft_event_ts"
-        (v.withColumn(ts, ColumnCompiler.colExact(tsCol))
-          .withWatermark(ts, watermarkDelay), ts)
-      }
+    val (marked, tsName) = withEventTimeWatermark(v, tsCol, watermarkDelay)
     marked
       .groupBy(window(ColumnCompiler.colExact(tsName), windowDuration), col("keyword"))
       .agg(count(lit(1)).as("n_violations"))

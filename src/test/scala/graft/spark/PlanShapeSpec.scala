@@ -222,6 +222,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == e.count())
   }
 
+  test("empty-corpus signature layout writes readable; probes return empty typed") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh0").toString + "/sigs"
+    // dim deliberately unset: inference must not head() a frame with no
+    // rows, and the empty partitionBy write must leave a layout the
+    // probe can still read (the `_schema` sidecar contract every other
+    // sink honors)
+    Similarity.writeSignatures(e.limit(0), "embedding", bits = 8, path)
+    val q = Array.tabulate(64)(i => i.toFloat / 64f)
+    val topk = Similarity.signatureTopK(spark, path, "embedding", "vec_id", q, 5,
+      bits = 8, probeHamming = 2)
+    assert(topk.count() == 0)
+    assert(topk.columns.toSeq == Seq("vec_id", "cos_sim"))
+  }
+
   test("checkpoint stage read-back prunes dead attempts by run_id partition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_plan").toString + "/checkpoint"

@@ -58,6 +58,16 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readVerdict(spark, path2, "quarantine").count() == docs.count())
   }
 
+  test("writeSplit refuses an input that already carries a verdict column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("verdict", lit("upstream-triage"))
+    val path = Files.createTempDirectory("graft_splitv").toString + "/split"
+    // withColumn would silently overwrite the caller's values in every
+    // written row — the reserved name must be refused loudly instead
+    val e = intercept[IllegalArgumentException](Sinks.writeSplit(docs, lit(true), path))
+    assert(e.getMessage.contains("verdict"))
+  }
+
   test("violations sink partitions by keyword and prunes reads to one directory") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val schema = Validate.compileSchema(Schemas.document)
