@@ -543,6 +543,25 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "shard", "bin")
     }),
 
+    // deterministic holdout split: md5-bucketed 80/10/10 train/eval/test
+    // assignment keyed on doc_id — rerun-stable (no eval→train leakage
+    // as the corpus grows) and engine-portable (the oracle replays the
+    // exact assignment, not just the proportions)
+    "x_holdout_split" -> ((s, dir) =>
+      graft.operators.Sampling.holdoutSplit(
+        table(s, dir, "documents").select("doc_id"),
+        Seq("doc_id"), Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))),
+
+    // corpus mixture downsampling: cap every language at ~70 docs via a
+    // per-group deterministic keep rate (over-represented langs
+    // downsample, small langs keep whole) — the exact kept set is
+    // oracle-replayed
+    "x_corpus_mix" -> ((s, dir) =>
+      graft.operators.Sampling.sampleByGroup(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), Seq("doc_id"), target = 70L)
+        .select("doc_id", "lang")),
+
     // multimodal: binary columns + batched stub decode + frame sampling
     // (feature vector rendered as a canonical string — the driver's
     // pandas compare cannot sort array-typed columns)
@@ -638,6 +657,24 @@ object SparkEntry {
          |  ${tdigestQuantileSql("lineitem", c, 0.75)} AS q75,
          |  ${tdigestQuantileSql("lineitem", c, 0.99)} AS q99""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    // thresholds are floor(cumFraction · 2^16) in hex: 0.8 → 52428 =
+    // 'cccc', 0.9 → 58982 = 'e666' — the same constants
+    // Sampling.holdoutSplit derives (both sides IEEE-754 doubles)
+    "x_holdout_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'eval'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // per-group keep rate floor(70·2^16/cnt) as a hex bucket threshold —
+    // identical double arithmetic to Sampling.sampleByGroup
+    "x_corpus_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang)
+        |WHERE c.cnt <= 70 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |  lower(lpad(hex(CAST(floor(70.0 * 65536 / c.cnt) AS BIGINT)), 4, '0'))""".stripMargin,
 
     "x_sink_roundtrip" ->
       """SELECT doc_id, 'minLength' AS keyword, '/text' AS json_pointer,

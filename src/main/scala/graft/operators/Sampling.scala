@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
+
+/** Deterministic, engine-portable sampling — the curation operators a
+  * training-data pipeline runs before anything else touches the
+  * corpus: carve a held-out eval/test slice that NEVER leaks into
+  * training across reruns, and downsample over-represented groups to a
+  * target mixture.
+  *
+  * Both operators key their keep/route decision on a 16-bit bucket
+  * derived from `md5` of the row's key — not on `rand()` (not
+  * reproducible), not on `xxhash64`/`hash` (Spark-private seeds: no
+  * other engine can replay the assignment, and a salt change silently
+  * reshuffles the eval set). md5 over a UTF-8 key string is the one
+  * hash every SQL engine computes identically, so the exact split is
+  * replayable — and DuckDB-oracle-checkable — bit for bit.
+  *
+  * 100 TB shape: [[holdoutSplit]] is a pure per-row projection (zero
+  * shuffle, whole-stage codegen); [[sampleByGroup]] is one partial
+  * aggregation producing a groups-sized frame that broadcasts back —
+  * the corpus itself is never shuffled by either.
+  */
+object Sampling {
+
+  /** The row's 16-bit bucket as four lowercase hex chars: a uniform,
+    * deterministic position in [0, 2^16) that string-compares in key
+    * order ("0000" < … < "ffff"). Key columns are cast to string and
+    * '|'-joined (both Spark and DuckDB `concat_ws` SKIP null parts —
+    * prefer non-null key columns, e.g. a primary id).
+    */
+  def hashBucket(keyCols: Seq[Column]): Column =
+    substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*).cast("binary")), 1, 4)
+
+  /** `floor(rate · 2^16)` as the four-hex-char bucket threshold; only
+    * meaningful for rate in [0, 1) — a full-keep rate must be handled
+    * by the caller (65536 renders five chars and string-compares LOWER
+    * than most buckets).
+    */
+  private def thresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0,1): $rate")
+    f"${math.floor(rate * 65536.0).toLong}%04x"
+  }
+
+  /** Assign every row a stable split label ("train"/"eval"/"test" …)
+    * by cumulative fraction over its hash bucket. Adds `splitCol`
+    * (refused loudly if the input already has it — same reserved-name
+    * rule as the sinks). The assignment depends ONLY on the key
+    * columns: re-running over a grown corpus keeps every previously
+    * assigned row in its split (no eval→train leakage across reruns),
+    * which `df.randomSplit` cannot promise even with a fixed seed (its
+    * sampling is partition-order-dependent).
+    */
+  def holdoutSplit(df: DataFrame, keyCols: Seq[String], splits: Seq[(String, Double)],
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size, s"duplicate split labels: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    require(!df.columns.contains(splitCol),
+      s"holdoutSplit reserves '$splitCol' for the assignment; the input already has it — " +
+        "rename it or pass another splitCol")
+    // cumulative upper bounds for all but the last split (which is the
+    // CASE else); the bucket is let-bound so the md5 runs once per row,
+    // not once per WHEN arm
+    val cums = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = Dedup.let(hashBucket(keyCols.map(colExact))) { b =>
+      splits.init.zip(cums).foldRight(lit(splits.last._1): Column) {
+        case (((label, _), cum), rest) => when(b < lit(thresholdHex(cum)), label).otherwise(rest)
+      }
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Downsample every group to ≈`target` rows (groups at or under the
+    * target are kept whole): per-group keep rate = target/count,
+    * applied as a deterministic bucket threshold, so the SAME rows
+    * survive every rerun and an external engine replays the exact kept
+    * set. The standard corpus-mixing move — cap the over-represented
+    * language/source so the training mixture matches a spec instead of
+    * the crawl's skew. Expected kept size per downsampled group is
+    * within ±√target·bucket-granularity of the target (a deterministic
+    * hash is a fixed uniform draw, not a quota) — callers needing an
+    * EXACT count should top-k on the bucket instead (a per-group sort).
+    */
+  def sampleByGroup(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+                    target: Long): DataFrame = {
+    require(target > 0, s"target must be positive: $target")
+    val cnt = "__graft_cnt" // collision-proof vs input columns
+    val counts = df.groupBy(groupCols.map(colExact): _*).agg(count(lit(1)).as(cnt))
+    // groups-sized frame ⇒ broadcast; the corpus side is never shuffled
+    val thr = lower(lpad(hex(floor(lit(target.toDouble * 65536.0) / col(cnt))), 4, "0"))
+    df.join(broadcast(counts), groupCols)
+      .where(col(cnt) <= target || hashBucket(keyCols.map(colExact)) < thr)
+      .drop(cnt)
+  }
+}

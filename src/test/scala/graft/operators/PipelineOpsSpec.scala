@@ -373,6 +373,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getDouble(2) - 1.0) < 1e-9)
   }
 
+  // ---- deterministic sampling ------------------------------------------
+
+  test("holdout split: exhaustive, proportional, stable under corpus growth") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id")
+    val splits = Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)
+    val a = Sampling.holdoutSplit(d, Seq("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size == d.count())
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toString) // 500 rows: 3σ ≈ 0.054
+    assert(frac.getOrElse("eval", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03, frac.toString)
+    // keyed on the ROW, not the corpus: every assignment over a subset
+    // is identical, so growing the corpus can never move a doc between
+    // splits (the leak-freedom randomSplit(seed) cannot promise)
+    val sub = Sampling.holdoutSplit(d.where(col("doc_id") < 100), Seq("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    sub.foreach { case (id, s) => assert(a(id) == s, s"doc $id moved splits on a subset") }
+    // reserved output column and bad fractions are refused loudly
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(d.withColumn("split", lit("x")), Seq("doc_id"), splits))
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(d, Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("group downsampling: big groups capped near target, small groups whole") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang")
+    val kept = Sampling.sampleByGroup(d, Seq("lang"), Seq("doc_id"), target = 70L)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, cnt) =>
+      if (cnt <= 70) assert(byLang(lang) == cnt, s"small group $lang not kept whole")
+      else assert(byLang(lang) < cnt && math.abs(byLang(lang) - 70.0) <= 25,
+        s"$lang kept ${byLang(lang)} of $cnt (target 70)") // 3σ of the hash draw ≈ 21
+    }
+    // the kept set is a deterministic subset: identical on a rerun
+    val again = Sampling.sampleByGroup(d, Seq("lang"), Seq("doc_id"), 70L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   test("token counts: whitespace and BPE-ish subwords") {

@@ -253,6 +253,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count() == docs.where(col("n_chars") > 250).count())
   }
 
+  test("holdout split is a pure projection: one scan, no shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(Sampling.holdoutSplit(docs, Seq("doc_id"),
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)))
+    assert(!p.contains("Exchange"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("group downsampling broadcasts the counts — the corpus is never shuffled") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(Sampling.sampleByGroup(docs.select("doc_id", "lang"),
+      Seq("lang"), Seq("doc_id"), target = 70L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchange is the groups-sized count aggregation (plus its
+    // broadcast); the corpus side joins without repartitioning
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"), p)
+  }
+
   test("redaction is pure per-row regex work: one scan, no shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = plan(TextAnalysis.redact(docs, "doc_id", "text"))
