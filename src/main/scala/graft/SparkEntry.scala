@@ -658,23 +658,25 @@ object SparkEntry {
          |  ${tdigestQuantileSql("lineitem", c, 0.99)} AS q99""".stripMargin
     }.mkString("\nUNION ALL\n"),
 
-    // thresholds are floor(cumFraction · 2^16) in hex: 0.8 → 52428 =
-    // 'cccc', 0.9 → 58982 = 'e666' — the same constants
-    // Sampling.holdoutSplit derives (both sides IEEE-754 doubles)
+    // thresholds are floor(cumFraction · 2^32) in hex: 0.8 →
+    // 3435973836 = 'cccccccc', 0.9 → 3865470566 = 'e6666666' — the same
+    // constants Sampling.holdoutSplit derives (both sides IEEE-754)
     "x_holdout_split" ->
       """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'eval'
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'eval'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
-    // per-group keep rate floor(70·2^16/cnt) as a hex bucket threshold —
-    // identical double arithmetic to Sampling.sampleByGroup
+    // per-group keep rate floor(70·2^32/cnt), clamped ≥ 1, as a hex
+    // bucket threshold; null-safe group join — identical arithmetic to
+    // Sampling.sampleByGroup
     "x_corpus_mix" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang)
-        |WHERE c.cnt <= 70 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
-        |  lower(lpad(hex(CAST(floor(70.0 * 65536 / c.cnt) AS BIGINT)), 4, '0'))""".stripMargin,
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+        |WHERE c.cnt <= 70 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |  lower(lpad(hex(greatest(CAST(floor(70.0 * 4294967296 / c.cnt) AS BIGINT), 1)), 8, '0'))""".stripMargin,
 
     "x_sink_roundtrip" ->
       """SELECT doc_id, 'minLength' AS keyword, '/text' AS json_pointer,

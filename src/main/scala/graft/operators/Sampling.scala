@@ -10,7 +10,7 @@ import graft.spark.ColumnCompiler.colExact
   * training across reruns, and downsample over-represented groups to a
   * target mixture.
   *
-  * Both operators key their keep/route decision on a 16-bit bucket
+  * Both operators key their keep/route decision on a 32-bit bucket
   * derived from `md5` of the row's key — not on `rand()` (not
   * reproducible), not on `xxhash64`/`hash` (Spark-private seeds: no
   * other engine can replay the assignment, and a salt change silently
@@ -25,23 +25,31 @@ import graft.spark.ColumnCompiler.colExact
   */
 object Sampling {
 
-  /** The row's 16-bit bucket as four lowercase hex chars: a uniform,
-    * deterministic position in [0, 2^16) that string-compares in key
-    * order ("0000" < … < "ffff"). Key columns are cast to string and
-    * '|'-joined (both Spark and DuckDB `concat_ws` SKIP null parts —
-    * prefer non-null key columns, e.g. a primary id).
+  /** The row's 32-bit bucket as eight lowercase hex chars: a uniform,
+    * deterministic position in [0, 2^32) that string-compares in key
+    * order ("00000000" < … < "ffffffff"). 32 bits, not 16: a keep rate
+    * is representable down to 2^-32, so a target-70 cap still
+    * distinguishes rates for groups up to ~3·10^11 rows — 16-bit
+    * granularity would floor a >4.6M-row group's rate to ZERO and
+    * silently delete the over-represented group the cap exists for.
+    * Key columns are cast to string and '|'-joined (both Spark and
+    * DuckDB `concat_ws` SKIP null parts — prefer non-null key columns,
+    * e.g. a primary id).
     */
-  def hashBucket(keyCols: Seq[Column]): Column =
-    substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*).cast("binary")), 1, 4)
+  def hashBucket(keyCols: Seq[Column]): Column = {
+    require(keyCols.nonEmpty, "need at least one key column — an empty key " +
+      "hashes every row into one constant bucket (md5 of the empty string)")
+    substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*).cast("binary")), 1, 8)
+  }
 
-  /** `floor(rate · 2^16)` as the four-hex-char bucket threshold; only
+  /** `floor(rate · 2^32)` as the eight-hex-char bucket threshold; only
     * meaningful for rate in [0, 1) — a full-keep rate must be handled
-    * by the caller (65536 renders five chars and string-compares LOWER
+    * by the caller (2^32 renders nine chars and string-compares LOWER
     * than most buckets).
     */
   private def thresholdHex(rate: Double): String = {
     require(rate >= 0 && rate < 1, s"rate must be in [0,1): $rate")
-    f"${math.floor(rate * 65536.0).toLong}%04x"
+    f"${math.floor(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Assign every row a stable split label ("train"/"eval"/"test" …)
@@ -67,9 +75,16 @@ object Sampling {
     // CASE else); the bucket is let-bound so the md5 runs once per row,
     // not once per WHEN arm
     val cums = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thrs = cums.map(thresholdHex)
+    // a fraction below the 2^-32 bucket granularity would floor two
+    // adjacent thresholds together, making that split's CASE arm
+    // unreachable — every assignment would silently skip the label
+    require(("0" * 8 +: thrs).sliding(2).forall(p => p(0) < p(1)),
+      s"split fractions too small for the 2^-32 bucket granularity (equal " +
+        s"adjacent thresholds): ${splits.map(_._1).zip("—" +: thrs).mkString(", ")}")
     val assigned = Dedup.let(hashBucket(keyCols.map(colExact))) { b =>
-      splits.init.zip(cums).foldRight(lit(splits.last._1): Column) {
-        case (((label, _), cum), rest) => when(b < lit(thresholdHex(cum)), label).otherwise(rest)
+      splits.init.zip(thrs).foldRight(lit(splits.last._1): Column) {
+        case (((label, _), thr), rest) => when(b < lit(thr), label).otherwise(rest)
       }
     }
     df.withColumn(splitCol, assigned)
@@ -89,12 +104,28 @@ object Sampling {
   def sampleByGroup(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
                     target: Long): DataFrame = {
     require(target > 0, s"target must be positive: $target")
+    require(groupCols.nonEmpty, "need at least one group column")
     val cnt = "__graft_cnt" // collision-proof vs input columns
+    // the group columns come back under reserved names so the join
+    // condition can reference both sides unambiguously (exact-name-safe
+    // for dotted columns, no self-referencing ambiguity)
+    val gs = groupCols.indices.map(i => s"__graft_g$i")
     val counts = df.groupBy(groupCols.map(colExact): _*).agg(count(lit(1)).as(cnt))
+      .toDF(gs :+ cnt: _*)
+    // NULL-SAFE equality (<=>): a null group key is still a group —
+    // `groupBy` counts it, and a plain equi-join would silently drop
+    // every one of its rows, violating the kept-whole contract
+    val cond = groupCols.zip(gs).map { case (g, r) => colExact(g) <=> col(r) }.reduce(_ && _)
+    // keep rate floor(target·2^32/count), clamped to ≥ 1: a group past
+    // target·2^32 rows would otherwise floor to a zero threshold no
+    // bucket compares below — the whole group silently deleted. The
+    // clamp over-keeps such a group (≈ count/2^32 rows > target), which
+    // is the survivable failure; rows lost silently is not.
+    val thr = lower(lpad(hex(greatest(
+      floor(lit(target.toDouble * 4294967296.0) / col(cnt)), lit(1L))), 8, "0"))
     // groups-sized frame ⇒ broadcast; the corpus side is never shuffled
-    val thr = lower(lpad(hex(floor(lit(target.toDouble * 65536.0) / col(cnt))), 4, "0"))
-    df.join(broadcast(counts), groupCols)
+    df.join(broadcast(counts), cond)
       .where(col(cnt) <= target || hashBucket(keyCols.map(colExact)) < thr)
-      .drop(cnt)
+      .drop(gs :+ cnt: _*)
   }
 }

@@ -392,11 +392,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sub = Sampling.holdoutSplit(d.where(col("doc_id") < 100), Seq("doc_id"), splits)
       .collect().map(r => r.getLong(0) -> r.getString(1))
     sub.foreach { case (id, s) => assert(a(id) == s, s"doc $id moved splits on a subset") }
-    // reserved output column and bad fractions are refused loudly
+    // reserved output column, bad fractions, empty keys, and
+    // sub-granularity fractions (an unreachable CASE arm) refused loudly
     intercept[IllegalArgumentException](
       Sampling.holdoutSplit(d.withColumn("split", lit("x")), Seq("doc_id"), splits))
     intercept[IllegalArgumentException](
       Sampling.holdoutSplit(d, Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(d, Seq.empty, splits))
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(d, Seq("doc_id"),
+        Seq("a" -> 0.8, "b" -> 1e-12, "c" -> (0.2 - 1e-12))))
   }
 
   test("group downsampling: big groups capped near target, small groups whole") {
@@ -417,6 +423,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Sampling.sampleByGroup(d, Seq("lang"), Seq("doc_id"), 70L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == keptIds)
+    // a NULL group key is still a group: its rows survive the join
+    // (null-safe <=>) and a small null group is kept whole
+    val withNulls = d.unionByName(
+      Seq((9001L, null: String), (9002L, null: String)).toDF("doc_id", "lang"))
+    val keptNull = Sampling.sampleByGroup(withNulls, Seq("lang"), Seq("doc_id"), 70L)
+      .where(col("lang").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(9001L, 9002L), s"null group lost: $keptNull")
   }
 
   // ---- text analysis ---------------------------------------------------
