@@ -543,6 +543,14 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "shard", "bin")
     }),
 
+    // schema-inference profile: one-scan per-column nulls/distinct/
+    // bounds/lengths (the exact-distinct oracle-checkable table;
+    // inferSchema's approx-gated path is the 100 TB variant, and its
+    // self-consistency — corpus validates clean against its own
+    // inferred schema — is pinned in SchemaInferenceSpec)
+    "c_profile_docs" -> ((s, dir) =>
+      graft.spark.SchemaInference.profileTable(table(s, dir, "documents"))),
+
     // deterministic holdout split: md5-bucketed 80/10/10 train/eval/test
     // assignment keyed on doc_id — rerun-stable (no eval→train leakage
     // as the corpus grows) and engine-portable (the oracle replays the
@@ -656,6 +664,24 @@ object SparkEntry {
          |  ${tdigestQuantileSql("lineitem", c, 0.5)} AS q50,
          |  ${tdigestQuantileSql("lineitem", c, 0.75)} AS q75,
          |  ${tdigestQuantileSql("lineitem", c, 0.99)} AS q99""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
+    // per-column profile: one UNION arm per scalar column, exact
+    // distinct counts (replayable), numeric bounds as doubles, string
+    // code-point length bounds
+    "c_profile_docs" -> Seq(
+      ("doc_id", "integer"), ("text", "string"), ("lang", "string"),
+      ("source", "string"), ("n_chars", "integer")).map { case (c, jt) =>
+      val (mn, mx) =
+        if (jt == "integer") (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (ln, lx) =
+        if (jt == "string") (s"CAST(min(length($c)) AS BIGINT)", s"CAST(max(length($c)) AS BIGINT)")
+        else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      s"""SELECT '$c' AS col_name, '$jt' AS json_type,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $ln AS min_len, $lx AS max_len
+         |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n"),
 
     // thresholds are floor(cumFraction · 2^32) in hex: 0.8 →

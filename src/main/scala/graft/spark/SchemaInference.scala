@@ -1,0 +1,188 @@
+package graft.spark
+
+import graft.json.{JArr, JNum, JObj, JStr, JValue, Json}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import ColumnCompiler.colExact
+
+/** Schema INFERENCE — close the validation loop: profile a corpus in
+  * one scan and emit a draft-04 schema this engine (or the reference,
+  * or any draft-04 validator) can compile, such that the profiled data
+  * itself validates clean. The workflow the reference leaves to a
+  * human (author a schema, then validate — jsonschema.go:54-57 takes
+  * the schema as input) becomes a data-derived artifact: infer from
+  * last month's corpus, validate this month's ingest, and every drift
+  * outside observed bounds surfaces as a violation row.
+  *
+  * Inference contract (pinned by SchemaInferenceSpec's self-consistency
+  * tests): `Validate` of `df` against `inferSchema(df)` emits ZERO
+  * violations — every keyword is derived from exactly the values it
+  * will judge. NULL columns map to ABSENT keys in the row→JSON bridge
+  * (Validate.scala:187-199), so a column with any nulls is simply not
+  * `required`, and all bounds are computed over the non-null values
+  * that property validation actually sees.
+  *
+  * Scale shape: ONE aggregation pass over the corpus (null counts,
+  * numeric bounds, code-point length bounds, and an
+  * `approx_count_distinct` enum GATE — no Expand, no second scan),
+  * then one tiny `distinct().limit(k+1)` job per gate-passing column
+  * (each a partial-agg-heavy shuffle over a column the gate already
+  * bounded at ~k values). The schema itself is driver-sized by
+  * construction.
+  */
+object SchemaInference {
+
+  /** The draft-04 primitive a Spark column type infers to; None for
+    * types the scalar bridge does not profile (arrays/maps/structs/
+    * binary/temporal) — such columns stay UNCONSTRAINED (omitted from
+    * `properties` and `required`), never mis-typed.
+    */
+  def jsonTypeOf(dt: DataType): Option[String] = dt match {
+    case StringType => Some("string")
+    case ByteType | ShortType | IntegerType | LongType => Some("integer")
+    case FloatType | DoubleType => Some("number")
+    case d: DecimalType => Some(if (d.scale == 0) "integer" else "number")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: DecimalType => true
+    case _ => false
+  }
+
+  /** Per-column profile rows — (col_name, json_type, n_nulls,
+    * n_distinct, min_num, max_num, min_len, max_len) — via one
+    * aggregation unpivoted with `stack`: fully declarative, one scan.
+    * `n_distinct` here is EXACT (`countDistinct`), the oracle-checkable
+    * number; multi-column exact distinct plans an Expand that
+    * replicates rows ×(columns+1) before partial aggregation, so at
+    * 100 TB profile with [[inferSchema]]'s approx gate (or
+    * [[graft.operators.Stats.sketchStats]]) instead of this table.
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.filter(f => jsonTypeOf(f.dataType).isDefined)
+    require(fields.nonEmpty, "no scalar columns to profile")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = colExact(f.name)
+      val num = isNumeric(f.dataType)
+      val str = f.dataType == StringType
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__n$i"),
+        countDistinct(c).as(s"__d$i"),
+        (if (num) min(c).cast("double") else lit(null).cast("double")).as(s"__mn$i"),
+        (if (num) max(c).cast("double") else lit(null).cast("double")).as(s"__mx$i"),
+        (if (str) min(length(c)).cast("long") else lit(null).cast("long")).as(s"__ln$i"),
+        (if (str) max(length(c)).cast("long") else lit(null).cast("long")).as(s"__lx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val name = f.name.replace("'", "\\'")
+      s"'$name', '${jsonTypeOf(f.dataType).get}', __n$i, __d$i, __mn$i, __mx$i, __ln$i, __lx$i"
+    }.mkString(", ")
+    one.select(expr(s"stack(${fields.length}, $rows) AS " +
+      "(col_name, json_type, n_nulls, n_distinct, min_num, max_num, min_len, max_len)"))
+  }
+
+  /** Draft-04 schema JSON inferred from the data: per-column `type`,
+    * numeric `minimum`/`maximum`, string `minLength`/`maxLength`
+    * (code-point counts, matching the evaluator's rune semantics),
+    * `enum` for low-cardinality string/integer/boolean columns (at most
+    * `enumMaxDistinct` observed values — floats are never enum'd, their
+    * decimal rendering is not a stable identity), and `required` for
+    * null-free columns. Unsupported column types are left
+    * unconstrained. `additionalProperties` stays permissive — inference
+    * describes what was OBSERVED; forbidding the unobserved is a policy
+    * call the caller can splice in.
+    */
+  def inferSchema(df: DataFrame, enumMaxDistinct: Int = 8): String = {
+    val fields = df.schema.fields.filter(f => jsonTypeOf(f.dataType).isDefined)
+    require(fields.nonEmpty, "no scalar columns to infer from")
+    require(enumMaxDistinct >= 0, s"enumMaxDistinct must be >= 0: $enumMaxDistinct")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = colExact(f.name)
+      val num = isNumeric(f.dataType)
+      val str = f.dataType == StringType
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__n$i"),
+        approx_count_distinct(c).as(s"__d$i"),
+        (if (num) min(c) else lit(null)).as(s"__mn$i"),
+        (if (num) max(c) else lit(null)).as(s"__mx$i"),
+        (if (str) min(length(c)).cast("long") else lit(null).cast("long")).as(s"__ln$i"),
+        (if (str) max(length(c)).cast("long") else lit(null).cast("long")).as(s"__lx$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val props = fields.zipWithIndex.map { case (f, i) =>
+      val jt = jsonTypeOf(f.dataType).get
+      val kw = Vector.newBuilder[(String, JValue)]
+      kw += "type" -> JStr(jt)
+      if (isNumeric(f.dataType) && !row.isNullAt(row.fieldIndex(s"__mn$i"))) {
+        kw += "minimum" -> numLiteral(row.get(row.fieldIndex(s"__mn$i")))
+        kw += "maximum" -> numLiteral(row.get(row.fieldIndex(s"__mx$i")))
+      }
+      if (f.dataType == StringType && !row.isNullAt(row.fieldIndex(s"__ln$i"))) {
+        kw += "minLength" -> JNum(row.getLong(row.fieldIndex(s"__ln$i")).toString)
+        kw += "maxLength" -> JNum(row.getLong(row.fieldIndex(s"__lx$i")).toString)
+      }
+      // enum: the approx gate (rsd ~5%) is widened 2× so an undercount
+      // cannot hide a true enum; the exact limit(k+1) pass below is the
+      // authority — a gate false-positive just costs one tiny job
+      val gate = !row.isNullAt(row.fieldIndex(s"__d$i")) &&
+        row.getLong(row.fieldIndex(s"__d$i")) <= 2L * enumMaxDistinct &&
+        jt != "number" && enumMaxDistinct > 0
+      if (gate) {
+        val vals = df.select(colExact(f.name)).where(colExact(f.name).isNotNull)
+          .distinct().limit(enumMaxDistinct + 1).collect()
+        if (vals.nonEmpty && vals.length <= enumMaxDistinct) {
+          val members = vals.map(r => anyToLiteral(r.get(0))).sortBy(Json.render)
+          kw += "enum" -> JArr(members.toVector)
+        }
+      }
+      f.name -> (JObj(kw.result()): JValue)
+    }
+
+    val required = fields.zipWithIndex.collect {
+      case (f, i) if !row.isNullAt(row.fieldIndex(s"__n$i")) &&
+        row.getLong(row.fieldIndex(s"__n$i")) == 0L => JStr(f.name): JValue
+    }
+    val top = Vector.newBuilder[(String, JValue)]
+    top += "type" -> JStr("object")
+    top += "properties" -> JObj(props.toVector)
+    if (required.nonEmpty) top += "required" -> JArr(required.toVector)
+    Json.render(JObj(top.result()))
+  }
+
+  /** A Spark aggregate result as a lexical JSON number, rendered with
+    * EXACTLY the text [[SparkBridge.anyToJValue]] gives instance values
+    * (integer text for integrals, shortest-round-trip `toString` for
+    * floats, `toPlainString` for decimals): the tree evaluator compares
+    * schema and instance as BigDecimals of their lexical text, so a
+    * bound rendered any other way (e.g. a float's exact binary
+    * expansion) could sit strictly above the bridge-rendered minimum
+    * instance and flag it. Shortest-round-trip text is monotonic across
+    * distinct doubles, so ≥min/≤max stay true for every profiled value.
+    */
+  private def numLiteral(v: Any): JNum = v match {
+    case b: Byte => JNum(b.toString)
+    case s: Short => JNum(s.toString)
+    case i: Int => JNum(i.toString)
+    case l: Long => JNum(l.toString)
+    case f: Float => JNum(f.toString)
+    case d: Double => JNum(d.toString)
+    case d: java.math.BigDecimal => JNum(d.toPlainString)
+    case d: BigDecimal => JNum(d.underlying.toPlainString)
+    case other => sys.error(s"unexpected numeric aggregate value: $other")
+  }
+
+  private def anyToLiteral(v: Any): JValue = v match {
+    case s: String => JStr(s)
+    case b: Boolean => JBoolOf(b)
+    case other => numLiteral(other)
+  }
+
+  private def JBoolOf(b: Boolean): JValue = graft.json.JBool(b)
+}

@@ -1,0 +1,129 @@
+package graft.spark
+
+import graft.json.{JArr, JObj, JStr, Json}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemaInferenceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def props(json: String): JObj =
+    Json.parse(json).asInstanceOf[JObj].get("properties").get.asInstanceOf[JObj]
+
+  test("self-consistency: the corpus validates clean against its own inferred schema") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val json = SchemaInference.inferSchema(docs)
+    val schema = Validate.compileSchema(json)
+    // both evaluation paths — the keywords were derived from exactly
+    // the values they judge, so nothing may fire
+    assert(Validate.violations(docs, schema, Seq("doc_id")).count() == 0, json)
+    assert(Validate.treeViolations(docs, schema, Seq("doc_id")).count() == 0, json)
+  }
+
+  test("inferred keywords: types, required, bounds, lengths, low-cardinality enum") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val json = SchemaInference.inferSchema(docs, enumMaxDistinct = 8)
+    val p = props(json)
+    assert(p.get("doc_id").get.asInstanceOf[JObj].get("type").contains(JStr("integer")))
+    assert(p.get("text").get.asInstanceOf[JObj].get("type").contains(JStr("string")))
+    // lang has 4-5 distinct values at this SF — an enum, sorted + deduped
+    val enumVals = p.get("lang").get.asInstanceOf[JObj].get("enum")
+      .get.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].value)
+    assert(enumVals.nonEmpty && enumVals.size <= 8 && enumVals == enumVals.sorted, json)
+    // text is long prose: no enum, but observed length bounds
+    val text = p.get("text").get.asInstanceOf[JObj]
+    assert(text.get("enum").isEmpty, json)
+    assert(text.get("minLength").isDefined && text.get("maxLength").isDefined, json)
+    // every column in this table is null-free ⇒ all scalar columns required
+    val req = Json.parse(json).asInstanceOf[JObj].get("required")
+      .get.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].value).toSet
+    assert(req == docs.columns.toSet, json)
+  }
+
+  test("out-of-profile rows violate: enum, range, and length drift all surface") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = Validate.compileSchema(SchemaInference.inferSchema(docs))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val drifted = docs.limit(1).select(
+      lit(maxId + 1000000).as("doc_id"),             // beyond observed maximum
+      lit("x" * 100000).as("text"),                  // beyond observed maxLength
+      lit("tlh").as("lang"),                         // unobserved enum value
+      col("source"), col("n_chars"))
+    val v = Validate.violations(drifted, schema, Seq("doc_id"))
+      .select("keyword").collect().map(_.getString(0)).toSet
+    assert(Set("maximum", "maxLength", "enum").subsetOf(v), v.toString)
+  }
+
+  test("nullable column: not required, null rows validate clean (absent-key bridge)") {
+    val df = Seq((1L, Some("en")), (2L, None), (3L, Some("de")))
+      .toDF("id", "lang")
+    val json = SchemaInference.inferSchema(df)
+    val top = Json.parse(json).asInstanceOf[JObj]
+    val req = top.get("required").get.asInstanceOf[JArr].items
+      .map(_.asInstanceOf[JStr].value).toSet
+    assert(req == Set("id"), json) // lang has a null ⇒ not required
+    val schema = Validate.compileSchema(json)
+    assert(Validate.violations(df, schema, Seq("id")).count() == 0, json)
+    assert(Validate.treeViolations(df, schema, Seq("id")).count() == 0, json)
+  }
+
+  test("float/double bounds stay self-consistent on both paths (bridge-exact text)") {
+    // 0.1f/0.1 have no exact decimal representation — the bound must be
+    // rendered with the same shortest-round-trip text the bridge gives
+    // instances, or the tree path would flag its own minimum
+    val df = Seq(
+      (1L, 0.1, 0.1f), (2L, -3.25e10, 2.5f), (3L, 7.000000001, -0.1f),
+      (4L, Double.MinPositiveValue, 3.4e38f))
+      .toDF("id", "d", "f")
+    val json = SchemaInference.inferSchema(df)
+    val schema = Validate.compileSchema(json)
+    assert(Validate.violations(df, schema, Seq("id")).count() == 0, json)
+    assert(Validate.treeViolations(df, schema, Seq("id")).count() == 0, json)
+    // floats are never enum'd even at tiny cardinality
+    val p = props(json)
+    assert(p.get("d").get.asInstanceOf[JObj].get("enum").isEmpty, json)
+    assert(p.get("f").get.asInstanceOf[JObj].get("enum").isEmpty, json)
+  }
+
+  test("non-BMP strings: code-point length bounds agree with the rune evaluator") {
+    val df = Seq((1L, "ab"), (2L, "a😀"), (3L, "😀😀"))
+      .toDF("id", "s") // each value is 2 CODE POINTS (emoji = 1 rune, 2 UTF-16 units)
+    val json = SchemaInference.inferSchema(df)
+    val p = props(json).get("s").get.asInstanceOf[JObj]
+    assert(p.get("minLength").map(Json.render).contains("2"), json)
+    assert(p.get("maxLength").map(Json.render).contains("2"), json)
+    val schema = Validate.compileSchema(json)
+    assert(Validate.violations(df, schema, Seq("id")).count() == 0, json)
+    assert(Validate.treeViolations(df, schema, Seq("id")).count() == 0, json)
+  }
+
+  test("unsupported column types stay unconstrained, never mis-typed") {
+    val df = Seq((1L, Seq(1, 2), "en"), (2L, Seq(3), "de"))
+      .toDF("id", "arr", "lang")
+    val json = SchemaInference.inferSchema(df)
+    assert(props(json).get("arr").isEmpty, json)
+    val req = Json.parse(json).asInstanceOf[JObj].get("required")
+      .get.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].value).toSet
+    assert(req == Set("id", "lang"), json) // arr omitted from required too
+    val schema = Validate.compileSchema(json)
+    assert(Validate.treeViolations(df, schema, Seq("id")).count() == 0, json)
+  }
+
+  test("profile table: one row per scalar column with exact aggregates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prof = SchemaInference.profileTable(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == docs.columns.toSet)
+    val nc = prof("n_chars")
+    assert(nc.getString(1) == "integer")
+    assert(nc.getLong(2) == 0) // n_nulls
+    assert(nc.getDouble(4) == docs.agg(min("n_chars")).head().getLong(0).toDouble)
+    assert(nc.getDouble(5) == docs.agg(max("n_chars")).head().getLong(0).toDouble)
+    val text = prof("text")
+    assert(text.getLong(6) == docs.agg(min(length(col("text")))).head().getInt(0).toLong)
+    assert(!text.isNullAt(3) && text.getLong(3) > 0) // exact distinct
+    assert(text.isNullAt(4) && text.isNullAt(5))     // strings: no numeric bounds
+  }
+}
