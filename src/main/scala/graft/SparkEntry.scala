@@ -551,6 +551,30 @@ object SparkEntry {
     "c_profile_docs" -> ((s, dir) =>
       graft.spark.SchemaInference.profileTable(table(s, dir, "documents"))),
 
+    // the inference→validation loop end-to-end: infer a schema from the
+    // even-doc_id baseline half, validate the odd half against it —
+    // every drift row outside observed bounds/enums surfaces, and the
+    // WHOLE loop (profile aggregates → schema keywords → violation set)
+    // replays as pure SQL in the oracle
+    "x_drift_inferred" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val baseline = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val schema = Validate.compileSchema(
+        graft.spark.SchemaInference.inferSchema(baseline))
+      // the odd half plus deterministic synthetic drift (same move as
+      // t_redact's injected PII): every 10th doc gets an unobserved
+      // language, every 10th gets its text doubled past observed bounds
+      val drifted = docs.where(pmod(col("doc_id"), lit(2)) === 1).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 7, concat(col("text"), col("text")))
+          .otherwise(col("text")).as("text"),
+        when(pmod(col("doc_id"), lit(10)) === 5, lit("xx"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"))
+      Validate.violations(drifted, schema, Seq("doc_id"))
+        .select("doc_id", "keyword", "json_pointer")
+    }),
+
     // deterministic holdout split: md5-bucketed 80/10/10 train/eval/test
     // assignment keyed on doc_id — rerun-stable (no eval→train leakage
     // as the corpus grows) and engine-portable (the oracle replays the
@@ -683,6 +707,42 @@ object SparkEntry {
          |  $mn AS min_num, $mx AS max_num, $ln AS min_len, $lx AS max_len
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    // mirrors exactly the keywords inferSchema emits on the baseline
+    // half: minimum/maximum on the integer columns, min/maxLength on
+    // the string columns, enum ONLY on lang (the one column whose
+    // baseline cardinality (5) passes the enumMaxDistinct=8 gate —
+    // source has 20 distinct, text/doc_id are high-cardinality)
+    "x_drift_inferred" -> {
+      val arms = Seq(
+        ("'maximum'", "'/doc_id'", "o.doc_id > b.mx_id"),
+        ("'minimum'", "'/doc_id'", "o.doc_id < b.mn_id"),
+        ("'maximum'", "'/n_chars'", "o.n_chars > b.mx_nc"),
+        ("'minimum'", "'/n_chars'", "o.n_chars < b.mn_nc"),
+        ("'maxLength'", "'/text'", "length(o.text) > b.lx_t"),
+        ("'minLength'", "'/text'", "length(o.text) < b.ln_t"),
+        ("'maxLength'", "'/lang'", "length(o.lang) > b.lx_l"),
+        ("'minLength'", "'/lang'", "length(o.lang) < b.ln_l"),
+        ("'maxLength'", "'/source'", "length(o.source) > b.lx_s"),
+        ("'minLength'", "'/source'", "length(o.source) < b.ln_s"),
+        ("'enum'", "'/lang'",
+          "o.lang NOT IN (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0)"))
+        .map { case (kw, ptr, cond) =>
+          s"SELECT o.doc_id, $kw AS keyword, $ptr AS json_pointer FROM o, b WHERE $cond" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT min(doc_id) mn_id, max(doc_id) mx_id,
+         |  min(n_chars) mn_nc, max(n_chars) mx_nc,
+         |  min(length(text)) ln_t, max(length(text)) lx_t,
+         |  min(length(lang)) ln_l, max(length(lang)) lx_l,
+         |  min(length(source)) ln_s, max(length(source)) lx_s
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |o AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 7 THEN text || text ELSE text END AS text,
+         |  CASE WHEN doc_id % 10 = 5 THEN 'xx' ELSE lang END AS lang,
+         |  source, n_chars
+         |  FROM documents WHERE doc_id % 2 = 1)
+         |$arms""".stripMargin
+    },
 
     // thresholds are floor(cumFraction · 2^32) in hex: 0.8 →
     // 3435973836 = 'cccccccc', 0.9 → 3865470566 = 'e6666666' — the same
