@@ -241,8 +241,12 @@ object ColumnCompiler {
 
   /** JSON type of a present value, statically known from the column
     * type; None for types the fast path can't bind (timestamps, binary).
+    * Shared with [[SchemaInference]] — inference and the fast-path
+    * compiler MUST type columns by one rule, or an inferred schema's
+    * `type` keyword would be judged by different semantics than it was
+    * derived under.
     */
-  private def jsonTypeOf(dt: DataType): Option[String] = dt match {
+  private[spark] def jsonTypeOf(dt: DataType): Option[String] = dt match {
     case StringType                                    => Some("string")
     case LongType | IntegerType | ShortType | ByteType => Some("integer")
     case DoubleType | FloatType                        => Some("number")

@@ -1,7 +1,7 @@
 package graft.spark
 
-import graft.json.{JArr, JNum, JObj, JStr, JValue, Json}
-import org.apache.spark.sql.DataFrame
+import graft.json.{JArr, JBool, JNum, JObj, JStr, JValue, Json}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,9 @@ import ColumnCompiler.colExact
   * will judge. NULL columns map to ABSENT keys in the row→JSON bridge
   * (Validate.scala:187-199), so a column with any nulls is simply not
   * `required`, and all bounds are computed over the non-null values
-  * that property validation actually sees.
+  * that property validation actually sees. Column JSON types come from
+  * [[ColumnCompiler.jsonTypeOf]] — the SAME rule the fast-path
+  * compiler judges `type` by.
   *
   * Scale shape: ONE aggregation pass over the corpus (null counts,
   * numeric bounds, code-point length bounds, and an
@@ -34,57 +36,67 @@ import ColumnCompiler.colExact
   */
 object SchemaInference {
 
-  /** The draft-04 primitive a Spark column type infers to; None for
-    * types the scalar bridge does not profile (arrays/maps/structs/
-    * binary/temporal) — such columns stay UNCONSTRAINED (omitted from
-    * `properties` and `required`), never mis-typed.
-    */
-  def jsonTypeOf(dt: DataType): Option[String] = dt match {
-    case StringType => Some("string")
-    case ByteType | ShortType | IntegerType | LongType => Some("integer")
-    case FloatType | DoubleType => Some("number")
-    case d: DecimalType => Some(if (d.scale == 0) "integer" else "number")
-    case BooleanType => Some("boolean")
-    case _ => None
-  }
-
   private def isNumeric(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
          _: DecimalType => true
     case _ => false
   }
 
-  /** Per-column profile rows — (col_name, json_type, n_nulls,
-    * n_distinct, min_num, max_num, min_len, max_len) — via one
-    * aggregation unpivoted with `stack`: fully declarative, one scan.
-    * `n_distinct` here is EXACT (`countDistinct`), the oracle-checkable
-    * number; multi-column exact distinct plans an Expand that
-    * replicates rows ×(columns+1) before partial aggregation, so at
-    * 100 TB profile with [[inferSchema]]'s approx gate (or
-    * [[graft.operators.Stats.sketchStats]]) instead of this table.
+  /** The six per-column profile aggregates — ONE definition shared by
+    * [[profileTable]] (exact distinct, double/long casts for a stable
+    * table schema) and [[inferSchema]] (approx distinct gate, native
+    * types so bounds keep exact lexical rendering). Aliases are
+    * positional (`__n0`, `__d0`, …) so arbitrary column names never
+    * enter an alias.
     */
-  def profileTable(df: DataFrame): DataFrame = {
-    val fields = df.schema.fields.filter(f => jsonTypeOf(f.dataType).isDefined)
-    require(fields.nonEmpty, "no scalar columns to profile")
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+  private def profileAggs(fields: Array[StructField],
+                          distinctAgg: Column => Column,
+                          castForTable: Boolean): Seq[Column] =
+    fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
       val c = colExact(f.name)
       val num = isNumeric(f.dataType)
       val str = f.dataType == StringType
+      def cast(col: Column, to: String) = if (castForTable) col.cast(to) else col
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__n$i"),
-        countDistinct(c).as(s"__d$i"),
-        (if (num) min(c).cast("double") else lit(null).cast("double")).as(s"__mn$i"),
-        (if (num) max(c).cast("double") else lit(null).cast("double")).as(s"__mx$i"),
+        distinctAgg(c).as(s"__d$i"),
+        (if (num) cast(min(c), "double") else lit(null).cast("double")).as(s"__mn$i"),
+        (if (num) cast(max(c), "double") else lit(null).cast("double")).as(s"__mx$i"),
         (if (str) min(length(c)).cast("long") else lit(null).cast("long")).as(s"__ln$i"),
         (if (str) max(length(c)).cast("long") else lit(null).cast("long")).as(s"__lx$i"))
     }
+
+  private def scalarFields(df: DataFrame): Array[StructField] =
+    df.schema.fields.filter(f => ColumnCompiler.jsonTypeOf(f.dataType).isDefined)
+
+  /** Per-column profile rows — (col_name, json_type, n_nulls,
+    * n_distinct, min_num, max_num, min_len, max_len) — via one
+    * aggregation unpivoted with `explode(array(struct(…)))` (the same
+    * declarative one-scan shape as [[graft.operators.Stats]]; no SQL
+    * strings, so column names never need escaping). `n_distinct` here
+    * is EXACT (`countDistinct`), the oracle-checkable number;
+    * multi-column exact distinct plans an Expand that replicates rows
+    * ×(columns+1) before partial aggregation, so at 100 TB profile with
+    * [[inferSchema]]'s approx gate (or
+    * [[graft.operators.Stats.sketchStats]]) instead of this table.
+    * Numeric min/max report Spark's aggregate order (NaN greatest) —
+    * the table states what was observed; only [[inferSchema]] must
+    * keep bounds finite.
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    val fields = scalarFields(df)
+    require(fields.nonEmpty, "no scalar columns to profile")
+    val aggs = profileAggs(fields, countDistinct(_), castForTable = true)
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = fields.zipWithIndex.map { case (f, i) =>
-      val name = f.name.replace("'", "\\'")
-      s"'$name', '${jsonTypeOf(f.dataType).get}', __n$i, __d$i, __mn$i, __mx$i, __ln$i, __lx$i"
-    }.mkString(", ")
-    one.select(expr(s"stack(${fields.length}, $rows) AS " +
-      "(col_name, json_type, n_nulls, n_distinct, min_num, max_num, min_len, max_len)"))
+    val rows = array(fields.toSeq.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("col_name"),
+        lit(ColumnCompiler.jsonTypeOf(f.dataType).get).as("json_type"),
+        col(s"__n$i").as("n_nulls"), col(s"__d$i").as("n_distinct"),
+        col(s"__mn$i").as("min_num"), col(s"__mx$i").as("max_num"),
+        col(s"__ln$i").as("min_len"), col(s"__lx$i").as("max_len"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*")
   }
 
   /** Draft-04 schema JSON inferred from the data: per-column `type`,
@@ -97,40 +109,39 @@ object SchemaInference {
     * unconstrained. `additionalProperties` stays permissive — inference
     * describes what was OBSERVED; forbidding the unobserved is a policy
     * call the caller can splice in.
+    *
+    * Non-finite values (only the row bridge can produce them — JSON
+    * text cannot) drop the bound they would poison, keeping both the
+    * JSON valid (bare `NaN`/`Infinity` is not a JSON token) and the
+    * self-consistency contract intact under the engine's Spark-total-
+    * order semantics (NaN is GREATEST: it fails every `maximum` and
+    * passes every `minimum` — Evaluator.scala:122-150): a NaN or +Inf
+    * max omits `maximum`, an all-NaN or -Inf min omits `minimum`.
     */
   def inferSchema(df: DataFrame, enumMaxDistinct: Int = 8): String = {
-    val fields = df.schema.fields.filter(f => jsonTypeOf(f.dataType).isDefined)
+    val fields = scalarFields(df)
     require(fields.nonEmpty, "no scalar columns to infer from")
     require(enumMaxDistinct >= 0, s"enumMaxDistinct must be >= 0: $enumMaxDistinct")
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = colExact(f.name)
-      val num = isNumeric(f.dataType)
-      val str = f.dataType == StringType
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__n$i"),
-        approx_count_distinct(c).as(s"__d$i"),
-        (if (num) min(c) else lit(null)).as(s"__mn$i"),
-        (if (num) max(c) else lit(null)).as(s"__mx$i"),
-        (if (str) min(length(c)).cast("long") else lit(null).cast("long")).as(s"__ln$i"),
-        (if (str) max(length(c)).cast("long") else lit(null).cast("long")).as(s"__lx$i"))
-    }
+    val aggs = profileAggs(fields, approx_count_distinct(_), castForTable = false)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
 
-    val props = fields.zipWithIndex.map { case (f, i) =>
-      val jt = jsonTypeOf(f.dataType).get
+    val props = fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val jt = ColumnCompiler.jsonTypeOf(f.dataType).get
       val kw = Vector.newBuilder[(String, JValue)]
       kw += "type" -> JStr(jt)
       if (isNumeric(f.dataType) && !row.isNullAt(row.fieldIndex(s"__mn$i"))) {
-        kw += "minimum" -> numLiteral(row.get(row.fieldIndex(s"__mn$i")))
-        kw += "maximum" -> numLiteral(row.get(row.fieldIndex(s"__mx$i")))
+        val (mn, mx) = (row.get(row.fieldIndex(s"__mn$i")), row.get(row.fieldIndex(s"__mx$i")))
+        if (boundRepresentable(mn, isMax = false)) kw += "minimum" -> numLiteral(mn)
+        if (boundRepresentable(mx, isMax = true)) kw += "maximum" -> numLiteral(mx)
       }
       if (f.dataType == StringType && !row.isNullAt(row.fieldIndex(s"__ln$i"))) {
         kw += "minLength" -> JNum(row.getLong(row.fieldIndex(s"__ln$i")).toString)
         kw += "maxLength" -> JNum(row.getLong(row.fieldIndex(s"__lx$i")).toString)
       }
-      // enum: the approx gate (rsd ~5%) is widened 2× so an undercount
-      // cannot hide a true enum; the exact limit(k+1) pass below is the
-      // authority — a gate false-positive just costs one tiny job
+      // enum: the approx gate (rsd ~5%) is widened 2× so an OVERCOUNT
+      // cannot push a true ≤k column past the gate (an undercount only
+      // makes the gate easier to pass); the exact limit(k+1) pass below
+      // is the authority — a gate false-positive just costs one tiny job
       val gate = !row.isNullAt(row.fieldIndex(s"__d$i")) &&
         row.getLong(row.fieldIndex(s"__d$i")) <= 2L * enumMaxDistinct &&
         jt != "number" && enumMaxDistinct > 0
@@ -145,7 +156,7 @@ object SchemaInference {
       f.name -> (JObj(kw.result()): JValue)
     }
 
-    val required = fields.zipWithIndex.collect {
+    val required = fields.toSeq.zipWithIndex.collect {
       case (f, i) if !row.isNullAt(row.fieldIndex(s"__n$i")) &&
         row.getLong(row.fieldIndex(s"__n$i")) == 0L => JStr(f.name): JValue
     }
@@ -154,6 +165,18 @@ object SchemaInference {
     top += "properties" -> JObj(props.toVector)
     if (required.nonEmpty) top += "required" -> JArr(required.toVector)
     Json.render(JObj(top.result()))
+  }
+
+  /** True when an aggregate bound can be emitted as a JSON number that
+    * every profiled value passes: NaN poisons both ends (it fails any
+    * `maximum`, and an all-NaN column's min is NaN); signed infinity is
+    * not a JSON token, and the finite bound that would replace it
+    * would flag the infinite value itself — so the keyword is dropped.
+    */
+  private def boundRepresentable(v: Any, isMax: Boolean): Boolean = v match {
+    case d: Double => !d.isNaN && !(isMax && d.isPosInfinity) && !(!isMax && d.isNegInfinity)
+    case f: Float => !f.isNaN && !(isMax && f.isPosInfinity) && !(!isMax && f.isNegInfinity)
+    case _ => true
   }
 
   /** A Spark aggregate result as a lexical JSON number, rendered with
@@ -180,9 +203,7 @@ object SchemaInference {
 
   private def anyToLiteral(v: Any): JValue = v match {
     case s: String => JStr(s)
-    case b: Boolean => JBoolOf(b)
+    case b: Boolean => JBool(b)
     case other => numLiteral(other)
   }
-
-  private def JBoolOf(b: Boolean): JValue = graft.json.JBool(b)
 }

@@ -87,6 +87,33 @@ class SchemaInferenceSpec extends AnyFunSuite {
     assert(p.get("f").get.asInstanceOf[JObj].get("enum").isEmpty, json)
   }
 
+  test("NaN/Infinity poison only the bound they break — schema stays valid and clean") {
+    // NaN is GREATEST in the engine's Spark-total-order semantics: it
+    // fails every maximum and passes every minimum, and bare
+    // NaN/Infinity is not a JSON token — so a NaN/+Inf max drops
+    // 'maximum', a -Inf min drops 'minimum', the other bound survives
+    val df = Seq(
+      (1L, Double.NaN, 2.5, Double.NegativeInfinity),
+      (2L, 1.5, Double.PositiveInfinity, -3.0),
+      (3L, 7.0, 4.0, 0.25))
+      .toDF("id", "has_nan", "has_posinf", "has_neginf")
+    val json = SchemaInference.inferSchema(df)
+    val p = props(json)
+    val nan = p.get("has_nan").get.asInstanceOf[JObj]
+    assert(nan.get("maximum").isEmpty, json)            // NaN max unrepresentable
+    assert(nan.get("minimum").map(Json.render).contains("1.5"), json)
+    val pos = p.get("has_posinf").get.asInstanceOf[JObj]
+    assert(pos.get("maximum").isEmpty, json)            // +Inf max unrepresentable
+    assert(pos.get("minimum").map(Json.render).contains("2.5"), json)
+    val neg = p.get("has_neginf").get.asInstanceOf[JObj]
+    assert(neg.get("minimum").isEmpty, json)            // -Inf min unrepresentable
+    assert(neg.get("maximum").map(Json.render).contains("0.25"), json)
+    // the schema compiles, and the non-finite corpus validates clean
+    val schema = Validate.compileSchema(json)
+    assert(Validate.violations(df, schema, Seq("id")).count() == 0, json)
+    assert(Validate.treeViolations(df, schema, Seq("id")).count() == 0, json)
+  }
+
   test("non-BMP strings: code-point length bounds agree with the rune evaluator") {
     val df = Seq((1L, "ab"), (2L, "a😀"), (3L, "😀😀"))
       .toDF("id", "s") // each value is 2 CODE POINTS (emoji = 1 rune, 2 UTF-16 units)
