@@ -551,6 +551,15 @@ object SparkEntry {
     "c_profile_docs" -> ((s, dir) =>
       graft.spark.SchemaInference.profileTable(table(s, dir, "documents"))),
 
+    // hard per-group quota: EXACTLY min(count, 70) docs per language,
+    // ranked by hash bucket (salted two-stage window, no per-group hot
+    // reducer) — the exact kept set replays as a row_number window
+    "x_corpus_quota" -> ((s, dir) =>
+      graft.operators.Sampling.sampleByGroupExact(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), Seq("doc_id"), target = 70)
+        .select("doc_id", "lang")),
+
     // the inference→validation loop end-to-end: infer a schema from the
     // even-doc_id baseline half, validate the odd half against it —
     // every drift row outside observed bounds/enums surfaces, and the
@@ -707,6 +716,15 @@ object SparkEntry {
          |  $mn AS min_num, $mx AS max_num, $ln AS min_len, $lx AS max_len
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    // the same (bucket, key) total order as sampleByGroupExact
+    "x_corpus_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 70""".stripMargin,
 
     // mirrors exactly the keywords inferSchema emits on the baseline
     // half: minimum/maximum on the integer columns, min/maxLength on

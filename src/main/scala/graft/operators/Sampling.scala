@@ -128,4 +128,28 @@ object Sampling {
       .where(col(cnt) <= target || hashBucket(keyCols.map(colExact)) < thr)
       .drop(gs :+ cnt: _*)
   }
+
+  /** EXACTLY min(count, target) rows per group — the quota variant of
+    * [[sampleByGroup]] for callers that need the cap to be a hard
+    * number, not an expected value. Rows rank by their hash bucket
+    * (with the key columns as the unique tiebreaker — a total order,
+    * so the kept set is deterministic and engine-replayable), riding
+    * [[Ranking.topKPerGroup]]'s salted two-stage window: no
+    * one-reducer-per-group hot spot at 100 TB, unlike a bare
+    * `row_number() OVER (PARTITION BY group)`. Trade-off vs the
+    * rate-based variant: an exact quota re-draws its boundary when the
+    * corpus grows (membership near the cut can change), while
+    * [[sampleByGroup]]'s per-row threshold keeps every previously-kept
+    * row — pick by whether the hard count or rerun stability matters
+    * more. NULL group keys are one group here too (window partitioning
+    * is null-safe by construction).
+    */
+  def sampleByGroupExact(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+                         target: Int): DataFrame = {
+    require(target > 0, s"target must be positive: $target")
+    require(groupCols.nonEmpty, "need at least one group column")
+    Ranking.topKPerGroup(df, groupCols,
+      hashBucket(keyCols.map(colExact)) +: keyCols.map(colExact), target)
+      .drop("rank")
+  }
 }

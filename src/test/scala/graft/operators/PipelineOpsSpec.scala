@@ -433,6 +433,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keptNull == Set(9001L, 9002L), s"null group lost: $keptNull")
   }
 
+  test("exact group quota: exactly min(count, target) per group, hash-ranked") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang")
+    val kept = Sampling.sampleByGroupExact(d, Seq("lang"), Seq("doc_id"), target = 70)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, cnt) =>
+      assert(byLang(lang) == math.min(cnt, 70L), s"$lang kept ${byLang(lang)} of $cnt")
+    }
+    // the kept set is EXACTLY the target lowest (bucket, key) rows —
+    // the same deterministic order any engine can replay
+    val enKept = kept.where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val enExpected = d.where(col("lang") === "en")
+      .orderBy(Sampling.hashBucket(Seq(col("doc_id"))), col("doc_id"))
+      .limit(70).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enKept == enExpected)
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   test("token counts: whitespace and BPE-ish subwords") {
