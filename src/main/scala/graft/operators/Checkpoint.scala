@@ -89,7 +89,14 @@ object Checkpoint {
     // scanning every historical attempt's data — after many
     // crash/resume cycles at 10^12-row stages that difference is the
     // whole file listing + scan.
-    val viols = violationsOf(todo).withColumn("run_id", lit(attemptId))
+    val raw = violationsOf(todo)
+    // same reserved-name rule as the sinks (writeSplit's verdict,
+    // holdoutSplit's split): silently overwriting a caller's provenance
+    // column is worse than refusing
+    require(!raw.columns.contains("run_id"),
+      "runStage reserves 'run_id' as its attempt partition key; the violation frame " +
+        "already has one and withColumn would silently overwrite it — rename it first")
+    val viols = raw.withColumn("run_id", lit(attemptId))
     viols.write.mode("append").partitionBy("run_id").parquet(out)
     // A zero-violation attempt writes NO data files under partitionBy
     // (only _SUCCESS), and schema inference on such a directory THROWS —

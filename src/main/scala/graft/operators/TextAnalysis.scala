@@ -146,6 +146,16 @@ object TextAnalysis {
                     budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
+    // the documented numeric-id contract, enforced at the driver: under
+    // ANSI mode a string id would throw CAST_INVALID_INPUT mid-job (or
+    // silently mis-shard for numeric-looking strings) instead of
+    // failing loudly here
+    require(df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"idCol '$idCol' must be an integral column (sharding is pmod(id, shards)); " +
+      s"got ${df.schema(idCol).dataType.simpleString}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(colExact(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

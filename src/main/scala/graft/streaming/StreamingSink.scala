@@ -35,19 +35,26 @@ import graft.spark.Manifests
   *    compaction never touches this file, so re-delivery after a
   *    compact cannot re-append rows.
   *  - `_compacts` — written ONLY by [[compact]]: one line
-  *    `<dir> <covered-id-ranges>` naming the current compacted
-  *    directory and the batch ids it supersedes. Batch-dir visibility
-  *    is DERIVED (id committed in `_batches`, directory present, id not
-  *    covered by `_compacts`), so append and compact touch disjoint
-  *    files and cannot race each other's manifests: a batch committed
-  *    while a compact runs simply stays visible as its own directory —
-  *    uncovered — until the next compact folds it. Each compact covers
-  *    EVERY id committed at its ledger snapshot — dirs by folding them,
-  *    empty batches (no dir to fold) by range — so the covered spec
-  *    stays one contiguous range even on streams where most triggers
-  *    have zero violations, never one fragment per empty batch. (Two
-  *    CONCURRENT compacts still race last-writer-wins on `_compacts`;
-  *    run one compactor at a time.)
+  *    `<dir> <covered-id-ranges>` per LIVE compacted directory (newest
+  *    last; the newest line's ranges are the union). Batch-dir
+  *    visibility is DERIVED (id committed in `_batches`, directory
+  *    present, id not covered by `_compacts`), so append and compact
+  *    touch disjoint files and cannot race each other's manifests: a
+  *    batch committed while a compact runs simply stays visible as its
+  *    own directory — uncovered — until the next compact folds it.
+  *    Each compact covers EVERY id committed at its ledger snapshot —
+  *    dirs by folding them, empty batches (no dir to fold) by range —
+  *    so the covered spec stays one contiguous range even on streams
+  *    where most triggers have zero violations, never one fragment per
+  *    empty batch. Compaction is INCREMENTAL by default: a minor
+  *    compact folds only the uncovered batch dirs into a NEW compacted
+  *    directory appended to the manifest — per-compact write cost is
+  *    O(new data), never a rewrite of the sink's whole history — and
+  *    escalates to a full fold (every live dir into one) only when the
+  *    manifest would exceed `autoFullAt` directories, bounding read
+  *    fan-in while amortizing the full rewrite over `autoFullAt` minor
+  *    rounds. (Two CONCURRENT compacts still race last-writer-wins on
+  *    `_compacts`; run one compactor at a time.)
   *  - `_schema` — empty-parquet sidecar so a sink that has only seen
   *    empty batches (or none) still reads back with the right schema
   *    (an empty `partitionBy` write leaves no schema-bearing file).
@@ -120,8 +127,8 @@ object StreamingSink {
     val fs = rootP.getFileSystem(hconf)
     guardLegacy(fs, rootP)
     val comp = readCompacts(fs, rootP)
-    val covered = comp.map(_.covered).getOrElse(IdRanges.empty)
-    val dirs = comp.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++
+    val covered = coveredOf(comp)
+    val dirs = comp.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)) ++
       visibleBatchDirs(fs, rootP, readLedger(fs, rootP), covered)
     readDirs(spark, rootP, dirs)
   }
@@ -130,21 +137,35 @@ object StreamingSink {
   def readKeyword(spark: SparkSession, root: String, keyword: String): DataFrame =
     readCommitted(spark, root).where(col("keyword") === keyword)
 
-  /** Rewrite the live directories as ONE compacted directory, fixing
-    * the many-small-files drift of long-running micro-batch sinks
-    * (every trigger adds a directory; at a 10 s trigger that is 8,640
+  /** Fold batch directories into compacted directories, fixing the
+    * many-small-files drift of long-running micro-batch sinks (every
+    * trigger adds a directory; at a 10 s trigger that is 8,640
     * dirs/day — scan planning cost grows linearly until compacted).
+    *
+    * INCREMENTAL by default: a minor compact folds ONLY the uncovered
+    * batch dirs into a new compacted directory appended to the
+    * manifest — per-compact write cost is O(data since the last
+    * compact), never a rewrite of the sink's whole history (a
+    * fold-everything-every-time scheme pays quadratic lifetime write
+    * amplification: a year-old sink compacted daily would rewrite 365
+    * days of rows to absorb one). When the manifest would grow past
+    * `autoFullAt` directories — or when `full = true` — every live
+    * directory folds into ONE, bounding read fan-in; the full rewrite
+    * is thus amortized over `autoFullAt` minor rounds.
+    *
     * Rows keep their original `batch_id` (re-materialized as a
-    * partition column inside the compacted dir) and the ledger keeps
+    * partition column inside each compacted dir) and the ledger keeps
     * every id (replays stay deduped); visibility flips with the one
-    * atomic `_compacts` replace. Folded batch dirs and the superseded
-    * compacted dir are swept at the START of the next compact — a
+    * atomic `_compacts` replace. Folded batch dirs and superseded
+    * compacted dirs are swept at the START of the next compact — a
     * reader holding the previous `_compacts` keeps a one-compact grace
     * period, the same contract as `Sinks`. Safe to run while the query
     * appends (disjoint manifests — see the class doc), but run only
     * one compact at a time.
     */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String, full: Boolean = false,
+              autoFullAt: Int = 8): Unit = {
+    require(autoFullAt >= 1, s"autoFullAt must be >= 1: $autoFullAt")
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
@@ -152,7 +173,7 @@ object StreamingSink {
     val prior = readCompacts(fs, rootP)
 
     // sweep (one-compact grace expired): covered batch dirs were folded
-    // into the live compacted dir; c-dirs not named by _compacts are a
+    // into a live compacted dir; c-dirs not named by _compacts are a
     // superseded compact or crashed-compact debris. UNCOMMITTED batch
     // dirs are left strictly alone — they may be a batch mid-append.
     val keepRoot = prior.map(_.dir).toSet ++ Set(Compacts, SchemaDir, DataDir)
@@ -164,7 +185,7 @@ object StreamingSink {
       if (!keepRoot.contains(p.getName) && !p.getName.startsWith(Batches))
         fs.delete(p, true)
     }
-    val covered = prior.map(_.covered).getOrElse(IdRanges.empty)
+    val covered = coveredOf(prior)
     val dataP = new Path(rootP, DataDir)
     if (fs.exists(dataP)) fs.listStatus(dataP).map(_.getPath).foreach { p =>
       batchIdOf(p.getName).filter(covered.contains).foreach(_ => fs.delete(p, true))
@@ -178,17 +199,25 @@ object StreamingSink {
     // after the snapshot stays visible as its own uncovered dir
     val ledger = readLedger(fs, rootP)
     val batchDirs = visibleBatchDirs(fs, rootP, ledger, covered)
-    val dirs = prior.map(c => new Path(rootP, c.dir)).filter(fs.exists(_)).toSeq ++ batchDirs
-    if (dirs.isEmpty || (dirs.sizeIs == 1 && prior.exists(_.dir == dirs.head.getName)))
-      return // nothing to fold beyond an already-sole compacted dir
+    val priorDirs = prior.map(c => new Path(rootP, c.dir)).filter(fs.exists(_))
+    val goFull = full || prior.size >= autoFullAt
+    val foldDirs = if (goFull) priorDirs ++ batchDirs else batchDirs
+    if (foldDirs.isEmpty ||
+        (goFull && batchDirs.isEmpty && priorDirs.sizeIs == 1))
+      return // nothing new to fold (an already-sole compacted dir stays)
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
-    readDirs(spark, rootP, dirs)
+    readDirs(spark, rootP, foldDirs)
       .repartition(col("keyword"))
       .sortWithinPartitions(col("keyword"), col("batch_id"))
       .write.mode("overwrite").partitionBy("batch_id", "keyword")
       .parquet(new Path(rootP, dirName).toString)
-    Manifests.atomicReplace(hconf, rootP, Compacts,
-      dirName + " " + covered.add(ledger.committedRanges).render)
+    // newest line carries the UNION of covered ids (older lines'
+    // specs stay as written — harmless supersets never un-cover);
+    // a full fold replaces the manifest with the one surviving line
+    val newLine = dirName + " " + covered.add(ledger.committedRanges).render
+    val lines = if (goFull) Seq(newLine)
+                else prior.map(c => c.dir + " " + c.covered.render) :+ newLine
+    Manifests.atomicReplace(hconf, rootP, Compacts, lines.mkString("\n"))
     // folded dirs stay until the next compact's sweep (reader grace)
   }
 
@@ -225,8 +254,14 @@ object StreamingSink {
   }
 
   /** Union of `dirs` against the `_schema` sidecar — the ONE copy of
-    * the per-dir basePath + int→long partition-inference normalization
-    * shared by [[readCommitted]] and [[compact]].
+    * the basePath + int→long partition-inference normalization shared
+    * by [[readCommitted]] and [[compact]]. ALL batch dirs share the
+    * `data/` basePath, so they go through ONE multi-path read — the
+    * plan stays O(compacted dirs) deep (bounded by `autoFullAt`), not
+    * O(uncompacted batch count) (at a 10 s trigger a day between
+    * compacts is 8,640 dirs; one read node each would blow up analysis
+    * long before execution). Compacted dirs each carry batch_id/keyword
+    * as partition dirs under their own root, so each is its own read.
     */
   private def readDirs(spark: SparkSession, rootP: Path, dirs: Seq[Path]): DataFrame = {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -235,21 +270,18 @@ object StreamingSink {
       throw new IllegalStateException(
         s"streaming sink at $rootP has no schema sidecar — nothing was ever committed")
     val empty = spark.read.parquet(schemaP.toString)
-    dirs.foldLeft(empty) { (acc, dir) =>
-      // per-dir basePath: batch dirs surface batch_id+keyword from the
-      // path; compacted dirs carry both as real partition dirs inside.
-      // Partition inference may type batch_id as int — normalize to the
-      // sidecar's long, and let unionByName restore the column order.
-      val df = spark.read.option("basePath", basePathFor(rootP, dir).toString)
-        .parquet(dir.toString)
+    val (batchDirs, compDirs) = dirs.partition(_.getName.startsWith(BatchPrefix))
+    val reads =
+      (if (batchDirs.isEmpty) Seq.empty[DataFrame]
+       else Seq(spark.read.option("basePath", new Path(rootP, DataDir).toString)
+         .parquet(batchDirs.map(_.toString): _*))) ++
+      compDirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString))
+    reads.foldLeft(empty) { (acc, df) =>
+      // partition inference may type batch_id as int — normalize to the
+      // sidecar's long, and let unionByName restore the column order
       acc.unionByName(df.withColumn("batch_id", col("batch_id").cast("long")))
     }
   }
-
-  // basePath such that the relative path contributes exactly the
-  // batch_id=/keyword= segments: data/batch_id=N → data/; c-tok → itself
-  private def basePathFor(root: Path, dir: Path): Path =
-    if (dir.getName.startsWith(BatchPrefix)) dir.getParent else dir
 
   private def batchIdOf(dirName: String): Option[Long] =
     if (!dirName.startsWith(BatchPrefix)) None
@@ -288,11 +320,19 @@ object StreamingSink {
 
   private final case class Compacted(dir: String, covered: IdRanges)
 
-  private def readCompacts(fs: FileSystem, rootP: Path): Option[Compacted] =
-    Manifests.readLines(fs, new Path(rootP, Compacts)).headOption.map { line =>
+  /** Every live compacted directory, manifest order (oldest first). */
+  private def readCompacts(fs: FileSystem, rootP: Path): Seq[Compacted] =
+    Manifests.readLines(fs, new Path(rootP, Compacts)).map { line =>
       val (dir, spec) = line.span(!_.isWhitespace)
       Compacted(dir, IdRanges.parse(spec.trim))
     }
+
+  /** Union of the manifest's covered ids. The newest line is written
+    * as the running union, so this normally just returns it; folding
+    * keeps correctness if older manifests predate that convention.
+    */
+  private def coveredOf(comp: Seq[Compacted]): IdRanges =
+    comp.foldLeft(IdRanges.empty)((acc, c) => acc.add(c.covered.ranges))
 
   /** Sorted, merged closed ranges of batch ids — `0-5,7,9-12`. Kept as
     * ranges (never materialized into a Set) so membership stays O(file

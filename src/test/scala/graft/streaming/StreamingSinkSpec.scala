@@ -141,6 +141,47 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(StreamingSink.readCommitted(spark, root).count() == viols.count() + b0.count())
   }
 
+  test("minor compacts fold only new batches; full compact folds the manifest to one") {
+    val root = tmpDir("graft-ssink-incr")
+    val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
+    def cDirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("c-")).toSet
+    def manifestLines = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_compacts")), "UTF-8").trim.linesIterator.size
+
+    StreamingSink.appendBatch(viols.where(col("doc_id") <= 2), root, 0L)
+    StreamingSink.compact(spark, root)
+    val first = cDirs
+    assert(first.size == 1)
+    // a minor compact folds ONLY the new batch — the prior compacted
+    // dir stays live and untouched (per-compact write cost is O(new
+    // data), never a rewrite of the sink's history)
+    StreamingSink.appendBatch(viols.where(col("doc_id") === 3), root, 1L)
+    StreamingSink.compact(spark, root)
+    assert(cDirs.size == 2 && first.subsetOf(cDirs), s"got $cDirs")
+    StreamingSink.appendBatch(viols.where(col("doc_id") > 3), root, 2L)
+    StreamingSink.compact(spark, root)
+    assert(cDirs.size == 3 && manifestLines == 3)
+    val all = StreamingSink.readCommitted(spark, root)
+    assert(violationKey(all) == violationKey(viols))
+    assert(all.select("batch_id").distinct().count() == 3)
+    // nothing new ⇒ a minor compact is a no-op
+    StreamingSink.compact(spark, root)
+    assert(cDirs.size == 3)
+    // full fold: one manifest line; the three superseded dirs keep the
+    // one-compact reader grace, then the next compact's sweep reclaims
+    StreamingSink.compact(spark, root, full = true)
+    assert(manifestLines == 1 && cDirs.size == 4)
+    StreamingSink.compact(spark, root)
+    assert(cDirs.size == 1)
+    val fin = StreamingSink.readCommitted(spark, root)
+    assert(violationKey(fin) == violationKey(viols))
+    assert(fin.select("batch_id").distinct().count() == 3)
+    // autoFullAt bounds read fan-in: at the cap, a minor escalates
+    StreamingSink.appendBatch(viols.limit(1), root, 3L)
+    StreamingSink.compact(spark, root, autoFullAt = 1)
+    assert(manifestLines == 1)
+  }
+
   test("an uncommitted (crashed mid-append) batch dir is invisible, unfolded, unswept") {
     val root = tmpDir("graft-ssink-crash")
     val viols = Validate.violations(rows.toDF(), schema, Seq("doc_id"))
