@@ -314,12 +314,20 @@ object ColumnCompiler {
       *    `c === 0` would flag.
       */
     def multipleOfPred(m: BigDecimal): Option[Column => Column] =
-      if (fitsLong(m)) Some(c => pmod(c, lit(m.toLongExact)) === 0)
+      // `%` (remainder), NOT pmod: pmod's r < 0 branch yields r + m,
+      // whose magnitude needs the DIVISOR's digit count, but Spark
+      // types both as Decimal(min(p1-s1, p2-s2)+s, s) — a negative
+      // value in a narrow decimal column against a wider divisor
+      // (m Decimal(10,0), multipleOf 1e19 ⇒ pmod = 1e19-3) overflows
+      // under ANSI and kills the job instead of reporting "not a
+      // multiple". A remainder satisfies |r| ≤ min(|c|, |m|), so it
+      // always fits that result type, and r === 0 ⟺ pmod === 0.
+      if (fitsLong(m)) Some(c => (c % lit(m.toLongExact)) === 0)
       else dt match {
         case _: DecimalType =>
           val stripped = m.underlying.stripTrailingZeros
           val bd = if (stripped.scale < 0) stripped.setScale(0) else stripped
-          if (bd.precision <= 38) Some(c => pmod(c, lit(bd)) === 0)
+          if (bd.precision <= 38) Some(c => (c % lit(bd)) === 0)
           else Some(c => c === 0) // divisor exceeds every decimal(38,0) value
         case LongType if m == BigDecimal(2).pow(63) =>
           Some(c => (c === 0) || (c === Long.MinValue))

@@ -139,6 +139,30 @@ class SparkRegressionSpec extends AnyFunSuite {
     assert(fast == 1L && tree == 1L) // 2^65 IS a multiple of 2^64; 7 is not
   }
 
+  test("multipleOf wider than the column: negatives are violations, not ANSI overflows") {
+    import org.apache.spark.sql.types._
+    // pmod(-3, 1e19) = 1e19 - 3, which needs the DIVISOR's 20 digits
+    // while Spark types the result Decimal(min(p1-s1, p2-s2)+s, s) =
+    // Decimal(10,0) — under ANSI that killed the job. A remainder
+    // satisfies |r| <= min(|c|, |m|), so it always fits.
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(new java.math.BigDecimal(-3)),
+        org.apache.spark.sql.Row(new java.math.BigDecimal(0)),
+        org.apache.spark.sql.Row(new java.math.BigDecimal(7))),
+      StructType(Seq(StructField("x", DecimalType(10, 0)))))
+    val s = Validate.compileSchema("""{"properties":{"x":{"multipleOf":1e19}}}""")
+    assert(ColumnCompiler.compile(s, df.schema).isDefined, "stays on the fast path")
+    val fast = Validate.violations(df, s, Seq("x")).count()
+    val tree = Validate.treeViolations(df, s, Seq("x")).count()
+    assert(fast == 2L && tree == 2L, s"only 0 is a multiple: fast=$fast tree=$tree")
+    // same hazard with a FITS-LONG divisor wider than the column
+    val sLong = Validate.compileSchema("""{"properties":{"x":{"multipleOf":99999999999}}}""")
+    assert(ColumnCompiler.compile(sLong, df.schema).isDefined)
+    val fastL = Validate.violations(df, sLong, Seq("x")).count()
+    assert(fastL == 2L && Validate.treeViolations(df, sLong, Seq("x")).count() == 2L)
+  }
+
   test("column names containing dots validate on the fast path") {
     val df = Seq(("abcd", 9L)).toDF("a.b", "c`d")
     val schema = Validate.compileSchema(
