@@ -202,7 +202,10 @@ object SparkEntry {
       // the layout shuffle; repeat invocations (Bench's best-of-N reps)
       // then time only the recurring zero-exchange join, which is the
       // thing the bucketed layout exists to showcase
-      if (!s.catalog.tableExists(bkTables.head)) {
+      // forall, not head: if a prior rep crashed between the two
+      // writes, the retry must re-stage (writeBucketed is overwrite-
+      // mode, so re-staging an existing half is safe)
+      if (!bkTables.forall(s.catalog.tableExists)) {
         graft.operators.Referential.writeBucketed(
           table(s, dir, "documents").select("doc_id", "lang"),
           Seq("lang"), bkTables.head, buckets = 8)

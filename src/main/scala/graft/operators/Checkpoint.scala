@@ -93,7 +93,10 @@ object Checkpoint {
     // same reserved-name rule as the sinks (writeSplit's verdict,
     // holdoutSplit's split): silently overwriting a caller's provenance
     // column is worse than refusing
-    require(!raw.columns.contains("run_id"),
+    // equalsIgnoreCase: withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false, so a caller's RUN_ID
+    // would be silently replaced even though it != "run_id"
+    require(!raw.columns.exists(_.equalsIgnoreCase("run_id")),
       "runStage reserves 'run_id' as its attempt partition key; the violation frame " +
         "already has one and withColumn would silently overwrite it — rename it first")
     val viols = raw.withColumn("run_id", lit(attemptId))

@@ -68,7 +68,9 @@ object Sampling {
     require(splits.map(_._1).distinct.size == splits.size, s"duplicate split labels: $splits")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
-    require(!df.columns.contains(splitCol),
+    // equalsIgnoreCase: withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false
+    require(!df.columns.exists(_.equalsIgnoreCase(splitCol)),
       s"holdoutSplit reserves '$splitCol' for the assignment; the input already has it — " +
         "rename it or pass another splitCol")
     // cumulative upper bounds for all but the last split (which is the

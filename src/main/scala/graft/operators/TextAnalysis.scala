@@ -137,25 +137,33 @@ object TextAnalysis {
     * to the bin its running token count STARTS in. Documents are never
     * split, so a bin can overflow by at most one document — the
     * standard greedy packing contract. Deterministic and exact
-    * (DuckDB-oracle-able). `idCol` must be numeric (the shard is
+    * (DuckDB-oracle-able). `idCol` must be integral (the shard is
     * `pmod(id, shards)` so an external engine can replay it; hash
-    * sharding would be engine-specific). Output:
-    * (id, n_tokens, shard, bin).
+    * sharding would be engine-specific, and a fractional or string id
+    * has no portable pmod). Output: (id, n_tokens, shard, bin).
     */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
                     budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
-    // the documented numeric-id contract, enforced at the driver: under
-    // ANSI mode a string id would throw CAST_INVALID_INPUT mid-job (or
-    // silently mis-shard for numeric-looking strings) instead of
-    // failing loudly here
-    require(df.schema(idCol).dataType match {
+    // the documented integral-id contract, enforced at the driver:
+    // under ANSI mode a string id would throw CAST_INVALID_INPUT
+    // mid-job (or silently mis-shard for numeric-looking strings)
+    // instead of failing loudly here. Field lookup matches colExact's
+    // resolution (exact first, then case-insensitive — the session
+    // default resolver is case-insensitive, so a caller naming DOC_ID
+    // for doc_id worked before this guard and must keep working).
+    val idField = df.schema.fields.find(_.name == idCol)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(idCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"idCol '$idCol' not found among ${df.columns.mkString(", ")}"))
+    require(idField.dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0 && d.precision <= 18
       case _ => false
     }, s"idCol '$idCol' must be an integral column (sharding is pmod(id, shards)); " +
-      s"got ${df.schema(idCol).dataType.simpleString}")
+      s"got ${idField.dataType.simpleString}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(colExact(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

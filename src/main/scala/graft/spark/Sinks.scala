@@ -67,7 +67,9 @@ object Sinks {
     * rename the upstream column before splitting).
     */
   def writeSplit(df: DataFrame, pass: Column, path: String): Unit = {
-    require(!df.columns.contains("verdict"),
+    // equalsIgnoreCase: withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false
+    require(!df.columns.exists(_.equalsIgnoreCase("verdict")),
       "writeSplit reserves the 'verdict' column as its partition key; the input already " +
         "has one and withColumn would silently overwrite it — rename it before splitting")
     val marked = df.withColumn("verdict",

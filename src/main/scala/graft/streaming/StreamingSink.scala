@@ -205,7 +205,11 @@ object StreamingSink {
     if (foldDirs.isEmpty ||
         (goFull && batchDirs.isEmpty && priorDirs.sizeIs == 1))
       return // nothing new to fold (an already-sole compacted dir stays)
-    val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    // full UUID: with up to autoFullAt live c-dirs a truncated 32-bit
+    // name could collide over a sink's lifetime — mode("overwrite")
+    // would then clobber a LIVE compacted dir (its covered ids stay
+    // covered ⇒ silent data loss) and duplicate its manifest line
+    val dirName = "c-" + java.util.UUID.randomUUID().toString
     readDirs(spark, rootP, foldDirs)
       .repartition(col("keyword"))
       .sortWithinPartitions(col("keyword"), col("batch_id"))

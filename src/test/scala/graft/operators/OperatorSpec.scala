@@ -203,6 +203,22 @@ class OperatorSpec extends AnyFunSuite {
     stamped.unpersist()
   }
 
+  test("runStage refuses a violation frame already carrying run_id — any case") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_resv").toString
+    val src = SourceTable.synthesize(spark, 200)
+    val stamped = Checkpoint.stampPartitions(src, Seq("repo", "path"), 4)
+    val schema = Validate.compileSchema(graft.Schemas.fileRow)
+    def passWith(name: String)(in: org.apache.spark.sql.DataFrame) =
+      Validate.violations(in, schema, Seq("partition_id")).withColumn(name, lit("mine"))
+    val e = intercept[IllegalArgumentException](
+      Checkpoint.runStage(spark, dir, "r1", "validate", stamped)(passWith("run_id")).count())
+    assert(e.getMessage.contains("run_id"))
+    // withColumn resolves case-insensitively — a cased RUN_ID would be
+    // silently replaced just the same, so the guard must catch it
+    intercept[IllegalArgumentException](
+      Checkpoint.runStage(spark, dir, "r2", "validate", stamped)(passWith("RUN_ID")).count())
+  }
+
   test("stamped partition ids are content-derived and plan-independent") {
     val src = SourceTable.synthesize(spark, 3000)
     val a = Checkpoint.stampPartitions(src, Seq("repo", "path"), 8)

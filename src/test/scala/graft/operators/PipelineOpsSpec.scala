@@ -287,6 +287,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     // id 1 is alone on shard 1 → bin 0. The 4-token doc lands in bin 1
     // whole (bins overflow by at most one document, docs never split).
     assert(out == Set((0L, 0, 0L), (8L, 0, 0L), (16L, 0, 1L), (1L, 1, 0L)), out.toString)
+    // idCol resolution matches the session's case-insensitive analyzer
+    // (a cased name worked before the integral guard; must keep working)
+    val cased = TextAnalysis.packSequences(df, "ID",
+      TextAnalysis.tokenCount(col("text")), budget = 4, shards = 8)
+    assert(cased.count() == 4)
+    // non-integral ids refused at the driver, not mid-job
+    val e = intercept[IllegalArgumentException](TextAnalysis.packSequences(
+      df.select(col("id").cast("string").as("id"), col("text")), "id",
+      TextAnalysis.tokenCount(col("text")), budget = 4, shards = 8))
+    assert(e.getMessage.contains("integral"))
   }
 
   test("minhash_sig native expression: SQL == Scala API, k respected") {
@@ -396,6 +406,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sub-granularity fractions (an unreachable CASE arm) refused loudly
     intercept[IllegalArgumentException](
       Sampling.holdoutSplit(d.withColumn("split", lit("x")), Seq("doc_id"), splits))
+    // withColumn resolves case-insensitively — a cased SPLIT would be
+    // silently replaced just the same, so the guard must catch it
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(d.withColumn("SPLIT", lit("x")), Seq("doc_id"), splits))
     intercept[IllegalArgumentException](
       Sampling.holdoutSplit(d, Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.4)))
     intercept[IllegalArgumentException](

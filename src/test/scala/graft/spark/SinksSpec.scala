@@ -66,6 +66,11 @@ class SinksSpec extends AnyFunSuite {
     // written row — the reserved name must be refused loudly instead
     val e = intercept[IllegalArgumentException](Sinks.writeSplit(docs, lit(true), path))
     assert(e.getMessage.contains("verdict"))
+    // cased variant: withColumn resolves case-insensitively, so a
+    // caller's VERDICT would be silently replaced just the same
+    val cased = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("VERDICT", lit("upstream-triage"))
+    intercept[IllegalArgumentException](Sinks.writeSplit(cased, lit(true), path))
   }
 
   test("violations sink partitions by keyword and prunes reads to one directory") {

@@ -132,7 +132,9 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(dataDir.listFiles().map(_.getName).toSet ==
       Set("batch_id=0", "batch_id=1"))
     StreamingSink.appendBatch(b0, root, 2L)
-    StreamingSink.compact(spark, root)
+    // full fold so the SUPERSEDED-c-dir grace path is exercised too (a
+    // minor compact would leave both c-dirs live in the manifest)
+    StreamingSink.compact(spark, root, full = true)
     // second compact swept the covered dirs; the newly folded one keeps
     // ITS grace period
     assert(dataDir.listFiles().map(_.getName).toSet == Set("batch_id=2"))
