@@ -537,6 +537,47 @@ object SparkEntry {
             pmod(col("doc_id"), lit(89)), lit("00")).as("text")),
         "doc_id", "text")),
 
+    // Gopher-style repetition metrics: dup-line and dup-n-gram char
+    // fractions. The sf documents are single-line, so each doc gets a
+    // deterministic injected tail (same move as t_redact's PII): two
+    // copies of a doc_id-sized prefix as extra lines — planting dup
+    // lines AND dup 5-grams the metrics must find
+    "t_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\n"),
+            expr("substring(text, 1, 40 + CAST(doc_id % 30 AS INT))"), lit("\n"),
+            expr("substring(text, 1, 40 + CAST(doc_id % 30 AS INT))")).as("text")),
+        "doc_id", "text")),
+
+    // exact-tier decontamination: training docs whose normalized
+    // content equals an eval doc's (eval = every 41st doc verbatim, so
+    // each eval doc must at least find itself; broadcast join, zero
+    // shuffle)
+    "d_contam_exact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val eval = docs.where(pmod(col("doc_id"), lit(41)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      graft.operators.Decontamination.exactContamination(
+        docs, "doc_id", "text", eval, "eval_id", "text")
+    }),
+
+    // n-gram-tier decontamination: eval docs are 160-char middle
+    // slices of every 41st doc (a benchmark question quoted inside a
+    // training doc), so the source doc must surface with high
+    // containment of the eval shingle set; broadcast inverted index,
+    // one (train_id, eval_id) stub shuffle
+    "d_contam_ngram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val eval = docs.where(pmod(col("doc_id"), lit(41)) === 0)
+        .select(col("doc_id").as("eval_id"),
+          expr("substring(text, 21, 160)").as("text"))
+      graft.operators.Decontamination.ngramContamination(
+        docs, "doc_id", "text", eval, "eval_id", "text", minOverlap = 0.5)
+        .select(col("train_id"), col("eval_id"), col("n_eval"), col("n_hits"),
+          round(col("overlap"), 6).as("overlap"))
+    }),
+
     // sequence packing: greedy per-shard token-budget bin assignment
     // (docs never split; windows never span shards — no global sort)
     "t_pack" -> ((s, dir) => {
@@ -1175,6 +1216,112 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone
         |FROM t""".stripMargin,
+
+    // mirrors TextAnalysis.repetitionStats exactly: same injected
+    // two-line tail, same trimmed non-empty line split, same word
+    // n-grams as d_jaccard_exact's shingle CTE (n=2 and n=5 here).
+    // The engine run-length-encodes each document's SORTED array in
+    // one aggregate lambda; the oracle replays it as unnest + GROUP BY
+    // (count per distinct value = run length). Top-2-gram tie-break is
+    // (count DESC, gram ASC) on both sides — the engine keeps the
+    // first maximum in sort order. Fractions are the same double
+    // divisions, capped at 1.0, rounded 6dp for display only
+    "t_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || substring(text, 1, 40 + CAST(doc_id % 30 AS INT)) || chr(10) ||
+        |      substring(text, 1, 40 + CAST(doc_id % 30 AS INT)) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, trim(l) AS line
+        |  FROM t, unnest(string_split(text, chr(10))) AS u(l)
+        |  WHERE trim(l) <> ''),
+        |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM lines GROUP BY 1, 2),
+        |lstats AS (
+        |  SELECT doc_id, sum(c) AS n, sum(c * len) AS chars,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+        |    sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+        |  FROM lc GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, length(text) AS total,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM t),
+        |g2 AS (
+        |  SELECT doc_id, total, unnest(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM toks),
+        |g2c AS (SELECT doc_id, total, g, count(*) AS c, length(g) AS len FROM g2 GROUP BY 1, 2, 3),
+        |top2 AS (
+        |  SELECT doc_id, total, c * len AS prod FROM (
+        |    SELECT doc_id, total, c, len,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |    FROM g2c) WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM toks),
+        |g5c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len FROM g5 GROUP BY 1, 2),
+        |dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+        |  FROM g5c GROUP BY 1)
+        |SELECT l.doc_id, CAST(l.n AS BIGINT) AS n_lines,
+        |  round(l.dup_n::DOUBLE / greatest(l.n, 1), 6) AS dup_line_frac,
+        |  round(l.dup_chars::DOUBLE / greatest(l.chars, 1), 6) AS dup_line_char_frac,
+        |  round(least(1.0, t2.prod::DOUBLE / greatest(t2.total, 1)), 6) AS top_2gram_char_frac,
+        |  round(least(1.0, d5.dup_chars::DOUBLE / greatest(t2.total, 1)), 6) AS dup_5gram_char_frac
+        |FROM lstats l
+        |JOIN top2 t2 ON t2.doc_id = l.doc_id
+        |JOIN dup5 d5 ON d5.doc_id = l.doc_id""".stripMargin,
+
+    // mirrors Decontamination.exactContamination: the engine joins on
+    // xxhash64 of the normalized text, the oracle on the normalized
+    // STRING — identical pairs barring 64-bit collisions
+    "d_contam_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id AS train_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id AS eval_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents WHERE doc_id % 41 = 0)
+        |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
+
+    // mirrors Decontamination.ngramContamination: same eval slices,
+    // same 3-word shingles (d_jaccard_exact's CTE), containment of the
+    // eval DISTINCT shingle set in the train set. Engine counts 64-bit
+    // hash matches via the broadcast index, oracle intersects shingle
+    // strings — same threshold on the same unrounded double division
+    "d_contam_ngram" ->
+      """WITH ev0 AS (
+        |  SELECT doc_id AS eval_id, substring(text, 21, 160) AS text
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |etoks AS (
+        |  SELECT eval_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM ev0),
+        |esh AS (
+        |  SELECT eval_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM etoks),
+        |ttoks AS (
+        |  SELECT doc_id AS train_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tsh AS (
+        |  SELECT train_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM ttoks)
+        |SELECT t.train_id, e.eval_id,
+        |  CAST(len(e.sh) AS BIGINT) AS n_eval,
+        |  CAST(len(list_intersect(t.sh, e.sh)) AS BIGINT) AS n_hits,
+        |  round(len(list_intersect(t.sh, e.sh))::DOUBLE / len(e.sh), 6) AS overlap
+        |FROM tsh t CROSS JOIN esh e
+        |WHERE len(list_intersect(t.sh, e.sh))::DOUBLE / len(e.sh) >= 0.5""".stripMargin,
 
     // mirrors TextAnalysis.packSequences: pmod shard, per-shard ordered
     // prefix sum (ROWS frame), floor(prefix-before / budget)

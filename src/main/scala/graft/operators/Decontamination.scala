@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
+
+/** Cross-corpus contamination detection (training-data
+  * decontamination): find training documents that leak an evaluation /
+  * benchmark document, so they can be dropped before a model trains on
+  * its own test set. No reference counterpart (/root/reference
+  * validates single JSON values); this is the two-table analogue of
+  * the dedup family, with the asymmetry the 100 TB shape exploits:
+  * the TRAINING side is the 10^12-row corpus, the EVAL side is a
+  * benchmark suite measured in MBs. Both tiers below therefore
+  * broadcast the eval side and never shuffle training content:
+  *
+  *  - exact tier: join on a 64-bit hash of whitespace/case-normalized
+  *    content — one training scan, broadcast hash join, ZERO shuffle.
+  *  - n-gram tier: broadcast inverted index of the eval corpus's
+  *    distinct word shingles; the training scan explodes its own
+  *    distinct shingles (map-side), probes the index, and the only
+  *    shuffle carries (train_id, eval_id) count stubs into a partial
+  *    agg — never text, never the non-matching rows (an inner join:
+  *    clean documents exit the plan at the probe).
+  *
+  * Pure Catalyst expressions end-to-end (same tokenizer/shingles as
+  * [[Dedup]], so "n-gram" means the same thing across the dedup and
+  * decontamination families); DuckDB-oracle-able modulo xxhash64
+  * collisions, the disclaimer all shingle-hash operators here share.
+  */
+object Decontamination {
+
+  /** 64-bit key of whitespace/case-normalized content: lowercased,
+    * trimmed, interior whitespace runs collapsed to one space — the
+    * canonical "same text up to formatting" equivalence for the exact
+    * tier. (Full sha-256 is the production-scale key; the 64-bit hash
+    * keeps the broadcast small and the join shape is identical.)
+    */
+  def contentKey(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Exact-tier contamination: (train_id, eval_id) pairs whose
+    * normalized content is identical. Eval is broadcast — the training
+    * side is one scan with zero shuffle, and only matching rows
+    * survive the join.
+    */
+  def exactContamination(train: DataFrame, trainId: String, trainText: String,
+                         eval: DataFrame, evalId: String, evalText: String): DataFrame = {
+    val t = train.select(colExact(trainId).as("train_id"),
+      contentKey(colExact(trainText)).as("__k"))
+    val e = eval.select(colExact(evalId).as("eval_id"),
+      contentKey(colExact(evalText)).as("__k"))
+    t.join(broadcast(e), "__k").select("train_id", "eval_id")
+  }
+
+  /** N-gram-tier contamination: (train_id, eval_id, n_eval, n_hits,
+    * overlap) for every pair where
+    *
+    *   overlap = |shingles(eval) ∩ shingles(train)| / |shingles(eval)|
+    *             ≥ minOverlap
+    *
+    * — containment of the EVAL document's distinct word-shingle set in
+    * the training document (the decontamination direction: a training
+    * doc quoting 60% of a benchmark question is contaminated even if
+    * the question is 1% of the training doc, which is why this is
+    * containment and not [[Dedup]]'s symmetric Jaccard).
+    *
+    * `minOverlap` must be positive: zero-overlap pairs exit at the
+    * inner probe join by design (at 100 TB almost every training row
+    * is clean and must cost nothing past the scan), so an operator
+    * asked for "overlap ≥ 0" would still only return pairs sharing at
+    * least one shingle.
+    *
+    * Both sides hash shingles to 64 bits before the probe; counts
+    * equal set-intersection sizes because both sides explode DISTINCT
+    * shingle sets (each (id, shingle) row is unique, so each matching
+    * (train_id, eval_id, shingle) survives exactly once).
+    */
+  def ngramContamination(train: DataFrame, trainId: String, trainText: String,
+                         eval: DataFrame, evalId: String, evalText: String,
+                         minOverlap: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0,
+      s"minOverlap = $minOverlap outside (0, 1] — zero-overlap pairs never survive the inner probe join")
+    // eval inverted index: (shingle, eval_id, n_eval). Two-step select
+    // so the distinct shingle array is computed once (size + explode
+    // both read it; CollapseProject keeps non-cheap producers used
+    // twice in their own projection).
+    val evalSets = eval.select(colExact(evalId).as("eval_id"),
+      array_distinct(transform(Dedup.shingles(colExact(evalText), shingleN),
+        s => xxhash64(s))).as("__sh"))
+    val evalIndex = evalSets.select(col("eval_id"),
+      size(col("__sh")).cast("long").as("n_eval"),
+      explode(col("__sh")).as("__shingle"))
+    // training side: map-side distinct-shingle explode, broadcast
+    // probe, then ONE shuffle of (train_id, eval_id) stubs with
+    // map-side partial counts
+    val trainShingles = train.select(colExact(trainId).as("train_id"),
+      explode(array_distinct(transform(Dedup.shingles(colExact(trainText), shingleN),
+        s => xxhash64(s)))).as("__shingle"))
+    trainShingles.join(broadcast(evalIndex), "__shingle")
+      .groupBy(col("train_id"), col("eval_id"), col("n_eval"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits").cast("double") / col("n_eval") >= minOverlap)
+      .select(col("train_id"), col("eval_id"), col("n_eval"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_eval")).as("overlap"))
+  }
+}

@@ -177,6 +177,110 @@ object TextAnalysis {
           lit(budget.toDouble)).cast("long"))
   }
 
+  /** Run-length statistics over a pre-SORTED string array, in ONE
+    * `aggregate` pass (equal values are adjacent after the sort, so a
+    * group-by collapses to run-length encoding — no per-row map, no
+    * O(n²) membership probes). Returns a struct:
+    *
+    *   n          total elements
+    *   chars      Σ length(element) over all occurrences
+    *   dup_n      elements belonging to runs of length ≥ 2
+    *   dup_chars  Σ length over those elements
+    *   top_prod   runLen × length(value) for the LONGEST run
+    *              (ties: first in sort order = lexicographically
+    *              smallest, because only a strictly longer run
+    *              replaces the champion)
+    *
+    * `run === 0` is the no-previous-element sentinel — the prev field
+    * itself can't be, since "" is a legal element (the whole-text
+    * shingle fallback of an empty document).
+    */
+  private def rleStats(sorted: Column): Column = {
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("n"), lit(0L).as("chars"),
+      lit(0L).as("dup_n"), lit(0L).as("dup_chars"),
+      lit(0L).as("best_cnt"), lit(0L).as("top_prod"))
+    // fold the finished run at `prev` into the accumulated totals
+    def flush(a: Column): (Column, Column, Column, Column) = {
+      val r = a.getField("run")
+      val gl = length(a.getField("prev")).cast("long")
+      (when(r >= 2, a.getField("dup_n") + r).otherwise(a.getField("dup_n")),
+        when(r >= 2, a.getField("dup_chars") + r * gl).otherwise(a.getField("dup_chars")),
+        when(r > a.getField("best_cnt"), r).otherwise(a.getField("best_cnt")),
+        when(r > a.getField("best_cnt"), r * gl).otherwise(a.getField("top_prod")))
+    }
+    aggregate(sorted, zero,
+      (a, x) => {
+        val same = a.getField("run") > 0 && a.getField("prev") === x
+        val (dn, dc, bc, tp) = flush(a)
+        struct(
+          x.as("prev"),
+          when(same, a.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (a.getField("n") + 1).as("n"),
+          (a.getField("chars") + length(x).cast("long")).as("chars"),
+          when(same, a.getField("dup_n")).otherwise(dn).as("dup_n"),
+          when(same, a.getField("dup_chars")).otherwise(dc).as("dup_chars"),
+          when(same, a.getField("best_cnt")).otherwise(bc).as("best_cnt"),
+          when(same, a.getField("top_prod")).otherwise(tp).as("top_prod"))
+      },
+      a => {
+        val (dn, dc, _, tp) = flush(a)
+        struct(a.getField("n").as("n"), a.getField("chars").as("chars"),
+          dn.as("dup_n"), dc.as("dup_chars"), tp.as("top_prod"))
+      })
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling
+    * Language Models", table A1): natural text repeats itself a
+    * little, machine-generated boilerplate repeats itself a lot, and
+    * these per-document fractions are the standard curation filter
+    * for it. Output, per document:
+    *
+    *   n_lines                      non-empty trimmed lines
+    *   dup_line_frac                lines whose content occurs ≥ 2×
+    *   dup_line_char_frac           their characters / all line chars
+    *   top_<n>gram_char_frac        chars of the most frequent word
+    *                                n-gram (count × n-gram length,
+    *                                ties to the lexicographically
+    *                                smallest) / doc chars, capped at 1
+    *   dup_<n>gram_char_frac        Σ count × length over n-grams
+    *                                occurring ≥ 2× / doc chars, capped
+    *                                at 1 (the standard approximation —
+    *                                overlapping occurrences count each
+    *                                time, hence the cap)
+    *
+    * Pure per-row Catalyst work — sort each document's own line /
+    * n-gram array and run-length encode it in one `aggregate` lambda
+    * ([[rleStats]]): zero shuffles, one scan, no per-row hash maps.
+    * Word n-grams come from [[Dedup.shingles]], so "n-gram" agrees
+    * with the dedup family. Doubles rounded to 6 decimals for
+    * cross-engine bit parity (DuckDB-oracle-able).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topNgramN: Int = 2, dupNgramN: Int = 5): DataFrame = {
+    val t = colExact(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    // each rleStats struct is consumed by several metric columns below;
+    // producing them in their own projection keeps CollapseProject
+    // from inlining the aggregate into every consumer (non-cheap
+    // producers with >1 reference are not collapsed)
+    val staged = df.select(colExact(idCol),
+      rleStats(array_sort(lines)).as("__l"),
+      rleStats(array_sort(Dedup.shingles(t, topNgramN))).as("__t"),
+      rleStats(array_sort(Dedup.shingles(t, dupNgramN))).as("__d"),
+      length(t).cast("double").as("__chars"))
+    def frac(num: Column, den: Column): Column = round(num.cast("double") / greatest(den.cast("double"), lit(1.0)), 6)
+    staged.select(colExact(staged.columns.head),
+      col("__l.n").as("n_lines"),
+      frac(col("__l.dup_n"), col("__l.n")).as("dup_line_frac"),
+      frac(col("__l.dup_chars"), col("__l.chars")).as("dup_line_char_frac"),
+      round(least(lit(1.0), col("__t.top_prod") / greatest(col("__chars"), lit(1.0))), 6)
+        .as(s"top_${topNgramN}gram_char_frac"),
+      round(least(lit(1.0), col("__d.dup_chars") / greatest(col("__chars"), lit(1.0))), 6)
+        .as(s"dup_${dupNgramN}gram_char_frac"))
+  }
+
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
     * md5 shingle hashes (winnowing-style selection of the k smallest
     * window hashes — resilient to small edits), rendered as a canonical

@@ -556,6 +556,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.filter(_._1 == 2L).map(_._2).toSeq == Seq(Some(-1)))
   }
 
+  // ---- repetition metrics ----------------------------------------------
+
+  test("repetitionStats matches hand-computed fractions on planted repetition") {
+    val df = Seq(
+      (1L, "a b c d e\nx y\nx y"), // dup lines, unique 5-grams
+      (2L, ""), // empty doc: all-zero metrics, no NULLs, no crash
+      (3L, "p q r s t u p q r s t u")) // dup 5-grams, tied top 2-grams
+      .toDF("id", "text")
+    val m = TextAnalysis.repetitionStats(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: lines [a b c d e, x y, x y] → 2/3 dup, 6/15 dup chars;
+    // 2-grams: "x y" twice (len 3) over 17 chars; 5-grams all distinct
+    assert(m(1L).getLong(1) == 3L)
+    assert(m(1L).getDouble(2) == 0.666667)
+    assert(m(1L).getDouble(3) == 0.4)
+    assert(m(1L).getDouble(4) == 0.352941) // 6/17
+    assert(m(1L).getDouble(5) == 0.0)
+    // doc 2: zero everything (empty line array, whole-text shingle "")
+    assert(m(2L).getLong(1) == 0L)
+    (2 to 5).foreach(i => assert(m(2L).getDouble(i) == 0.0, s"field $i"))
+    // doc 3: one line (no dups); top 2-gram ties at count 2 → the
+    // lexicographically smallest "p q" wins: 2×3/23 chars; 5-grams
+    // "p q r s t" and "q r s t u" each twice: (2+2)×9/23 capped at 1
+    assert(m(3L).getLong(1) == 1L)
+    assert(m(3L).getDouble(2) == 0.0)
+    assert(m(3L).getDouble(4) == 0.26087) // 6/23
+    assert(m(3L).getDouble(5) == 1.0) // 36/23 capped
+  }
+
+  test("repetitionStats is a single zero-shuffle scan") {
+    val df = Seq((1L, "a b\nc d")).toDF("id", "text")
+    val plan = TextAnalysis.repetitionStats(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- decontamination ---------------------------------------------------
+
+  test("exact contamination finds whitespace/case variants, nothing else") {
+    val train = Seq((1L, "Hello  World "), (2L, "other text"), (3L, "hello world"))
+      .toDF("id", "text")
+    val eval = Seq((10L, "hello world")).toDF("eid", "etext")
+    val got = Decontamination.exactContamination(train, "id", "text", eval, "eid", "etext")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 10L)))
+  }
+
+  test("n-gram contamination: full containment of a quoted eval phrase, clean docs exit") {
+    // phrase inside loremA AND loremB (the edit is outside it); 8
+    // tokens → 6 distinct 3-shingles, all contained → overlap 1.0
+    val eval = Seq((100L, "fox jumps over the lazy dog and runs")).toDF("eval_id", "text")
+    val got = Decontamination.ngramContamination(docs, "id", "text",
+        eval, "eval_id", "text", minOverlap = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((1L, 100L), (2L, 100L), (3L, 100L)))
+    assert(got.values.forall(_ == ((6L, 6L, 1.0))))
+    // the threshold contract: overlap ≥ 0 would still be an inner join
+    intercept[IllegalArgumentException] {
+      Decontamination.ngramContamination(docs, "id", "text", eval, "eval_id", "text",
+        minOverlap = 0.0)
+    }
+  }
+
+  test("n-gram contamination broadcasts the eval index (training side never shuffles text)") {
+    val eval = Seq((100L, "fox jumps over the lazy dog and runs")).toDF("eval_id", "text")
+    val plan = Decontamination.ngramContamination(docs, "id", "text",
+      eval, "eval_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("an all-zero embedding cannot kill the near-dup job (ANSI 0/0 guard)") {
     val zero = Array.fill(8)(0f)
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
