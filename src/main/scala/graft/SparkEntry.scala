@@ -578,6 +578,15 @@ object SparkEntry {
           round(col("overlap"), 6).as("overlap"))
     }),
 
+    // corpus-level top-20 3-grams via the mergeable Misra-Gries
+    // summary — capacity 65536 exceeds the corpus's distinct-3-gram
+    // count at every shipped SF (16k at sf0.01, 27k at sf0.1), so no
+    // subtraction fires and every count is provably exact (the same
+    // pinned-exactness oracle move as c_stats_tdigest)
+    "c_top_ngrams" -> ((s, dir) =>
+      graft.operators.TextAnalysis.topNgrams(
+        table(s, dir, "documents"), "text", n = 3, k = 20, capacity = 1 << 16)),
+
     // sequence packing: greedy per-shard token-budget bin assignment
     // (docs never split; windows never span shards — no global sort)
     "t_pack" -> ((s, dir) => {
@@ -1274,6 +1283,24 @@ object SparkEntry {
         |FROM lstats l
         |JOIN top2 t2 ON t2.doc_id = l.doc_id
         |JOIN dup5 d5 ON d5.doc_id = l.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.topNgrams in its exact regime (distinct
+    // 3-grams < capacity ⇒ Misra-Gries never subtracts ⇒ counts are
+    // plain frequencies): exact GROUP BY replay, same 3-word shingle
+    // CTE, same (count DESC, gram ASC) rank tie-break
+    "c_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS gram
+        |  FROM toks),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        |r AS (SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, gram, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     // mirrors Decontamination.exactContamination: the engine joins on
     // xxhash64 of the normalized text, the oracle on the normalized

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra-Gries heavy-hitters summary (Misra & Gries 1982, "Finding
+  * repeated elements"; the summary-subtraction merge is Agarwal et
+  * al., "Mergeable Summaries", PODS'12 — public algorithms,
+  * independent implementation; no reference-repo counterpart:
+  * /root/reference has no aggregations).
+  *
+  * Corpus-level frequent-item counting with a CONSTANT-size mergeable
+  * state: each executor folds its partition's items into a local
+  * summary (map-side partial aggregation), summaries merge
+  * associatively, and the shuffle carries at most `capacity` entries
+  * per partition — never the corpus. That is the 100 TB shape for
+  * "which n-grams are boilerplate across 10^12 documents": the exact
+  * groupBy(gram).count() alternative shuffles every distinct n-gram.
+  *
+  * Estimation contract: every reported count undercounts the true
+  * count by at most [[dropped]] (the sum of all subtraction steps),
+  * and dropped ≤ N/(capacity+1) for N total insertions — so any item
+  * with true frequency above N/(capacity+1) is guaranteed to survive.
+  * When the corpus's distinct-item count never exceeds `capacity`, no
+  * subtraction ever happens, dropped stays 0, and every count is
+  * EXACT — the oracle regime the driver gate pins (same move as the
+  * t-digest δ = 2N singleton-centroid oracle).
+  */
+final class MisraGries(private var capacity0: Int) extends Serializable
+    with com.esotericsoftware.kryo.KryoSerializable {
+  require(capacity0 > 0, s"capacity must be positive, got $capacity0")
+  def capacity: Int = capacity0
+  private[functions] var counts = new scala.collection.mutable.HashMap[String, Long]()
+  private var dropped0 = 0L
+  /** Upper bound on how far any reported count falls below the truth. */
+  def dropped: Long = { trim(); dropped0 }
+
+  /** Weighted insert. The map is allowed to grow to 2×capacity before
+    * a trim so the O(size) subtraction amortizes to O(1) per insert
+    * (trimming on every overflow would be O(N·capacity)).
+    */
+  def add(x: String, w: Long = 1L): Unit = {
+    if (x == null || w <= 0L) return
+    counts.update(x, counts.getOrElse(x, 0L) + w)
+    if (counts.size > 2 * capacity0) trim()
+  }
+
+  /** Shrink to ≤ capacity entries: subtract the (capacity+1)-th
+    * largest count from every entry, drop the non-positive ones
+    * (at most `capacity` entries can exceed that order statistic).
+    */
+  private def trim(): Unit = {
+    if (counts.size <= capacity0) return
+    val vals = counts.values.toArray
+    java.util.Arrays.sort(vals)
+    val d = vals(vals.length - capacity0 - 1)
+    dropped0 += d
+    counts.filterInPlace((_, c) => c > d)
+    counts.mapValuesInPlace((_, c) => c - d)
+  }
+
+  /** Associative merge: fold the other summary's entries in (weighted
+    * adds auto-trim), accumulate its error budget.
+    */
+  def merge(other: MisraGries): MisraGries = {
+    other.counts.foreach { case (x, c) => add(x, c) }
+    dropped0 += other.dropped0
+    this
+  }
+
+  /** Top k entries by (count DESC, key ASC) — the deterministic
+    * tie-break both the engine and an external SQL replay can agree
+    * on.
+    */
+  def topK(k: Int): Seq[(String, Long)] = {
+    trim()
+    counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+  }
+
+  // Kryo hooks: trim first so the shuffle ships ≤ capacity entries.
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                     out: com.esotericsoftware.kryo.io.Output): Unit = {
+    trim()
+    out.writeInt(capacity0)
+    out.writeLong(dropped0)
+    out.writeInt(counts.size)
+    counts.foreach { case (x, c) => out.writeString(x); out.writeLong(c) }
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                    in: com.esotericsoftware.kryo.io.Input): Unit = {
+    capacity0 = in.readInt()
+    dropped0 = in.readLong()
+    val n = in.readInt()
+    counts = new scala.collection.mutable.HashMap[String, Long]()
+    counts.sizeHint(n)
+    var i = 0
+    while (i < n) { counts.update(in.readString(), in.readLong()); i += 1 }
+  }
+}
+
+/** Spark typed UDAF: Aggregator[Seq[String], MisraGries,
+  * Array[(String, Long)]] — each input row contributes its WHOLE item
+  * array (the per-document n-gram array feeds the summary without an
+  * explode), partial summaries merge associatively, ranked top-k out.
+  * NULL arrays are skipped; NULL elements are skipped by `add`.
+  */
+class TopItems(k: Int, capacity: Int)
+    extends Aggregator[Seq[String], MisraGries, Array[(String, Long)]] {
+  def zero: MisraGries = new MisraGries(capacity)
+  def reduce(b: MisraGries, a: Seq[String]): MisraGries = {
+    if (a != null) a.foreach(b.add(_))
+    b
+  }
+  def merge(b1: MisraGries, b2: MisraGries): MisraGries = b1.merge(b2)
+  def finish(r: MisraGries): Array[(String, Long)] = r.topK(k).toArray
+  def bufferEncoder: Encoder[MisraGries] = Encoders.kryo[MisraGries]
+  def outputEncoder: Encoder[Array[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(String, Long)]]()
+}
+
+object MisraGries {
+  /** `top_items(arrayCol)` aggregate Column: ranked (item, count) of
+    * the k most frequent elements across all rows' arrays.
+    */
+  def topItemsAgg(items: Column, k: Int, capacity: Int): Column =
+    udaf(new TopItems(k, capacity)).apply(items)
+}

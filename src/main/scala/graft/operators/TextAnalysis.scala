@@ -281,6 +281,35 @@ object TextAnalysis {
         .as(s"dup_${dupNgramN}gram_char_frac"))
   }
 
+  /** Corpus-level top-k word n-grams via the mergeable Misra-Gries
+    * summary ([[graft.functions.MisraGries]]) — the GLOBAL complement
+    * of [[repetitionStats]]: per-document fractions find documents
+    * that repeat themselves; this finds the boilerplate the whole
+    * corpus repeats (license headers, navigation chrome, generated
+    * preambles) so curation can strip it.
+    *
+    * Scale shape: each row feeds its n-gram array straight into the
+    * partial aggregate (no explode — the corpus's n-grams never
+    * become rows), partials are constant-size summaries (≤ capacity
+    * entries ride the shuffle per partition), one merge reduce. The
+    * exact `groupBy(gram).count()` alternative shuffles every
+    * distinct n-gram in 10^12 documents.
+    *
+    * Counts are exact while the corpus's distinct n-gram count stays
+    * ≤ capacity (no subtraction ever fires — the DuckDB-oracle
+    * regime); beyond it they undercount by at most N/(capacity+1)
+    * with every item above that frequency guaranteed present. Output:
+    * (rank, gram, cnt) ranked by (count DESC, gram ASC) — ties broken
+    * lexicographically so independent engines agree.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 20,
+                capacity: Int = 1 << 16): DataFrame =
+    df.select(graft.functions.MisraGries.topItemsAgg(
+        Dedup.shingles(colExact(textCol), n), k, capacity).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("gram"), col("col._2").as("cnt"))
+
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
     * md5 shingle hashes (winnowing-style selection of the k smallest
     * window hashes — resilient to small edits), rendered as a canonical

@@ -592,6 +592,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---- corpus heavy hitters ----------------------------------------------
+
+  test("Misra-Gries is exact below capacity and error-bounded above it") {
+    import graft.functions.MisraGries
+    // exact regime: distinct ≤ capacity ⇒ dropped 0, counts exact
+    val exact = new MisraGries(8)
+    val stream = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")
+    stream.foreach(exact.add(_))
+    assert(exact.dropped == 0L)
+    assert(exact.topK(3) == Seq(("a", 5L), ("b", 3L), ("c", 1L))) // count desc, key asc
+    // trim regime: capacity 2, heavy item among 100 distinct lights
+    val mg = new MisraGries(2)
+    val n = 1000
+    (0 until n).foreach { i =>
+      mg.add("heavy"); mg.add(s"light${i % 100}")
+    }
+    val est = mg.topK(1)
+    assert(est.head._1 == "heavy", s"heavy hitter evicted: $est")
+    assert(mg.dropped <= (2L * n) / 3 + 1, s"dropped ${mg.dropped} exceeds N/(cap+1)")
+    assert(est.head._2 >= n - mg.dropped, "estimate fell below the undercount bound")
+    assert(est.head._2 <= n, "estimate overcounts")
+    // merge of halves equals the whole in the exact regime
+    val (h1, h2) = (new MisraGries(16), new MisraGries(16))
+    Seq.fill(4)("x").foreach(h1.add(_)); h1.add("y")
+    Seq.fill(2)("x").foreach(h2.add(_)); h2.add("z")
+    assert(h1.merge(h2).topK(3) == Seq(("x", 6L), ("y", 1L), ("z", 1L)))
+  }
+
+  test("topNgrams matches brute-force n-gram counting with deterministic rank ties") {
+    val got = TextAnalysis.topNgrams(docs, "text", n = 2, k = 5, capacity = 1 << 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // brute force over the same tokenizer/shingles
+    val grams = docs.collect().flatMap { r =>
+      val toks = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }
+    val expect = grams.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(5)
+      .zipWithIndex.map { case ((g, c), i) => (i + 1L, g, c) }
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   // ---- decontamination ---------------------------------------------------
 
   test("exact contamination finds whitespace/case variants, nothing else") {
