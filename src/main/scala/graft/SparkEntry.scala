@@ -363,6 +363,25 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // connected components (alternating large/small-star) over the
+    // exact near-dup pair set → dedup clusters; component = smallest
+    // reachable doc_id. DuckDB replays the transitive closure as a
+    // recursive CTE over the same replayed pair set
+    "d_dup_clusters" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+        graft.operators.Dedup.exactJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2))),
+
+    // collapse the corpus against those clusters: keep the min-id doc
+    // of every near-dup cluster plus every unpaired doc (the actual
+    // dedup deliverable — pairs in, smaller corpus out)
+    "x_dedup_keep" -> ((s, dir) =>
+      graft.operators.Components.keepCanonical(
+        table(s, dir, "documents"), "doc_id",
+        graft.operators.Dedup.exactJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2))
+        .select("doc_id", "lang", "n_chars")),
+
     // SimHash (native codegen expression) near-dup pairs by hamming
     "d_simhash_pairs" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(
@@ -711,6 +730,34 @@ object SparkEntry {
       |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
       |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
       |LIMIT 10""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Dedup.exactJaccardPairs]] over
+    * `documents` (same tokenizer: lower + non-alnum split with empties
+    * dropped; same 3-word shingles with the short-doc whole-text
+    * fallback; Jaccard over DISTINCT shingle sets; threshold applied to
+    * the same double division). ONE copy shared by `d_jaccard_exact`
+    * and the connected-components closures (`d_dup_clusters`,
+    * `x_dedup_keep`) so the pair rule can never drift between the pair
+    * query and its cluster queries. The engine intersects 64-bit
+    * shingle hashes, the oracle shingle STRINGS — identical pairs
+    * barring xxhash64 collisions (~|A∪B|²/2⁶⁴ per pair).
+    */
+  private val jaccardPairsCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+      |    ELSE [array_to_string(toks, ' ')] END AS sh
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.2)""".stripMargin
 
   private val qualityScoreSql: String =
     """round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
@@ -1106,28 +1153,42 @@ object SparkEntry {
       """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
-    // brute-force replay of exactJaccardPairs: same tokenizer (lower +
-    // non-alnum split, empties dropped), same 3-word shingles with the
-    // short-doc whole-text fallback, Jaccard over DISTINCT shingle sets.
-    // The engine intersects 64-bit shingle hashes, the oracle shingle
-    // STRINGS — identical counts barring xxhash64 collisions (~|A∪B|²/2⁶⁴
-    // per pair). The threshold is applied to the same double division on
-    // both sides; round(…,6) only formats the published value
+    // brute-force replay of exactJaccardPairs — see jaccardPairsCte;
+    // round(…,6) only formats the published value
     "d_jaccard_exact" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
-        |    ELSE [array_to_string(toks, ' ')] END AS sh
-        |  FROM toks)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
+      s"""WITH $jaccardPairsCte
+        |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // transitive closure of the SAME replayed pair set (d_jaccard_exact's
+    // CTEs verbatim): component = min reachable doc_id, computed by a
+    // recursive CTE with UNION dedup (terminates on cycles)
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS id, least(u, min(v)) AS component
+        |FROM reach GROUP BY u""".stripMargin,
+
+    // survivors after collapsing each near-dup cluster to its min id
+    "x_dedup_keep" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
 
     "s_cosine_topk" -> bruteForceTopKSql,
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
+
+/** Distributed connected components over near-duplicate pair sets —
+  * the collapse step that turns the pairing operators' output
+  * ([[Dedup.nearDuplicatePairs]], [[Dedup.exactJaccardPairs]],
+  * [[Dedup.simhashPairs]], [[Similarity.embeddingNearDupPairs]]) into
+  * dedup clusters and a canonical keep-list. No reference counterpart
+  * (/root/reference validates single JSON values); this is the
+  * transitive-closure half of corpus dedup that pair emission alone
+  * leaves open: near-duplication is not transitive, so "drop one side
+  * of every pair" both over-deletes (A–B, B–C, drop B and C ⇒ the
+  * A-cluster loses two docs for one cluster) and under-deletes
+  * (keeping both ends of a pair whose partners were dropped for other
+  * pairs) — cluster-then-keep-one is the standard recipe.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014) — converges to a star forest
+  * (every node pointing at its component's minimum id) in O(log² n)
+  * rounds, in practice a handful. 100 TB shape:
+  *
+  *  - each star operation is a groupBy-min plus an equi-join on the
+  *    node id — NO adjacency-list `collect_list` anywhere, so a hub
+  *    node with 10⁹ neighbors (one boilerplate document near-dup to
+  *    everything) never materializes a giant aggregation row (the
+  *    same hazard [[Pairs]] blocks for pair expansion); WindowExec/
+  *    hash-agg buffers spill, per-row width stays constant.
+  *  - the per-round driver loop iterates over JOBS (log² n of them),
+  *    never over rows; each round's edge set is localCheckpoint'ed so
+  *    plan depth stays O(1) instead of growing by two joins per round
+  *    (an uncheckpointed iteration re-derives every prior round on
+  *    each action and overflows the planner at scale).
+  *  - convergence is detected from a 2-long signature (count +
+  *    bit_xor of the pair hash) — one cheap agg per round, no
+  *    driver-side edge comparison. bit_xor, not sum: Spark 4's ANSI
+  *    mode throws on long-sum overflow.
+  *
+  * localCheckpoint blocks are not recoverable across executor loss —
+  * same trade, and same rationale, as [[Dedup.nearDuplicatePairs]]'s
+  * eager mode: a production dedup stage writes the (tiny) cluster map
+  * to durable storage immediately anyway.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as an edge
+    * list: one row per non-isolated node, `(id, component)` where
+    * `component` is the SMALLEST node id reachable from `id`
+    * (including itself — a component's minimum maps to itself).
+    * Nodes appearing in no edge are absent by construction; corpus
+    * rows without a near-dup pair are already canonical and never
+    * needed a cluster id (see [[keepCanonical]]).
+    *
+    * Ids must be orderable and non-null; self-loops and duplicate /
+    * reversed edges are tolerated (normalized away up front).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // normalize: distinct (larger, smaller) pairs, self-loops dropped
+    var cur = edges
+      .select(colExact(srcCol).as("u"), colExact(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(cur)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "the large/small-star fixed point needs O(log^2 n) rounds; raise maxIter")
+    // fixed point = star forest: every non-root points straight at its
+    // component min. Roots (the mins) have no outgoing edge — add their
+    // identity rows so every clustered node gets exactly one row.
+    val members = cur.select(col("u").as("id"), col("v").as("component"))
+    members.unionByName(
+      members.select(col("component").as("id")).distinct()
+        .withColumn("component", col("id")))
+  }
+
+  /** (count, xor-of-pair-hashes) — an order-independent edge-set
+    * signature; two DISTINCT edge sets agree only on a 64-bit hash
+    * collision.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Large-star: every node u connects its LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Emitted edges always point larger→smaller
+    * (v > u ≥ m), so no orientation pass is needed afterwards.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: over larger→smaller edges, every node u connects its
+    * smaller neighborhood N(u) ∪ {u} to its minimum m, dropping the
+    * m→m self-loop.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val directed = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    // all of N(u) is < u here, so min(N ∪ {u}) = min(v)
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    directed.join(mins, "u")
+      .select(col("v").as("n"), col("m"))
+      .unionByName(mins.select(col("u").as("n"), col("m")))
+      .where(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** The rows [[keepCanonical]] deletes: cluster members whose id is
+    * not their component's minimum — `(id, component)`, one row per
+    * dropped document, the audit trail of a dedup pass.
+    */
+  def droppedMembers(pairs: DataFrame, srcCol: String = "id_a",
+                     dstCol: String = "id_b", maxIter: Int = 50): DataFrame =
+    connectedComponents(pairs, srcCol, dstCol, maxIter)
+      .where(col("id") =!= col("component"))
+
+  /** Collapse a corpus against a near-dup pair set: keep exactly one
+    * document per duplicate cluster (the minimum id — deterministic
+    * and rerun-stable, unlike "first seen") plus every unpaired
+    * document. The corpus is LEFT ANTI joined against the (tiny)
+    * dropped-member list — the 10^12-row side is never shuffled
+    * beyond the join itself, and AQE turns the anti-join into a
+    * broadcast when the drop list fits (the common case: drops are
+    * bounded by the pair count, a sliver of the corpus).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    srcCol: String = "id_a", dstCol: String = "id_b",
+                    maxIter: Int = 50): DataFrame = {
+    val drops = droppedMembers(pairs, srcCol, dstCol, maxIter).select(col("id").as("__drop_id"))
+    df.join(drops, colExact(idCol) === col("__drop_id"), "left_anti")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("id_a", "id_b"), maxIter = maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference union-find with path compression — the oracle for the
+    * randomized cases.
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots keep the min by the union rule above
+    parent.keys.toVector.map(k => k -> find(k)).toMap
+  }
+
+  test("path graph collapses to its minimum") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("two components, dup/reversed/self edges tolerated") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (10L, 11L), (11L, 10L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("hub star where the hub is the largest id") {
+    val edges = (1L to 9L).map(i => (100L, i))
+    val got = cc(edges)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 9L).toSet + 100L)
+  }
+
+  test("long path converges within the round bound (needs >1 round)") {
+    val n = 257L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("empty pair set yields an empty cluster map") {
+    assert(cc(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("randomized graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 30 + rnd.nextInt(120)
+      val nEdges = rnd.nextInt(2 * nNodes)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = cc(edges)
+      assert(got == expected, s"trial $trial: nodes=$nNodes edges=$nEdges")
+    }
+  }
+
+  test("each clustered node gets exactly one row; component is its own min") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val out = Components.connectedComponents(edges.toDF("id_a", "id_b")).cache()
+    try {
+      assert(out.groupBy("id").count().where(col("count") > 1).isEmpty,
+        "duplicate id rows in the cluster map")
+      // every component label maps to itself
+      val labels = out.select(col("component").as("id")).distinct()
+      val selfRows = out.join(labels, "id").where(col("id") === col("component"))
+      assert(selfRows.count() == labels.count())
+    } finally out.unpersist()
+  }
+
+  test("keepCanonical keeps one doc per cluster plus all unpaired docs") {
+    val docs = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {1,2,3}, {10,11}; 4..9, 12..20 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Components.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == ((1L to 20L).toSet -- Set(2L, 3L, 11L)))
+    val dropped = Components.droppedMembers(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dropped == Map(2L -> 1L, 3L -> 1L, 11L -> 10L))
+  }
+
+  test("string ids cluster by lexicographic minimum") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("non-convergence within maxIter fails loudly instead of returning partial clusters") {
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
