@@ -68,6 +68,19 @@ object SparkEntry {
     "v_doc_violations" -> ((s, dir) =>
       Validate.violations(table(s, dir, "documents"), documentSchema, Seq("doc_id"))),
 
+    // registry-routed validation: per-lang schema dispatch in ONE scan
+    // via a chained when() over per-route violation arrays (the
+    // table-scale lift of the reference's URI-keyed schema cache);
+    // strict mode turns unregistered langs into no_schema violations
+    "v_routed" -> ((s, dir) => {
+      val routed = Map(
+        "en" -> Validate.compileSchema("""{"properties":{"text":{"maxLength":400}}}"""),
+        "de" -> Validate.compileSchema("""{"properties":{"source":{"pattern":"^src[0-4]$"}}}"""),
+        "fr" -> Validate.compileSchema("""{"properties":{"n_chars":{"minimum":100}}}"""))
+      Validate.routedViolations(table(s, dir, "documents"), "lang", routed,
+        Seq("doc_id"), strict = true)
+    }),
+
     // per-row verdict aggregated by lang (pass-rate summary)
     "v_doc_summary" -> ((s, dir) => {
       val df = table(s, dir, "documents")
@@ -946,6 +959,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
         |  FROM documents WHERE n_chars > 500""".stripMargin,
+
+    // same per-lang rules as the routed schemas; the no_schema message
+    // carries the route value exactly as the engine renders it
+    "v_routed" ->
+      """SELECT doc_id, 'maxLength' AS keyword, '/text' AS json_pointer,
+        |       'String length must be at most 400 characters.' AS message
+        |  FROM documents WHERE lang = 'en' AND length(text) > 400
+        |UNION ALL
+        |SELECT doc_id, 'pattern', '/source', 'String must match the pattern: "^src[0-4]$".'
+        |  FROM documents WHERE lang = 'de' AND NOT regexp_matches(source, '^src[0-4]$')
+        |UNION ALL
+        |SELECT doc_id, 'minimum', '/n_chars', 'Value must be at least 100.'
+        |  FROM documents WHERE lang = 'fr' AND n_chars < 100
+        |UNION ALL
+        |SELECT doc_id, 'no_schema', '', 'No schema registered for route ''' || lang || '''.'
+        |  FROM documents WHERE lang NOT IN ('en','de','fr')""".stripMargin,
 
     "v_jsonl_source" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,

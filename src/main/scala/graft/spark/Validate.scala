@@ -74,17 +74,84 @@ object Validate {
         .select(keys :+ col("v.keyword").as("keyword") :+
           col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
     } else {
-      val predViols: Seq[Column] = if (preds.isEmpty) Nil else Seq {
-        transform(filter(predStructArray, v => !v("pass")),
-          v => Check.violStruct(v("keyword"), v("json_pointer"), v("message")))
-      }
-      val all = (predViols ++ elems.map(_.violations)) match {
-        case Seq(one) => one
-        case many     => concat(many: _*)
-      }
-      df.select(keys :+ explode(all).as("v"): _*)
+      df.select(keys :+ explode(violationsArray(checks)).as("v"): _*)
         .select(keys :+ col("v.keyword").as("keyword") :+
           col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+    }
+  }
+
+  /** The failing checks as one `array<struct<keyword, json_pointer,
+    * message>>` column — the array form of [[fastViolations]], for
+    * callers that compose violation sets per row (schema routing)
+    * before one shared explode. Empty checks ⇒ typed empty array.
+    */
+  def violationsArray(checks: Seq[Check]): Column = {
+    val preds = checks.collect { case p: PredCheck => p }
+    val elems = checks.collect { case e: ElemCheck => e }
+    val predViols: Seq[Column] = if (preds.isEmpty) Nil else Seq {
+      transform(
+        filter(array(preds.map { ch =>
+          struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+            ch.msg.as("message"), ch.pass.as("pass"))
+        }: _*), v => !v("pass")),
+        v => Check.violStruct(v("keyword"), v("json_pointer"), v("message")))
+    }
+    (predViols ++ elems.map(_.violations)) match {
+      case Seq()    => Check.emptyViolations
+      case Seq(one) => one
+      case many     => concat(many: _*)
+    }
+  }
+
+  /** Registry-routed validation: each row is validated against the
+    * schema selected by its `routeCol` value — the table-scale lift of
+    * the reference's URI-keyed schema cache (jsonschema.go:59-63): a
+    * corpus where languages / tenants / document types carry different
+    * contracts validates in ONE scan. All schemas compile once on the
+    * driver; rows dispatch through a chained `when()` over per-route
+    * violation arrays — codegen'd, no shuffle, no per-row schema
+    * lookup, and no per-route filter+union plan (which would read the
+    * 100 TB table once per route). Routes whose schema the fast path
+    * cannot express run the tree path over just their rows (one extra
+    * pruned scan per such route — the same fast/tree split as
+    * [[violations]]).
+    *
+    * A row whose route value has no registered schema (or is NULL)
+    * passes when `strict = false` — the reference's stance that absence
+    * of a contract is not a violation (unknown keywords drop,
+    * jsonschema.go:106-113); `strict = true` emits a synthetic
+    * `no_schema` violation carrying the route value.
+    */
+  def routedViolations(df: DataFrame, routeCol: String,
+                       schemas: Map[String, CompiledSchema], keyCols: Seq[String],
+                       strict: Boolean = false): DataFrame = {
+    val route = ColumnCompiler.colExact(routeCol)
+    val compiledAll = schemas.toSeq.sortBy(_._1)
+      .map { case (v, cs) => (v, cs, ColumnCompiler.compile(cs, df.schema)) }
+    val fastRoutes = compiledAll.collect { case (v, _, Some(checks)) => (v, checks) }
+    val treeRoutes = compiledAll.collect { case (v, cs, None) => (v, cs) }
+    val noSchema: Column =
+      if (!strict) Check.emptyViolations
+      else array(Check.violStruct(lit("no_schema"), lit(""),
+        concat(lit("No schema registered for route '"),
+          coalesce(route.cast("string"), lit("null")), lit("'."))))
+    val routedArr = fastRoutes.foldRight(noSchema) { case ((v, checks), acc) =>
+      when(route === lit(v), violationsArray(checks)).otherwise(acc)
+    }
+    val keys = keyCols.map(ColumnCompiler.colExact)
+    val fastPart = {
+      // tree-routed rows are excluded here (they get their own pass);
+      // NULL routes stay — `=== lit(v)` is never true for them, so they
+      // fall through the chain to the no-schema default
+      val base =
+        if (treeRoutes.isEmpty) df
+        else df.where(!route.isin(treeRoutes.map(_._1): _*) || route.isNull)
+      base.select(keys :+ explode(routedArr).as("v"): _*)
+        .select(keys :+ col("v.keyword").as("keyword") :+
+          col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
+    }
+    treeRoutes.foldLeft(fastPart) { case (acc, (v, cs)) =>
+      acc.unionByName(treeViolations(df.where(route === lit(v)), cs, keyCols))
     }
   }
 

@@ -1,0 +1,91 @@
+package graft.spark
+
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-routed validation ([[Validate.routedViolations]]):
+  * per-route dispatch semantics, strict/lenient no-schema handling,
+  * mixed fast/tree routing, and the one-scan plan contract.
+  */
+class RoutedValidateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val enSchema = """{"properties":{"text":{"maxLength":5}}}"""
+  private val deSchema = """{"properties":{"text":{"pattern":"^[a-z]+$"}}}"""
+
+  private def docs = Seq(
+    (1L, "en", "short"),       // en, len 5 → passes maxLength 5
+    (2L, "en", "muchtoolong"), // en, len 11 → maxLength violation
+    (3L, "de", "klein"),       // de, matches pattern
+    (4L, "de", "GROSS"),       // de, pattern violation
+    (5L, "es", "hola"),        // no schema registered
+    (6L, null, "nullroute")    // NULL route
+  ).toDF("doc_id", "lang", "text")
+
+  private def routed(strict: Boolean) =
+    Validate.routedViolations(docs, "lang",
+      Map("en" -> Validate.compileSchema(enSchema),
+          "de" -> Validate.compileSchema(deSchema)),
+      Seq("doc_id"), strict = strict)
+
+  test("each row is validated against its route's schema only") {
+    val rows = routed(strict = false)
+      .select("doc_id", "keyword").as[(Long, String)].collect().toSet
+    assert(rows == Set((2L, "maxLength"), (4L, "pattern")))
+  }
+
+  test("routed output equals per-route filter + validate union") {
+    val viaRouting = routed(strict = false).collect().map(_.toSeq).toSet
+    val viaUnion = Seq("en" -> enSchema, "de" -> deSchema).flatMap { case (l, sch) =>
+      Validate.violations(docs.where(col("lang") === l),
+        Validate.compileSchema(sch), Seq("doc_id")).collect()
+    }.map(_.toSeq).toSet
+    assert(viaRouting == viaUnion)
+  }
+
+  test("strict mode reports unregistered and NULL routes as no_schema") {
+    val rows = routed(strict = true)
+      .select("doc_id", "keyword", "message").as[(Long, String, String)].collect().toSet
+    assert(rows.contains((5L, "no_schema", "No schema registered for route 'es'.")))
+    assert(rows.contains((6L, "no_schema", "No schema registered for route 'null'.")))
+    assert(rows.size == 4) // the two real violations + the two no_schema rows
+  }
+
+  test("a route whose schema needs the tree path still validates (mixed dispatch)") {
+    // root-level uniqueItems never fast-compiles (row-level array
+    // keyword → ColumnCompiler returns None) but is a runtime no-op on
+    // object instances — forces the tree path for the 'de' route while
+    // 'en' stays on the fast path
+    val treeOnly =
+      """{"properties":{"text":{"minLength":6}},"uniqueItems":true}"""
+    val compiled = Validate.compileSchema(treeOnly)
+    assert(ColumnCompiler.compile(compiled, docs.schema).isEmpty,
+      "premise: the de schema must not fast-compile")
+    val out = Validate.routedViolations(docs, "lang",
+      Map("en" -> Validate.compileSchema(enSchema), "de" -> compiled),
+      Seq("doc_id"))
+    val rows = out.select("doc_id", "keyword").as[(Long, String)].collect().toSet
+    // doc 3 "klein" (5 < 6) and doc 4 "GROSS" (5 < 6) fail minLength
+    assert(rows == Set((2L, "maxLength"), (3L, "minLength"), (4L, "minLength")))
+  }
+
+  test("all-fast routing is ONE scan with no shuffle") {
+    val table = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Validate.routedViolations(table, "lang",
+      Map("en" -> Validate.compileSchema(enSchema),
+          "de" -> Validate.compileSchema(deSchema)),
+      Seq("doc_id"), strict = true)
+    val p = out.queryExecution.explainString(SimpleMode)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("empty registry: lenient passes everything, strict flags every row") {
+    assert(Validate.routedViolations(docs, "lang", Map.empty, Seq("doc_id")).isEmpty)
+    assert(Validate.routedViolations(docs, "lang", Map.empty, Seq("doc_id"),
+      strict = true).count() == docs.count())
+  }
+}
