@@ -553,6 +553,13 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")),
 
+    // char-distribution quality signals: code-point Shannon entropy +
+    // distinct-char count, RLE'd from each doc's own sorted char array
+    // in one zero-shuffle aggregate lambda
+    "t_entropy" -> ((s, dir) =>
+      graft.operators.TextAnalysis.entropyStats(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // document fingerprint: content hash + bottom-k shingle sketch
     "t_fingerprint" -> ((s, dir) =>
       graft.operators.TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
@@ -1454,6 +1461,20 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
         |       / 512.0) AS BIGINT) AS bin
         |FROM t""".stripMargin,
+
+    // mirrors TextAnalysis.entropyStats: per-char unnest + DuckDB's
+    // entropy() aggregate (Shannon, log2 — the engine computes the
+    // algebraically identical log2(n) − Σ run·log2(run)/n from its RLE
+    // pass; 6dp rounding absorbs the op-order ulp difference)
+    "t_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.c
+        |  FROM documents, unnest(string_split(text, '')) AS u(c))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_chars,
+        |  round(entropy(c), 6) AS char_entropy
+        |FROM ch GROUP BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.fingerprint: sha256 content hash + bottom-8
     // md5 hashes of distinct word-3-gram shingles, comma-joined

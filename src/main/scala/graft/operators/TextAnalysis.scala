@@ -310,6 +310,57 @@ object TextAnalysis {
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("gram"), col("col._2").as("cnt"))
 
+  /** Character-distribution signals — the compressibility tier of
+    * quality filtering, complementing [[repetitionStats]]'s repetition
+    * tier: low char entropy flags degenerate documents (padding runs,
+    * ASCII art, single-token spam), near-maximal entropy flags
+    * random/minified/binary-ish blobs, and the distinct-char count is
+    * the cheap companion signal. Output per document:
+    * (id, n_chars, n_distinct_chars, char_entropy) — Shannon entropy
+    * in bits (log2) over the code-point distribution, 6dp-rounded for
+    * cross-engine parity.
+    *
+    * ONE zero-shuffle scan: each document's own sorted code-point
+    * array is run-length encoded in a single `aggregate` lambda
+    * (equal values adjacent ⇒ per-char counts with no per-row hash
+    * map — the [[rleStats]] machinery specialized to Σ run·log₂(run)),
+    * so entropy = log₂(n) − Σ run·log₂(run) / n comes out of one
+    * accumulator pass. The exact alternative — explode to
+    * (doc, char) rows and groupBy — shuffles n_chars rows per
+    * document, 10¹⁴+ rows at corpus scale, for a per-row-computable
+    * number. DuckDB replays via unnest + entropy().
+    */
+  def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = colExact(textCol)
+    // Java's empty-regex split advances by code point (surrogate pairs
+    // stay whole, matching DuckDB's per-character split); the filter
+    // drops the trailing "" some JDK split variants append
+    val chars = filter(split(t, ""), c => c =!= "")
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("n"), lit(0L).as("uniq"), lit(0.0).as("acc"))
+    def plog(run: Column): Column =
+      when(run >= 2, run.cast("double") * log2(run.cast("double"))).otherwise(lit(0.0))
+    val rle = aggregate(array_sort(chars), zero,
+      (a, x) => {
+        val same = a.getField("run") > 0 && a.getField("prev") === x
+        struct(
+          x.as("prev"),
+          when(same, a.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (a.getField("n") + 1).as("n"),
+          when(same, a.getField("uniq")).otherwise(a.getField("uniq") + 1).as("uniq"),
+          when(same, a.getField("acc")).otherwise(a.getField("acc") + plog(a.getField("run"))).as("acc"))
+      },
+      a => struct(a.getField("n").as("n"), a.getField("uniq").as("uniq"),
+        (a.getField("acc") + plog(a.getField("run"))).as("acc")))
+    val staged = df.select(colExact(idCol), rle.as("__e"))
+    staged.select(colExact(staged.columns.head),
+        col("__e.n").as("n_chars"),
+        col("__e.uniq").as("n_distinct_chars"),
+        round(when(col("__e.n") > 0,
+            log2(col("__e.n").cast("double")) - col("__e.acc") / col("__e.n").cast("double"))
+          .otherwise(lit(0.0)), 6).as("char_entropy"))
+  }
+
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
     * md5 shingle hashes (winnowing-style selection of the k smallest
     * window hashes — resilient to small edits), rendered as a canonical

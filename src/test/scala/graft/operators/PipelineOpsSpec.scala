@@ -592,6 +592,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---- char-entropy signals --------------------------------------------
+
+  test("entropyStats matches hand-computed entropy") {
+    val df = Seq(
+      (1L, "aaaa"),   // one symbol → entropy 0
+      (2L, "aabb"),   // uniform over 2 → 1 bit
+      (3L, "aab"),    // −(2/3·log2(2/3) + 1/3·log2(1/3)) ≈ 0.918296
+      (4L, ""),       // empty → all zeros
+      (5L, "abcd")    // uniform over 4 → 2 bits
+    ).toDF("id", "text")
+    val m = TextAnalysis.entropyStats(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4L, 1L, 0.0)))
+    assert(m(2L) == ((4L, 2L, 1.0)))
+    assert(m(3L) == ((3L, 2L, 0.918296)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+    assert(m(5L) == ((4L, 4L, 2.0)))
+  }
+
+  test("entropyStats handles multi-byte code points and is zero-shuffle") {
+    val df = Seq((1L, "ééa😀")).toDF("id", "text") // é é a 😀
+    val q = TextAnalysis.entropyStats(df, "id", "text")
+    val r = q.collect()(0)
+    assert(r.getLong(1) == 4L) // surrogate pair counts as ONE char
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.5) // {2,1,1}/4 → 1.5 bits
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   // ---- corpus heavy hitters ----------------------------------------------
 
   test("Misra-Gries is exact below capacity and error-bounded above it") {

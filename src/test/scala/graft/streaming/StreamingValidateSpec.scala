@@ -48,6 +48,31 @@ class StreamingValidateSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.exists(_._1 == 1L))
   }
 
+  test("registry-routed validation runs unchanged on a streaming frame") {
+    // routedViolations is stateless (chained-when dispatch + explode),
+    // so the per-route schema surface streams for free — append-safe,
+    // no watermark needed
+    val routed = Map(
+      "en" -> Validate.compileSchema("""{"properties":{"n_chars":{"maximum":50}}}"""),
+      "zz" -> Validate.compileSchema("""{"properties":{"source":{"pattern":"^src"}}}"""))
+    val mem = MemoryStream[DocEvent]
+    mem.addData(rows: _*)
+    val q = Validate.routedViolations(mem.toDF(), "lang", routed,
+        Seq("doc_id"), strict = true)
+      .writeStream.format("memory").queryName("stream_routed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_routed")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Validate.routedViolations(rows.toDF(), "lang", routed,
+        Seq("doc_id"), strict = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    // en docs 1,2 pass maximum 50? doc1 n_chars=100 fails; zz doc3 src3 ok,
+    // doc5 src4 ok; no lang outside en/zz in rows... doc4 is en (100 > 50)
+    assert(streamed.contains((1L, "maximum")) && streamed.contains((4L, "maximum")))
+  }
+
   test("mapGroupsWithState accumulates per-key totals across micro-batches") {
     val mem = MemoryStream[DocEvent]
     val q = StreamingValidate.runningViolationRates(mem.toDF(), schema, "lang")
