@@ -980,8 +980,9 @@ object SparkEntry {
         |SELECT doc_id, 'minimum', '/n_chars', 'Value must be at least 100.'
         |  FROM documents WHERE lang = 'fr' AND n_chars < 100
         |UNION ALL
-        |SELECT doc_id, 'no_schema', '', 'No schema registered for route ''' || lang || '''.'
-        |  FROM documents WHERE lang NOT IN ('en','de','fr')""".stripMargin,
+        |SELECT doc_id, 'no_schema', '',
+        |       'No schema registered for route ''' || coalesce(lang, 'null') || '''.'
+        |  FROM documents WHERE lang IS NULL OR lang NOT IN ('en','de','fr')""".stripMargin,
 
     "v_jsonl_source" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
@@ -1466,15 +1467,26 @@ object SparkEntry {
     // entropy() aggregate (Shannon, log2 — the engine computes the
     // algebraically identical log2(n) − Σ run·log2(run)/n from its RLE
     // pass; 6dp rounding absorbs the op-order ulp difference)
+    // LEFT JOIN back to documents so NULL/empty-text rows replay the
+    // engine's (0, 0, 0.0) contract instead of vanishing from the
+    // group-by (DuckDB's string_split('','') also yields [''], hence
+    // the c <> '' filter)
     "t_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, u.c
-        |  FROM documents, unnest(string_split(text, '')) AS u(c))
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_chars,
-        |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_chars,
-        |  round(entropy(c), 6) AS char_entropy
-        |FROM ch GROUP BY doc_id""".stripMargin,
+        |  FROM documents, unnest(string_split(coalesce(text, ''), '')) AS u(c)
+        |  WHERE u.c <> ''),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_chars,
+        |    round(entropy(c), 6) AS char_entropy
+        |  FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_chars, 0) AS n_chars,
+        |  coalesce(st.n_distinct_chars, 0) AS n_distinct_chars,
+        |  coalesce(st.char_entropy, 0.0) AS char_entropy
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
 
     // mirrors TextAnalysis.fingerprint: sha256 content hash + bottom-8
     // md5 hashes of distinct word-3-gram shingles, comma-joined

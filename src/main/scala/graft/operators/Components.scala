@@ -59,6 +59,23 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // fixed point = star forest: every non-root points straight at its
+    // component min. Roots (the mins) have no outgoing edge — add their
+    // identity rows so every clustered node gets exactly one row.
+    val members = starMembers(edges, srcCol, dstCol, maxIter)
+    members.unionByName(
+      members.select(col("component").as("id")).distinct()
+        .withColumn("component", col("id")))
+  }
+
+  /** The converged star forest WITHOUT the roots' identity rows: one
+    * `(id, component)` row per non-root cluster member — exactly the
+    * rows a dedup pass deletes ([[droppedMembers]] is this frame), so
+    * that path never pays the root-distinct [[connectedComponents]]
+    * adds for completeness.
+    */
+  private def starMembers(edges: DataFrame, srcCol: String,
+                          dstCol: String, maxIter: Int): DataFrame = {
     // normalize: distinct (larger, smaller) pairs, self-loops dropped
     var cur = edges
       .select(colExact(srcCol).as("u"), colExact(dstCol).as("v"))
@@ -80,13 +97,7 @@ object Components {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds — " +
         "the large/small-star fixed point needs O(log^2 n) rounds; raise maxIter")
-    // fixed point = star forest: every non-root points straight at its
-    // component min. Roots (the mins) have no outgoing edge — add their
-    // identity rows so every clustered node gets exactly one row.
-    val members = cur.select(col("u").as("id"), col("v").as("component"))
-    members.unionByName(
-      members.select(col("component").as("id")).distinct()
-        .withColumn("component", col("id")))
+    cur.select(col("u").as("id"), col("v").as("component"))
   }
 
   /** (count, xor-of-pair-hashes) — an order-independent edge-set
@@ -131,12 +142,13 @@ object Components {
 
   /** The rows [[keepCanonical]] deletes: cluster members whose id is
     * not their component's minimum — `(id, component)`, one row per
-    * dropped document, the audit trail of a dedup pass.
+    * dropped document, the audit trail of a dedup pass. This is the
+    * converged star forest itself (roots never appear on its left
+    * side), so no root-identity rows are built just to filter away.
     */
   def droppedMembers(pairs: DataFrame, srcCol: String = "id_a",
                      dstCol: String = "id_b", maxIter: Int = 50): DataFrame =
-    connectedComponents(pairs, srcCol, dstCol, maxIter)
-      .where(col("id") =!= col("component"))
+    starMembers(pairs, srcCol, dstCol, maxIter)
 
   /** Collapse a corpus against a near-dup pair set: keep exactly one
     * document per duplicate cluster (the minimum id — deterministic

@@ -331,7 +331,10 @@ object TextAnalysis {
     * number. DuckDB replays via unnest + entropy().
     */
   def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = colExact(textCol)
+    // NULL text ≡ empty text: (0, 0, 0.0), never a NULL/0.0 mixed row —
+    // char_entropy 0.0 is a legitimate value for real degenerate
+    // documents, so the companion counts must stay consistent with it
+    val t = coalesce(colExact(textCol), lit(""))
     // Java's empty-regex split advances by code point (surrogate pairs
     // stay whole, matching DuckDB's per-character split); the filter
     // drops the trailing "" some JDK split variants append

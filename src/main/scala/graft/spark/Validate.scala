@@ -62,14 +62,8 @@ object Validate {
     val keys = keyCols.map(ColumnCompiler.colExact)
     val preds = checks.collect { case p: PredCheck => p }
     val elems = checks.collect { case e: ElemCheck => e }
-    // ONE definition of the (keyword, pointer, message, pass) struct
-    // array — both branches below must emit the same violation shape
-    def predStructArray: Column = array(preds.map { ch =>
-      struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-        ch.msg.as("message"), ch.pass.as("pass"))
-    }: _*)
     if (elems.isEmpty) {
-      df.select(keys :+ explode(predStructArray).as("v"): _*)
+      df.select(keys :+ explode(predStructArray(preds)).as("v"): _*)
         .where(!col("v.pass"))
         .select(keys :+ col("v.keyword").as("keyword") :+
           col("v.json_pointer").as("json_pointer") :+ col("v.message").as("message"): _*)
@@ -80,6 +74,16 @@ object Validate {
     }
   }
 
+  /** ONE definition of the (keyword, pointer, message, pass) struct
+    * array over the predicate checks — every consumer ([[fastViolations]]'
+    * explode branch and [[violationsArray]]) must emit the same
+    * violation shape.
+    */
+  private def predStructArray(preds: Seq[PredCheck]): Column = array(preds.map { ch =>
+    struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
+      ch.msg.as("message"), ch.pass.as("pass"))
+  }: _*)
+
   /** The failing checks as one `array<struct<keyword, json_pointer,
     * message>>` column — the array form of [[fastViolations]], for
     * callers that compose violation sets per row (schema routing)
@@ -89,11 +93,7 @@ object Validate {
     val preds = checks.collect { case p: PredCheck => p }
     val elems = checks.collect { case e: ElemCheck => e }
     val predViols: Seq[Column] = if (preds.isEmpty) Nil else Seq {
-      transform(
-        filter(array(preds.map { ch =>
-          struct(lit(ch.keyword).as("keyword"), lit(ch.pointer).as("json_pointer"),
-            ch.msg.as("message"), ch.pass.as("pass"))
-        }: _*), v => !v("pass")),
+      transform(filter(predStructArray(preds), v => !v("pass")),
         v => Check.violStruct(v("keyword"), v("json_pointer"), v("message")))
     }
     (predViols ++ elems.map(_.violations)) match {

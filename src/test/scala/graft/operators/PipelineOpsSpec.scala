@@ -600,7 +600,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, "aabb"),   // uniform over 2 → 1 bit
       (3L, "aab"),    // −(2/3·log2(2/3) + 1/3·log2(1/3)) ≈ 0.918296
       (4L, ""),       // empty → all zeros
-      (5L, "abcd")    // uniform over 4 → 2 bits
+      (5L, "abcd"),   // uniform over 4 → 2 bits
+      (6L, null.asInstanceOf[String]) // NULL ≡ empty: (0, 0, 0.0), no NULL/0.0 mix
     ).toDF("id", "text")
     val m = TextAnalysis.entropyStats(df, "id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
@@ -609,6 +610,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L) == ((3L, 2L, 0.918296)))
     assert(m(4L) == ((0L, 0L, 0.0)))
     assert(m(5L) == ((4L, 4L, 2.0)))
+    assert(m(6L) == ((0L, 0L, 0.0)))
   }
 
   test("entropyStats handles multi-byte code points and is zero-shuffle") {
