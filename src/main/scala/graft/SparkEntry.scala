@@ -553,6 +553,12 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")),
 
+    // sliding-window chunking: 32-token windows starting every 24
+    // tokens (8-token overlap) — one posexplode, zero shuffle
+    "t_chunk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunkTokens(
+        table(s, dir, "documents"), "doc_id", "text", maxTokens = 32, overlap = 8)),
+
     // char-distribution quality signals: code-point Shannon entropy +
     // distinct-char count, RLE'd from each doc's own sorted char array
     // in one zero-shuffle aggregate lambda
@@ -1467,6 +1473,25 @@ object SparkEntry {
     // entropy() aggregate (Shannon, log2 — the engine computes the
     // algebraically identical log2(n) − Σ run·log2(run)/n from its RLE
     // pass; 6dp rounding absorbs the op-order ulp difference)
+    // mirrors chunkTokens(32, 8): whitespace tokens, windows of 32
+    // every 24, 1-based inclusive DuckDB slices ≡ Spark slice(start,
+    // len); WHERE n > 0 replays the zero-chunks-for-empty-docs rule
+    "t_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(floor((len(toks) - 32 + 23) / 24.0) AS BIGINT) + 1 END AS nc
+        |  FROM t)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[CAST(u.i*24+1 AS INT):CAST(u.i*24+32 AS INT)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[CAST(u.i*24+1 AS INT):CAST(u.i*24+32 AS INT)], ' ') AS chunk_text
+        |FROM k, unnest(range(0, nc)) AS u(i)
+        |WHERE n > 0""".stripMargin,
+
     // LEFT JOIN back to documents so NULL/empty-text rows replay the
     // engine's (0, 0, 0.0) contract instead of vanishing from the
     // group-by (DuckDB's string_split('','') also yields [''], hence

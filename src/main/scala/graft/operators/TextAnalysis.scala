@@ -310,6 +310,57 @@ object TextAnalysis {
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("gram"), col("col._2").as("cnt"))
 
+  /** Sliding-window document chunking — the context-length
+    * preprocessing companion to [[packSequences]]: packing fits whole
+    * documents into token budgets, chunking splits documents LONGER
+    * than the budget into overlapping windows (the standard move
+    * before embedding or training on long documents). Output: one row
+    * per chunk, `(id, chunk_idx, n_tokens, chunk_text)` — windows of
+    * `maxTokens` whitespace tokens starting every
+    * `maxTokens − overlap` tokens, the last window shorter, rejoined
+    * with single spaces (whitespace-normalizing, deterministic).
+    * Empty/NULL documents produce zero chunks, never an empty chunk
+    * row.
+    *
+    * Pure per-row map work: the token array, window count, and every
+    * window slice come from one let-bound split + a `transform` over
+    * the window index sequence, then ONE posexplode — zero shuffle,
+    * zero UDFs, and the document text is never replicated
+    * ×windows before the explode (each chunk slices the shared array).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      s"need maxTokens > overlap >= 0, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    val chunks = Dedup.let(filter(split(coalesce(colExact(textCol), lit("")), "\\s+"),
+        x => x =!= "")) { toks =>
+      Dedup.let(size(toks)) { n =>
+        val nChunks = when(n <= maxTokens, lit(1L))
+          // integer ceil((n - maxTokens)/step) + 1, exact in doubles
+          // far beyond any real token count (< 2^52)
+          .otherwise(floor((n - lit(maxTokens) + lit(step - 1)).cast("double") / lit(step))
+            .cast("long") + 1L)
+        // the trailing filter drops the one empty window an empty/NULL
+        // document produces (sequence() cannot express zero windows —
+        // a 1-to-0 bound would count DOWN); real windows always hold
+        // ≥ 1 token because every start position is ≤ n
+        filter(
+          transform(sequence(lit(1L), nChunks), i =>
+            Dedup.let(slice(toks, ((i - 1L) * step + 1L).cast("int"), lit(maxTokens))) { w =>
+              struct(size(w).cast("long").as("n_tokens"),
+                concat_ws(" ", w).as("chunk_text"))
+            }),
+          c => c("n_tokens") > 0)
+      }
+    }
+    val staged = df.select(colExact(idCol), posexplode(chunks))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "c"))
+    staged.select(colExact(staged.columns.head),
+      col("chunk_idx").cast("long").as("chunk_idx"),
+      col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Character-distribution signals — the compressibility tier of
     * quality filtering, complementing [[repetitionStats]]'s repetition
     * tier: low char entropy flags degenerate documents (padding runs,

@@ -592,6 +592,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---- sliding-window chunking -----------------------------------------
+
+  test("chunkTokens emits exact overlapping windows") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    // max 4, overlap 1 → step 3 → starts 1, 4, 7 → 3 chunks
+    val got = TextAnalysis.chunkTokens(df, "id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10")))
+  }
+
+  test("chunkTokens: short docs get one chunk, empty/NULL docs get none") {
+    val df = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "   ")).toDF("id", "text")
+    val got = TextAnalysis.chunkTokens(df, "id", "text", maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0L, 3L, "a b c")))
+  }
+
+  test("chunkTokens covers every token at every size (window arithmetic)") {
+    val max = 7; val ov = 2; val step = max - ov
+    val docs = (1 to 40).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+    val df = docs.toDF("id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, "id", "text", max, ov).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    docs.foreach { case (id, _) =>
+      val n = id.toInt
+      val cs = chunks(id)
+      val expectK = if (n <= max) 1 else (n - max + step - 1) / step + 1
+      assert(cs.length == expectK, s"n=$n")
+      // full coverage: last chunk ends at token n; starts advance by step
+      val lastLen = cs.last.getLong(2)
+      assert((cs.length - 1) * step + lastLen == n, s"n=$n")
+      assert(cs.forall(_.getLong(2) <= max))
+    }
+  }
+
+  test("chunkTokens is zero-shuffle") {
+    val df = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val plan = TextAnalysis.chunkTokens(df, "id", "text", 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ---- char-entropy signals --------------------------------------------
 
   test("entropyStats matches hand-computed entropy") {
