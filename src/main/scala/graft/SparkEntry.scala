@@ -1412,11 +1412,11 @@ object SparkEntry {
     "d_contam_exact" ->
       """WITH t AS (
         |  SELECT doc_id AS train_id,
-        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
         |  FROM documents),
         |e AS (
         |  SELECT doc_id AS eval_id,
-        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
         |  FROM documents WHERE doc_id % 41 = 0)
         |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
 

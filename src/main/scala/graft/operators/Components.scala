@@ -124,12 +124,13 @@ object Components {
 
   /** Small-star: over larger→smaller edges, every node u connects its
     * smaller neighborhood N(u) ∪ {u} to its minimum m, dropping the
-    * m→m self-loop.
+    * m→m self-loop. INVARIANT (maintained, not re-established): input
+    * edges already satisfy u > v — the initial normalization orients
+    * them and [[largeStar]] emits only (v, m) with v > u ≥ m, so
+    * re-running greatest/least here would be per-round dead work on
+    * the loop's largest frame.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val directed = e
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .where(col("u") =!= col("v"))
+  private def smallStar(directed: DataFrame): DataFrame = {
     // all of N(u) is < u here, so min(N ∪ {u}) = min(v)
     val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
     directed.join(mins, "u")

@@ -31,13 +31,20 @@ import graft.spark.ColumnCompiler.colExact
 object Decontamination {
 
   /** 64-bit key of whitespace/case-normalized content: lowercased,
-    * trimmed, interior whitespace runs collapsed to one space — the
+    * whitespace runs collapsed to one space, THEN trimmed — collapse
+    * before trim, because trim() strips only ' ' and a leading tab or
+    * trailing newline must normalize away like leading spaces do. The
     * canonical "same text up to formatting" equivalence for the exact
-    * tier. (Full sha-256 is the production-scale key; the 64-bit hash
-    * keeps the broadcast small and the join shape is identical.)
+    * tier. NULL text keys to NULL — xxhash64 would hash NULL to its
+    * seed, silently "matching" every other NULL-text document; a NULL
+    * key can never satisfy the equi-join instead. (Full sha-256 is the
+    * production-scale key; the 64-bit hash keeps the broadcast small
+    * and the join shape is identical.)
     */
-  def contentKey(text: Column): Column =
-    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+  def contentKey(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    when(norm.isNull, lit(null).cast("long")).otherwise(xxhash64(norm))
+  }
 
   /** Exact-tier contamination: (train_id, eval_id) pairs whose
     * normalized content is identical. Eval is broadcast — the training
@@ -76,6 +83,14 @@ object Decontamination {
     * shingle sets (each (id, shingle) row is unique, so each matching
     * (train_id, eval_id, shingle) survives exactly once).
     */
+  /** Distinct 64-bit word-shingle hashes — ONE definition probed by
+    * BOTH sides of the n-gram tier: if the hashing drifted on one side
+    * only, the probe join would silently match nothing and every
+    * contaminated document would read as clean.
+    */
+  private def hashedShingleSet(text: Column, shingleN: Int): Column =
+    array_distinct(transform(Dedup.shingles(text, shingleN), s => xxhash64(s)))
+
   def ngramContamination(train: DataFrame, trainId: String, trainText: String,
                          eval: DataFrame, evalId: String, evalText: String,
                          minOverlap: Double = 0.5, shingleN: Int = 3): DataFrame = {
@@ -86,8 +101,7 @@ object Decontamination {
     // both read it; CollapseProject keeps non-cheap producers used
     // twice in their own projection).
     val evalSets = eval.select(colExact(evalId).as("eval_id"),
-      array_distinct(transform(Dedup.shingles(colExact(evalText), shingleN),
-        s => xxhash64(s))).as("__sh"))
+      hashedShingleSet(colExact(evalText), shingleN).as("__sh"))
     val evalIndex = evalSets.select(col("eval_id"),
       size(col("__sh")).cast("long").as("n_eval"),
       explode(col("__sh")).as("__shingle"))
@@ -95,8 +109,7 @@ object Decontamination {
     // probe, then ONE shuffle of (train_id, eval_id) stubs with
     // map-side partial counts
     val trainShingles = train.select(colExact(trainId).as("train_id"),
-      explode(array_distinct(transform(Dedup.shingles(colExact(trainText), shingleN),
-        s => xxhash64(s)))).as("__shingle"))
+      explode(hashedShingleSet(colExact(trainText), shingleN)).as("__shingle"))
     trainShingles.join(broadcast(evalIndex), "__shingle")
       .groupBy(col("train_id"), col("eval_id"), col("n_eval"))
       .agg(count(lit(1)).as("n_hits"))

@@ -259,7 +259,11 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       topNgramN: Int = 2, dupNgramN: Int = 5): DataFrame = {
-    val t = colExact(textCol)
+    // NULL text ≡ empty text (all-zero metrics) — the family contract
+    // shared with entropyStats/chunkTokens; without the coalesce every
+    // metric would come back NULL and a `dup_line_frac < x` curation
+    // filter would silently drop the row
+    val t = coalesce(colExact(textCol), lit(""))
     val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
     // each rleStats struct is consumed by several metric columns below;
     // producing them in their own projection keeps CollapseProject
@@ -354,11 +358,12 @@ object TextAnalysis {
           c => c("n_tokens") > 0)
       }
     }
-    val staged = df.select(colExact(idCol), posexplode(chunks))
-      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "c"))
+    // generator outputs aliased to internal names so an id column
+    // literally named "pos"/"col" can't collide with posexplode's
+    val staged = df.select(colExact(idCol), posexplode(chunks).as(Seq("__ci", "__c")))
     staged.select(colExact(staged.columns.head),
-      col("chunk_idx").cast("long").as("chunk_idx"),
-      col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+      col("__ci").cast("long").as("chunk_idx"),
+      col("__c.n_tokens").as("n_tokens"), col("__c.chunk_text").as("chunk_text"))
   }
 
   /** Character-distribution signals — the compressibility tier of

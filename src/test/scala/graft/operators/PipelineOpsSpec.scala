@@ -562,7 +562,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "a b c d e\nx y\nx y"), // dup lines, unique 5-grams
       (2L, ""), // empty doc: all-zero metrics, no NULLs, no crash
-      (3L, "p q r s t u p q r s t u")) // dup 5-grams, tied top 2-grams
+      (3L, "p q r s t u p q r s t u"), // dup 5-grams, tied top 2-grams
+      (4L, null.asInstanceOf[String])) // NULL ≡ empty (family contract)
       .toDF("id", "text")
     val m = TextAnalysis.repetitionStats(df, "id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -583,6 +584,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L).getDouble(2) == 0.0)
     assert(m(3L).getDouble(4) == 0.26087) // 6/23
     assert(m(3L).getDouble(5) == 1.0) // 36/23 capped
+    // NULL text: all-zero metrics like the empty doc, never NULL fields
+    assert(m(4L).getLong(1) == 0L)
+    (2 to 5).foreach(i => assert(m(4L).getDouble(i) == 0.0, s"field $i"))
   }
 
   test("repetitionStats is a single zero-shuffle scan") {
@@ -631,6 +635,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert((cs.length - 1) * step + lastLen == n, s"n=$n")
       assert(cs.forall(_.getLong(2) <= max))
     }
+  }
+
+  test("chunkTokens tolerates an id column named pos") {
+    val df = Seq(("k1", "a b c d e")).toDF("pos", "text")
+    val got = TextAnalysis.chunkTokens(df, "pos", "text", maxTokens = 3, overlap = 0)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq(("k1", 0L, "a b c"), ("k1", 1L, "d e")))
   }
 
   test("chunkTokens is zero-shuffle") {
@@ -717,12 +729,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   // ---- decontamination ---------------------------------------------------
 
   test("exact contamination finds whitespace/case variants, nothing else") {
-    val train = Seq((1L, "Hello  World "), (2L, "other text"), (3L, "hello world"))
+    val train = Seq((1L, "Hello  World "), (2L, "other text"), (3L, "hello world"),
+      (4L, "\thello world\n"), // tab/newline edges normalize like spaces
+      (5L, null.asInstanceOf[String]))
       .toDF("id", "text")
-    val eval = Seq((10L, "hello world")).toDF("eid", "etext")
+    val eval = Seq((10L, "hello world"), (11L, null.asInstanceOf[String]))
+      .toDF("eid", "etext")
     val got = Decontamination.exactContamination(train, "id", "text", eval, "eid", "etext")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 10L), (3L, 10L)))
+    // NULL-text docs never pair (xxhash64 of NULL would collapse to the
+    // seed and cross-match every contentless doc)
+    assert(got == Set((1L, 10L), (3L, 10L), (4L, 10L)))
   }
 
   test("n-gram contamination: full containment of a quoted eval phrase, clean docs exit") {
