@@ -161,6 +161,22 @@ object Validate {
   def passColumn(checks: Seq[Check]): Column =
     checks.map(_.pass).reduceOption(_ && _).getOrElse(lit(true))
 
+  /** Dot-notation rendering of a `json_pointer` column — the
+    * reference's second keypath rendering
+    * (`ValidationError.DotNotation`, jsonschema.go:181-183) lifted to
+    * the Spark surface: pointer tokens unescaped (`~1` → `/`, `~0` →
+    * `~`, in that order per RFC 6901) and joined with dots; the root
+    * pointer renders as the empty string, like `strings.Join` of an
+    * empty keypath. Pure string expression — add it as a column
+    * (`withColumn("dot_path", dotNotation(col("json_pointer")))`)
+    * without touching the violation pass itself.
+    */
+  def dotNotation(pointer: Column): Column = {
+    val parts = split(pointer, "/")
+    concat_ws(".", transform(slice(parts, lit(2), size(parts)),
+      t => regexp_replace(regexp_replace(t, "~1", "/"), "~0", "~")))
+  }
+
   /** Shared scaffolding of both interpreted paths: broadcast the
     * compiled schema, evaluate `eval` per row on executors, emit
     * (keyCols…, keyword, json_pointer, message) rows.

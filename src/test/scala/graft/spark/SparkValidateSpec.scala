@@ -230,5 +230,21 @@ class SparkValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.contains("ReadSchema") || scan.contains("doc_id"))
   }
 
+  test("dotNotation column matches the tree evaluator's rendering") {
+    import graft.schema.Viol
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial keys: literal /, ~, ., empty token, array index, root
+    val paths: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "10"), Seq("a/b", "c"), Seq("x~y"), Seq("f.g"),
+      Seq(""), Seq("~1", "~0"), Seq())
+    val viols = paths.map(p => Viol("k", p, "m"))
+    val df = viols.map(_.jsonPointer).toDF("json_pointer")
+    val got = df.select(Validate.dotNotation(org.apache.spark.sql.functions.col("json_pointer")))
+      .as[String].collect().toSeq
+    assert(got == viols.map(_.dotNotation),
+      s"pointers ${viols.map(_.jsonPointer)}")
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }
