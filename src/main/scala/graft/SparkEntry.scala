@@ -541,6 +541,23 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // the WHOLE curation pipeline in one composition: schema verdict +
+    // quality threshold + entropy threshold fused into a single
+    // per-row scan (the Column forms — no joins between signal
+    // operators), then near-dup clusters among the survivors collapse
+    // to their min-id canonical via connected components
+    "x_curation_full" -> ((s, dir) => {
+      val df = table(s, dir, "documents")
+      val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      val cleared = df.where(Validate.passColumn(checks) &&
+        graft.operators.TextAnalysis.qualityColumn(col("text")) >= 0.5 &&
+        graft.operators.TextAnalysis.charEntropy(col("text")) >= 4.0)
+      val pairs = graft.operators.Dedup.exactJaccardPairs(
+        cleared, "doc_id", "text", minJaccard = 0.2)
+      graft.operators.Components.keepCanonical(cleared, "doc_id", pairs)
+        .select("doc_id", "lang")
+    }),
+
     // token counting: chars / whitespace tokens / BPE-ish subwords
     "t_token_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
@@ -768,11 +785,11 @@ object SparkEntry {
     * shingle hashes, the oracle shingle STRINGS — identical pairs
     * barring xxhash64 collisions (~|A∪B|²/2⁶⁴ per pair).
     */
-  private val jaccardPairsCte: String =
-    """toks AS (
+  private def jaccardPairsCte(src: String = "documents"): String =
+    s"""toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      |  FROM documents),
+      |  FROM $src),
       |sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN
@@ -1199,14 +1216,14 @@ object SparkEntry {
     // brute-force replay of exactJaccardPairs — see jaccardPairsCte;
     // round(…,6) only formats the published value
     "d_jaccard_exact" ->
-      s"""WITH $jaccardPairsCte
+      s"""WITH ${jaccardPairsCte()}
         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
 
     // transitive closure of the SAME replayed pair set (d_jaccard_exact's
     // CTEs verbatim): component = min reachable doc_id, computed by a
     // recursive CTE with UNION dedup (terminates on cycles)
     "d_dup_clusters" ->
-      s"""WITH RECURSIVE $jaccardPairsCte,
+      s"""WITH RECURSIVE ${jaccardPairsCte()},
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
@@ -1219,7 +1236,7 @@ object SparkEntry {
 
     // survivors after collapsing each near-dup cluster to its min id
     "x_dedup_keep" ->
-      s"""WITH RECURSIVE $jaccardPairsCte,
+      s"""WITH RECURSIVE ${jaccardPairsCte()},
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
@@ -1291,6 +1308,43 @@ object SparkEntry {
          |  AND regexp_matches(d.source, '^src[0-9]$$')
          |  AND d.n_chars <= 500 AND d.doc_id >= 0
          |  AND q.quality >= 0.5""".stripMargin,
+
+    // the full pipeline's oracle replays every tier: schema filters +
+    // quality + entropy over documents → `base` (the survivors), then
+    // the SAME shared pair CTE over base + the recursive closure — the
+    // engine's keepCanonical anti-join becomes NOT IN non-canonical
+    "x_curation_full" -> {
+      val recursiveTail = jaccardPairsCte("base")
+      s"""WITH RECURSIVE ${qualityFeatureCte.stripPrefix("WITH ")},
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality FROM t),
+         |ch AS (
+         |  SELECT doc_id, u.c
+         |  FROM documents, unnest(string_split(coalesce(text, ''), '')) AS u(c)
+         |  WHERE u.c <> ''),
+         |ent AS (SELECT doc_id, round(entropy(c), 6) AS e FROM ch GROUP BY doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN ent ON ent.doc_id = d.doc_id
+         |  WHERE d.lang IN ('en','de','fr','es')
+         |    AND length(d.text) BETWEEN 50 AND 520
+         |    AND regexp_matches(d.source, '^src[0-9]$$')
+         |    AND d.n_chars <= 500 AND d.doc_id >= 0
+         |    AND q.quality >= 0.5 AND ent.e >= 4.0),
+         |$recursiveTail,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, lang FROM base
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+    },
 
     "t_lang_id" -> {
       val hitCols = graft.operators.TextAnalysis.stopwords.map { case (lang, ws) =>

@@ -55,8 +55,7 @@ object TextAnalysis {
     * too long, some stopwords, not mostly punctuation/digits. Doubles
     * rounded to 6 decimals so independent engines agree bit-for-bit.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = colExact(textCol)
+  private def qualityParts(t: Column): (Column, Column, Column, Column, Column) = {
     val nChars = length(t).cast("double")
     val nTokens = tokenCount(t).cast("double")
     val punct = length(t) - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]{}]", ""))
@@ -73,6 +72,19 @@ object TextAnalysis {
           * when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.5))
           * when(digitRatio <= 0.3, lit(1.0)).otherwise(lit(0.5))
           * least(lit(1.0), lit(0.5) + stopRatio * 2.0))
+    (punctRatio, digitRatio, stopRatio, avgTokLen, score)
+  }
+
+  /** The quality score alone as a composable per-row Column — for
+    * fusing a quality threshold into another operator's scan (the
+    * curation pipeline) without a join back to [[qualityScore]]'s
+    * output. Same 6dp rounding as the `quality` column.
+    */
+  def qualityColumn(text: Column): Column = round(qualityParts(text)._5, 6)
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (punctRatio, digitRatio, stopRatio, avgTokLen, score) =
+      qualityParts(colExact(textCol))
     df.select(colExact(idCol),
       round(punctRatio, 6).as("punct_ratio"),
       round(digitRatio, 6).as("digit_ratio"),
@@ -385,12 +397,15 @@ object TextAnalysis {
     * (doc, char) rows and groupBy — shuffles n_chars rows per
     * document, 10¹⁴+ rows at corpus scale, for a per-row-computable
     * number. DuckDB replays via unnest + entropy().
+    *
+    * The (n, uniq, acc = Σ run·log₂ run) RLE struct under
+    * [[entropyStats]] / [[charEntropy]].
     */
-  def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def entropyRle(textCol: Column): Column = {
     // NULL text ≡ empty text: (0, 0, 0.0), never a NULL/0.0 mixed row —
     // char_entropy 0.0 is a legitimate value for real degenerate
     // documents, so the companion counts must stay consistent with it
-    val t = coalesce(colExact(textCol), lit(""))
+    val t = coalesce(textCol, lit(""))
     // Java's empty-regex split advances by code point (surrogate pairs
     // stay whole, matching DuckDB's per-character split); the filter
     // drops the trailing "" some JDK split variants append
@@ -399,7 +414,7 @@ object TextAnalysis {
       lit(0L).as("n"), lit(0L).as("uniq"), lit(0.0).as("acc"))
     def plog(run: Column): Column =
       when(run >= 2, run.cast("double") * log2(run.cast("double"))).otherwise(lit(0.0))
-    val rle = aggregate(array_sort(chars), zero,
+    aggregate(array_sort(chars), zero,
       (a, x) => {
         val same = a.getField("run") > 0 && a.getField("prev") === x
         struct(
@@ -411,13 +426,31 @@ object TextAnalysis {
       },
       a => struct(a.getField("n").as("n"), a.getField("uniq").as("uniq"),
         (a.getField("acc") + plog(a.getField("run"))).as("acc")))
-    val staged = df.select(colExact(idCol), rle.as("__e"))
+  }
+
+  /** entropy = log₂(n) − acc/n off the RLE struct — ONE definition so
+    * [[entropyStats]] and [[charEntropy]] can never round differently.
+    */
+  private def entropyFromRle(e: Column): Column =
+    round(when(e.getField("n") > 0,
+        log2(e.getField("n").cast("double")) -
+          e.getField("acc") / e.getField("n").cast("double"))
+      .otherwise(lit(0.0)), 6)
+
+  /** Code-point Shannon entropy alone as a composable per-row Column —
+    * for fusing an entropy threshold into another operator's scan
+    * (the curation pipeline) without a join back to [[entropyStats]]'s
+    * output. Same 6dp rounding as the `char_entropy` column.
+    */
+  def charEntropy(text: Column): Column =
+    Dedup.let(entropyRle(text))(entropyFromRle)
+
+  def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(colExact(idCol), entropyRle(colExact(textCol)).as("__e"))
     staged.select(colExact(staged.columns.head),
         col("__e.n").as("n_chars"),
         col("__e.uniq").as("n_distinct_chars"),
-        round(when(col("__e.n") > 0,
-            log2(col("__e.n").cast("double")) - col("__e.acc") / col("__e.n").cast("double"))
-          .otherwise(lit(0.0)), 6).as("char_entropy"))
+        entropyFromRle(col("__e")).as("char_entropy"))
   }
 
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of
