@@ -549,9 +549,15 @@ object SparkEntry {
     "x_curation_full" -> ((s, dir) => {
       val df = table(s, dir, "documents")
       val checks = ColumnCompiler.compile(documentSchema, df.schema).get
+      // localCheckpoint: `cleared` feeds BOTH the pair computation and
+      // the anti-join's left side — uncheckpointed, the entropy RLE +
+      // quality regex scans (the pipeline's heaviest per-row work)
+      // would run twice over every document. Same invocation-owned
+      // materialization trade as exactJaccardPairs' eager mode.
       val cleared = df.where(Validate.passColumn(checks) &&
         graft.operators.TextAnalysis.qualityColumn(col("text")) >= 0.5 &&
         graft.operators.TextAnalysis.charEntropy(col("text")) >= 4.0)
+        .localCheckpoint()
       val pairs = graft.operators.Dedup.exactJaccardPairs(
         cleared, "doc_id", "text", minJaccard = 0.2)
       graft.operators.Components.keepCanonical(cleared, "doc_id", pairs)
