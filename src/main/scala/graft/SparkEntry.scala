@@ -46,6 +46,19 @@ object SparkEntry {
     root
   }
 
+  /** The session-staged 8-bit SRP signature layout over `embeddings` —
+    * built once per (session, sfDir) through the Layouts manifest
+    * protocol and shared by every query that probes it
+    * (s_ann_lsh_clustered, s_ann_probe_recall, s_ann_batch).
+    */
+  private def stagedSignatureLayout(s: SparkSession, dir: String): String = {
+    val path = sessionScratch(s, dir, "lshsig") + "/sigs"
+    if (!graft.spark.Layouts.exists(s, path))
+      graft.operators.Similarity.writeSignatures(
+        table(s, dir, "embeddings"), "embedding", bits = 8, path, dim = 64)
+    path
+  }
+
   private lazy val documentSchema = Validate.compileSchema(Schemas.document)
   private lazy val embeddingRowSchema = Validate.compileSchema(Schemas.embeddingRow)
   private lazy val eventAttrsSchema = Validate.compileSchema(Schemas.eventAttrs)
@@ -290,9 +303,17 @@ object SparkEntry {
         .except(df.where(Validate.passColumn(strict)).select("doc_id"))
     }),
 
-    // sketch stats: HLL++ distinct + approx quantiles (rows-only check)
+    // sketch stats under the driver gate: the HLL++ estimate itself is
+    // hash-specific (register layout), but its published ERROR BOUND is
+    // checkable — the audit row carries the exact distinct count (which
+    // DuckDB replays) plus within_bound = 1 iff the sketch landed
+    // inside 3·rsd of it ([[graft.operators.Stats.sketchAudit]]). A
+    // sketch regression (wrong hash, broken merge, rsd drift) flips
+    // within_bound to 0 and the row goes red. (The production quantile
+    // sketch path stays timed via the bench fullPass stats-sketch
+    // stage; its exactness tier is c_stats_tdigest.)
     "c_stats_sketch" -> ((s, dir) =>
-      graft.operators.Stats.sketchStats(table(s, dir, "lineitem"),
+      graft.operators.Stats.sketchAudit(table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice"))),
 
     // t-digest quantiles via the custom mergeable Aggregator. δ = 2N
@@ -362,10 +383,27 @@ object SparkEntry {
         table(s, dir, "documents").withColumn("text_prefix", substring(col("text"), 1, 30)),
         Seq("text_prefix"))),
 
-    // MinHash+LSH near-dup candidate pairs with exact Jaccard verify
-    "d_minhash_pairs" -> ((s, dir) =>
-      graft.operators.Dedup.nearDuplicatePairs(
+    // MinHash+LSH under the driver gate, PRECISION side: the whole
+    // shingle→minhash→band→verify pipeline runs, then every emitted
+    // pair is re-checked from scratch on raw STRING shingles — the
+    // result is provably empty for a correct engine, and DuckDB
+    // replays the same contradiction (exact pairs below the exact
+    // threshold), so the r3 no_oracle row is now a hash-exact oracle
+    // row. A row appearing here = a broken verify/banding, loudly red.
+    "d_minhash_precision" -> ((s, dir) =>
+      graft.operators.Dedup.minhashPrecisionAudit(
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)),
+
+    // ...and RECALL side: measured recall vs the exact baseline at the
+    // same threshold/shingling (VERDICT r3 #2). n_exact_pairs is
+    // replayed exactly by DuckDB; recall itself is hash-specific, so
+    // the gate sees the floor verdict — a silent seed/band-layout
+    // regression collapses recall and flips recall_ok to 0.
+    "d_minhash_recall" -> ((s, dir) =>
+      graft.operators.Dedup.minhashRecall(
+        table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)
+        .select(col("n_exact_pairs"),
+          when(col("recall") >= minhashRecallFloor, 1).otherwise(0).as("recall_ok"))),
 
     // EXACT all-pairs n-gram Jaccard via prefix-filtered inverted
     // index — the exactness baseline d_minhash_pairs' recall is audited
@@ -395,17 +433,37 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2))
         .select("doc_id", "lang", "n_chars")),
 
-    // SimHash (native codegen expression) near-dup pairs by hamming
-    "d_simhash_pairs" -> ((s, dir) =>
-      graft.operators.Dedup.simhashPairs(
+    // SimHash under the driver gate: the native-codegen pairing runs,
+    // then every emitted pair's Hamming distance is recomputed from the
+    // INDEPENDENT higher-order-function SimHash formulation
+    // (Dedup.simhashRef — popcount-majority instead of ±1 counters) —
+    // provably empty, so the r3 no_oracle row is now gate-visible
+    // (oracle = typed empty set; DuckDB cannot replay xxhash64-seeded
+    // fingerprints, but it can hold the engine to "emits nothing that
+    // fails its own contract")
+    "d_simhash_precision" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPrecisionAudit(
         table(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
 
-    // embedding-cosine near-dup pairs via SRP-LSH buckets
-    "d_embed_dups" -> ((s, dir) =>
-      graft.operators.Similarity.embeddingNearDupPairs(
+    // embedding-cosine SRP-LSH pairing under the driver gate: emitted
+    // pairs re-scored from scratch (fresh join to the base table, fresh
+    // cosine plan) and held to the published value AND threshold —
+    // provably empty (oracle = typed empty set)
+    "d_embed_precision" -> ((s, dir) =>
+      graft.operators.Similarity.embeddingPrecisionAudit(
         table(s, dir, "embeddings"), "embedding", "vec_id",
-        minCosine = 0.35, bits = 3, dim = 64) // cos_sim already rounded to 3 (operator contract)
-        .select(col("id_a"), col("id_b"), col("cos_sim"))),
+        minCosine = 0.35, bits = 3, dim = 64)),
+
+    // SRP bucket recall vs the exact baseline on the same bounded slice
+    // d_embed_exact oracles (n_exact_pairs replayed by DuckDB, floor
+    // verdict for the hash-specific recall — same pattern as
+    // d_minhash_recall)
+    "d_srp_recall" -> ((s, dir) =>
+      graft.operators.Similarity.srpRecall(
+        table(s, dir, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", minCosine = 0.35, bits = 3, dim = 64)
+        .select(col("n_exact_pairs"),
+          when(col("recall") >= srpRecallFloor, 1).otherwise(0).as("recall_ok"))),
 
     // exact all-pairs embedding near-dups on a bounded slice — the
     // exactness baseline the SRP-bucketed d_embed_dups is audited
@@ -424,14 +482,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only — bucket membership is
-    // hash-specific)
+    // SRP-LSH ANN in the EXHAUSTIVE-PROBE regime: at probeHamming =
+    // bits the Hamming ball covers every signature, so the result
+    // provably equals brute-force top-k — which lifts the r3 no_oracle
+    // row onto the same DuckDB oracle as s_cosine_topk while still
+    // executing the whole signature/Hamming machinery. The narrow-probe
+    // tier (where LSH actually prunes) is exercised by
+    // s_ann_probe_recall below and result-identity/pruning-asserted in
+    // PlanShapeSpec.
     "s_ann_lsh" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       graft.operators.Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
-        bits = 12, probeHamming = 6)
+        bits = 12, probeHamming = 12)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
@@ -456,22 +520,62 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
-    // SRP-LSH ANN over the MATERIALIZED signature layout: the corpus
-    // written PARTITIONED BY its 8-bit signature (staged once per
-    // session), multi-probe = source partition pruning. Result-
-    // identical to lshTopK at the same (bits, probe, seed) — asserted
-    // in PlanShapeSpec; rows-only in CORRECTNESS (bucket membership is
-    // hash-specific, like s_ann_lsh)
+    // SRP-LSH ANN over the MATERIALIZED signature layout (corpus
+    // written PARTITIONED BY its 8-bit signature, staged once per
+    // session through the Layouts manifest protocol), probed in the
+    // exhaustive regime — all 2^8 buckets — so the read-back provably
+    // equals brute force and the r3 no_oracle row gets the
+    // bruteForceTopKSql oracle. The PRUNED narrow-probe read of the
+    // SAME layout is s_ann_probe_recall (and plan-asserted in
+    // PlanShapeSpec).
     "s_ann_lsh_clustered" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val path = sessionScratch(s, dir, "lshsig") + "/sigs"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        graft.operators.Similarity.writeSignatures(e, "embedding", bits = 8, path, dim = 64)
-      graft.operators.Similarity.signatureTopK(s, path, "embedding", "vec_id", q, 10,
-          bits = 8, probeHamming = 2)
+      graft.operators.Similarity.signatureTopK(s, stagedSignatureLayout(s, dir),
+          "embedding", "vec_id", q, 10, bits = 8, probeHamming = 8)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
+    // the NARROW-probe tier of the same layout — where the LSH actually
+    // prunes (Hamming ≤ 2 of 8 bits ⇒ 37 of 256 partition dirs read) —
+    // gated as a measured recall@10 floor against brute force: the
+    // probe's hit set is hash-specific, but "it finds ≥ floor of the
+    // true top-10 while reading ~1/7 of the corpus" is the operator's
+    // actual contract, and a signature/probe regression collapses it
+    "s_ann_probe_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val truth = graft.operators.Similarity.cosineTopK(e, "embedding", "vec_id", q, 10)
+        .select("vec_id")
+      val probed = graft.operators.Similarity.signatureTopK(s, stagedSignatureLayout(s, dir),
+          "embedding", "vec_id", q, 10, bits = 8, probeHamming = 2)
+        .select(col("vec_id"), lit(1L).as("__hit"))
+      truth.join(probed, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_topk"),
+          coalesce(sum(col("__hit")), lit(0L)).as("__found"))
+        .select(col("n_topk"),
+          when(col("__found").cast("double") / col("n_topk") >= annProbeRecallFloor, 1)
+            .otherwise(0).as("recall_ok"))
+    }),
+
+    // BATCHED ANN probe over the same layout (VERDICT r3 #6): one job
+    // answers a 3-query batch — query signatures computed map-side,
+    // Hamming balls exploded, the DISTINCT probed buckets (≤ 2^bits by
+    // construction) collected into a literal partition filter, pruned
+    // scan equi-joined to the broadcast probe frame, salted-window
+    // top-k per query. Exhaustive regime (ball = all 256 buckets) so
+    // the result provably equals per-query brute force and DuckDB
+    // replays it as a windowed cross join; the pruned narrow-probe
+    // batch is plan-asserted in PlanShapeSpec.
+    "s_ann_batch" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.signatureTopKBatch(s, stagedSignatureLayout(s, dir),
+          "embedding", "vec_id",
+          e.where(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, bits = 8, probeHamming = 8, dim = 64)
+        .select(col("qid"), col("id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
     // the STREAMING sink's whole exactly-once protocol under the batch
@@ -549,15 +653,22 @@ object SparkEntry {
     "x_curation_full" -> ((s, dir) => {
       val df = table(s, dir, "documents")
       val checks = ColumnCompiler.compile(documentSchema, df.schema).get
-      // localCheckpoint: `cleared` feeds BOTH the pair computation and
-      // the anti-join's left side — uncheckpointed, the entropy RLE +
-      // quality regex scans (the pipeline's heaviest per-row work)
-      // would run twice over every document. Same invocation-owned
-      // materialization trade as exactJaccardPairs' eager mode.
-      val cleared = df.where(Validate.passColumn(checks) &&
+      // The survivor set feeds BOTH the pair computation and the
+      // anti-join's left side, so it must be materialized or the
+      // entropy-RLE + quality-regex scans (the pipeline's heaviest
+      // per-row work) run twice over every document. r3 used
+      // localCheckpoint — corpus-sized NON-RECOVERABLE executor block
+      // storage at 100 TB; now the survivors land through the repo's
+      // own manifest-committed snapshot sink (durable, resumable,
+      // quarantine side retained for triage — what a production
+      // curation stage does anyway) and the pairing reads the
+      // committed clean side back, directory-pruned on the verdict.
+      val root = sessionScratch(s, dir, "curation") + "/survivors"
+      val pass = Validate.passColumn(checks) &&
         graft.operators.TextAnalysis.qualityColumn(col("text")) >= 0.5 &&
-        graft.operators.TextAnalysis.charEntropy(col("text")) >= 4.0)
-        .localCheckpoint()
+        graft.operators.TextAnalysis.charEntropy(col("text")) >= 4.0
+      graft.spark.Sinks.writeSplit(df, pass, root)
+      val cleared = graft.spark.Sinks.readVerdict(s, root, "clean").drop("verdict")
       val pairs = graft.operators.Dedup.exactJaccardPairs(
         cleared, "doc_id", "text", minJaccard = 0.2)
       graft.operators.Components.keepCanonical(cleared, "doc_id", pairs)
@@ -766,6 +877,43 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
   }
 
+  /** Asserted recall floors for the LSH tiers (d_minhash_recall,
+    * d_srp_recall, s_ann_probe_recall). Recall is the deliberate
+    * probabilistic trade of banding/bucketing; these floors sit WELL
+    * below the deterministic measured values on the shipped fixtures
+    * (measured at sf0.001/0.01/0.1 before banking — see OperatorSpec,
+    * which asserts the same operators against in-test corpora) so the
+    * rows only go red on a genuine collapse: a seed change, a band
+    * mis-slice, a bucket-routing bug — exactly the regressions a
+    * fixed-output test cannot see.
+    */
+  private val minhashRecallFloor = 0.8 // measured 1.00 at sf0.01
+  private val srpRecallFloor = 0.15 // measured 0.24 at sf0.01 (theory ≈ (1−θ/π)³ ≈ 0.23 at the threshold)
+  private val annProbeRecallFloor = 0.3 // measured 0.40 at sf0.01 reading 37/256 buckets
+
+  /** DuckDB replay of [[graft.operators.Similarity.exactNearDupPairs]]
+    * on the bounded vec_id < 300 slice — shared by `d_embed_exact` and
+    * the `d_srp_recall` exact side (ONE copy so the slice/threshold/
+    * zero-norm rules can never drift between them). Same double
+    * arithmetic as the engine (list_cosine_similarity over DOUBLE[]),
+    * threshold applied to the ROUNDED value on both sides. Zero-norm
+    * guard: the engine defines a zero vector's similarity as 0.0
+    * (dropped by any positive threshold), while DuckDB's
+    * list_cosine_similarity yields NaN — which its ordering treats as
+    * GREATER than everything, so without the guard a padding embedding
+    * would emit oracle rows the engine correctly filters out.
+    */
+  private val embedExactPairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 300 AND b.vec_id < 300
+      |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+      |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
+      |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35""".stripMargin
+
   /** Brute-force cosine top-10 (query = vec 0) — the oracle for BOTH
     * `s_cosine_topk` (exactness baseline) and `s_ann_ivf` (whose probe
     * is asserted to achieve exact recall here); ONE definition so a
@@ -963,21 +1111,29 @@ object SparkEntry {
     // ZERO violations under the document schema (all columns present in
     // parquet, so required/type never fire at the shipped SFs),
     // quarantine = the rest
+    // every pass-filter conjunct is NULL-guarded: draft-04 checks SKIP
+    // absent properties, so a row with NULL n_chars (etc.) passes the
+    // engine's guarded check — a bare `n_chars <= 500` would evaluate
+    // NULL in SQL and silently drop the row from the replay instead
+    // (data-dependent latent divergence; same guard on every pass
+    // replay below)
     "x_split_clean" ->
       """SELECT doc_id FROM documents
-        |WHERE lang IN ('en','de','fr','es')
-        |  AND length(text) BETWEEN 50 AND 520
-        |  AND regexp_matches(source, '^src[0-9]$')
-        |  AND n_chars <= 500 AND doc_id >= 0""".stripMargin,
+        |WHERE (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  AND (text IS NULL OR length(text) BETWEEN 50 AND 520)
+        |  AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+        |  AND (n_chars IS NULL OR n_chars <= 500)
+        |  AND (doc_id IS NULL OR doc_id >= 0)""".stripMargin,
     // COALESCE(…, FALSE): the engine quarantines a NULL pass predicate
     // (writeSplit's coalesce(pass, false)); a bare NOT(pred) would drop
     // NULL-predicate rows from the oracle instead of quarantining them
     "x_split_quarantine" ->
       """SELECT doc_id FROM documents
-        |WHERE NOT COALESCE(lang IN ('en','de','fr','es')
-        |  AND length(text) BETWEEN 50 AND 520
-        |  AND regexp_matches(source, '^src[0-9]$')
-        |  AND n_chars <= 500 AND doc_id >= 0, FALSE)""".stripMargin,
+        |WHERE NOT COALESCE((lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  AND (text IS NULL OR length(text) BETWEEN 50 AND 520)
+        |  AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+        |  AND (n_chars IS NULL OR n_chars <= 500)
+        |  AND (doc_id IS NULL OR doc_id >= 0), FALSE)""".stripMargin,
 
     "v_doc_violations" ->
       """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
@@ -1095,11 +1251,11 @@ object SparkEntry {
     "v_doc_summary" ->
       """SELECT lang,
         |       count(*) AS n_rows,
-        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es')
-        |                 AND length(text) BETWEEN 50 AND 520
-        |                 AND regexp_matches(source, '^src[0-9]$')
-        |                 AND n_chars <= 500
-        |                 AND doc_id >= 0
+        |       CAST(sum(CASE WHEN (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |                 AND (text IS NULL OR length(text) BETWEEN 50 AND 520)
+        |                 AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+        |                 AND (n_chars IS NULL OR n_chars <= 500)
+        |                 AND (doc_id IS NULL OR doc_id >= 0)
         |            THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
         |FROM documents GROUP BY lang""".stripMargin,
 
@@ -1194,6 +1350,18 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
+    // the exact side of the HLL++ audit; within_bound asserts the
+    // engine's sketch landed inside its 3·rsd error bound (1 literal
+    // here — the estimate itself is hash-specific and never compared)
+    "c_stats_sketch" ->
+      """SELECT 'l_quantity' AS col_name,
+        |  count(DISTINCT l_quantity) AS n_distinct, 1 AS within_bound
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice',
+        |  count(DISTINCT l_extendedprice), 1
+        |FROM lineitem""".stripMargin,
+
     "w_top_docs" ->
       """SELECT lang, doc_id, n_chars, rnk FROM (
         |  SELECT lang, doc_id, n_chars,
@@ -1204,16 +1372,18 @@ object SparkEntry {
 
     "x_verdict_diff" ->
       """SELECT doc_id FROM documents
-        |WHERE lang IN ('en','de','fr','es')
-        |  AND length(text) BETWEEN 50 AND 520
-        |  AND regexp_matches(source, '^src[0-9]$')
-        |  AND n_chars <= 500 AND doc_id >= 0
+        |WHERE (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  AND (text IS NULL OR length(text) BETWEEN 50 AND 520)
+        |  AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+        |  AND (n_chars IS NULL OR n_chars <= 500)
+        |  AND (doc_id IS NULL OR doc_id >= 0)
         |EXCEPT
         |SELECT doc_id FROM documents
-        |WHERE lang IN ('en','de','fr')
-        |  AND length(text) BETWEEN 60 AND 500
-        |  AND regexp_matches(source, '^src[0-4]$')
-        |  AND n_chars <= 450 AND doc_id >= 0""".stripMargin,
+        |WHERE (lang IS NULL OR lang IN ('en','de','fr'))
+        |  AND (text IS NULL OR length(text) BETWEEN 60 AND 500)
+        |  AND (source IS NULL OR regexp_matches(source, '^src[0-4]$'))
+        |  AND (n_chars IS NULL OR n_chars <= 450)
+        |  AND (doc_id IS NULL OR doc_id >= 0)""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT substring(text, 1, 30) AS text_prefix, count(*) AS n_rows
@@ -1258,23 +1428,39 @@ object SparkEntry {
 
     "s_cosine_topk" -> bruteForceTopKSql,
 
-    // same double arithmetic as the engine (list_cosine_similarity over
-    // DOUBLE[]), threshold applied to the ROUNDED value on both sides.
-    // Zero-norm guard: the engine defines a zero vector's similarity as
-    // 0.0 (dropped by any positive threshold), while DuckDB's
-    // list_cosine_similarity yields NaN — which its ordering treats as
-    // GREATER than everything, so without the guard a padding embedding
-    // would emit oracle rows the engine correctly filters out
-    "d_embed_exact" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id < 300 AND b.vec_id < 300
-        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
-        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
-        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35""".stripMargin,
+    "d_embed_exact" -> embedExactPairsSql,
+
+    // recall audit of the SRP-bucketed pairing on the SAME slice: the
+    // exact side is the d_embed_exact replay verbatim (shared SQL);
+    // recall_ok replays as the literal floor verdict
+    "d_srp_recall" ->
+      s"""SELECT count(*) AS n_exact_pairs, 1 AS recall_ok
+         |FROM ($embedExactPairsSql)""".stripMargin,
+
+    // precision audits: provably-empty results. For minhash DuckDB
+    // replays the contradiction directly — the exact pair set (already
+    // thresholded at ≥ 0.2) filtered to < 0.2. For simhash/embed the
+    // fingerprints are xxhash64/SRP-seeded (not replayable), so the
+    // oracle is the typed empty set: the gate still verifies schema,
+    // row count 0, and (vacuously) values — i.e. "the engine emitted
+    // nothing that fails its own recomputed contract".
+    "d_minhash_precision" ->
+      s"""WITH ${jaccardPairsCte()}
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard < 0.2""".stripMargin,
+
+    "d_minhash_recall" ->
+      s"""WITH ${jaccardPairsCte()}
+         |SELECT count(*) AS n_exact_pairs, 1 AS recall_ok FROM pairs""".stripMargin,
+
+    "d_simhash_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS INT) AS hamming
+        |WHERE 1 = 0""".stripMargin,
+
+    "d_embed_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS cos_sim
+        |WHERE 1 = 0""".stripMargin,
 
     // IVF is asserted to achieve EXACT recall: the oracle is the same
     // brute-force top-10 the baseline query carries. Everything in the
@@ -1286,6 +1472,38 @@ object SparkEntry {
     // coupling. (s_ann_lsh stays rows-only: its multi-probe radius is
     // deliberately tuned for partial recall.)
     "s_ann_ivf" -> bruteForceTopKSql,
+
+    // both LSH tiers run in the exhaustive-probe regime (ball = the
+    // whole signature space), where the result provably equals brute
+    // force — same shared oracle (VERDICT r3 #1a)
+    "s_ann_lsh" -> bruteForceTopKSql,
+    "s_ann_lsh_clustered" -> bruteForceTopKSql,
+
+    // the narrow probe's hit set is hash-specific; the gate sees the
+    // measured recall@10 floor verdict (n_topk replays exactly — the
+    // embeddings table is larger than k, so the true top-10 has 10 rows)
+    "s_ann_probe_recall" ->
+      """SELECT count(*) AS n_topk, 1 AS recall_ok FROM (
+        |  SELECT vec_id FROM embeddings
+        |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |  LIMIT 10)""".stripMargin,
+
+    // per-query brute-force top-10 for the 3-query batch: windowed
+    // cross join, same double arithmetic and (cos DESC, id ASC)
+    // tie-break as the engine
+    "s_ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+        |               e.vec_id) AS rn
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT qid, id, cos_sim FROM scored WHERE rn <= 10""".stripMargin,
 
     "t_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -1309,10 +1527,11 @@ object SparkEntry {
          |q AS (SELECT doc_id, $qualityScoreSql AS quality FROM t)
          |SELECT q.doc_id FROM q
          |JOIN documents d ON d.doc_id = q.doc_id
-         |WHERE d.lang IN ('en','de','fr','es')
-         |  AND length(d.text) BETWEEN 50 AND 520
-         |  AND regexp_matches(d.source, '^src[0-9]$$')
-         |  AND d.n_chars <= 500 AND d.doc_id >= 0
+         |WHERE (d.lang IS NULL OR d.lang IN ('en','de','fr','es'))
+         |  AND (d.text IS NULL OR length(d.text) BETWEEN 50 AND 520)
+         |  AND (d.source IS NULL OR regexp_matches(d.source, '^src[0-9]$$'))
+         |  AND (d.n_chars IS NULL OR d.n_chars <= 500)
+         |  AND (d.doc_id IS NULL OR d.doc_id >= 0)
          |  AND q.quality >= 0.5""".stripMargin,
 
     // the full pipeline's oracle replays every tier: schema filters +
@@ -1332,10 +1551,11 @@ object SparkEntry {
          |  SELECT d.doc_id, d.lang, d.text FROM documents d
          |  JOIN q ON q.doc_id = d.doc_id
          |  JOIN ent ON ent.doc_id = d.doc_id
-         |  WHERE d.lang IN ('en','de','fr','es')
-         |    AND length(d.text) BETWEEN 50 AND 520
-         |    AND regexp_matches(d.source, '^src[0-9]$$')
-         |    AND d.n_chars <= 500 AND d.doc_id >= 0
+         |  WHERE (d.lang IS NULL OR d.lang IN ('en','de','fr','es'))
+         |    AND (d.text IS NULL OR length(d.text) BETWEEN 50 AND 520)
+         |    AND (d.source IS NULL OR regexp_matches(d.source, '^src[0-9]$$'))
+         |    AND (d.n_chars IS NULL OR d.n_chars <= 500)
+         |    AND (d.doc_id IS NULL OR d.doc_id >= 0)
          |    AND q.quality >= 0.5 AND ent.e >= 4.0),
          |$recursiveTail,
          |edges AS (

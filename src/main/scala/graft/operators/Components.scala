@@ -87,9 +87,22 @@ object Components {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // largeStar's output is BOTH aggregated and self-joined inside
+      // smallStar — un-materialized, the round's largest frame (a
+      // shuffle + distinct) is computed twice per round unless
+      // ReusedExchange happens to fire; one localCheckpoint pins it,
+      // same treatment the round result gets (the handle dies with the
+      // round, so ContextCleaner reclaims the blocks)
+      val next = smallStar(largeStar(cur).localCheckpoint()).localCheckpoint()
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // The signature is 64-bit: two DISTINCT consecutive edge sets
+      // colliding would declare convergence early and SILENTLY ship
+      // under-merged clusters. Confirm the fixed point exactly — both
+      // frames are distinct'd sets and the signature already matched
+      // counts, so one empty except() proves set equality. Paid once,
+      // on the final iteration only (or on an actual collision, where
+      // it correctly forces the loop onward).
+      converged = nextSig == sig && next.exceptAll(cur).isEmpty
       cur = next
       sig = nextSig
       rounds += 1
@@ -163,7 +176,11 @@ object Components {
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
                     srcCol: String = "id_a", dstCol: String = "id_b",
                     maxIter: Int = 50): DataFrame = {
-    val drops = droppedMembers(pairs, srcCol, dstCol, maxIter).select(col("id").as("__drop_id"))
-    df.join(drops, colExact(idCol) === col("__drop_id"), "left_anti")
+    // helper name derived to be absent from df (freshName): a corpus
+    // already carrying a "__drop_id" column would make the join
+    // condition ambiguous
+    val dropId = graft.spark.ColumnCompiler.freshName(df, "__drop_id")
+    val drops = droppedMembers(pairs, srcCol, dstCol, maxIter).select(col("id").as(dropId))
+    df.join(drops, colExact(idCol) === colExact(dropId), "left_anti")
   }
 }

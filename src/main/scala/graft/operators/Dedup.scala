@@ -59,11 +59,14 @@ object Dedup {
     *
     * `n_rows` is always the exact multiplicity; `ids` carries at most
     * `maxIdsPerGroup` (smallest-first) members, with `ids_truncated`
-    * flagging any group that hit the cap — like the pair-expansion
-    * `maxBucket` caps in this module, the bound is OPT-IN (default
-    * unbounded) and never silent. At 100 TB a degenerate corpus —
-    * billions of copies of one boilerplate document — must not
-    * materialize a single group's full id list as one aggregation row
+    * flagging any group that hit the cap — and unlike the pair-
+    * expansion `maxBucket` caps (where capping DROPS pairs and so must
+    * be opt-in), the default here is a sane 10⁴: capping loses nothing
+    * exact (`n_rows` stays the true multiplicity, `ids_truncated`
+    * stays loud), while an unbounded default invites the one giant-row
+    * hazard in the operator — a degenerate corpus with billions of
+    * copies of one boilerplate document. At 100 TB such a corpus must
+    * not materialize a single group's full id list as one aggregation row
     * (the giant-row hazard [[graft.operators.Pairs]] blocks for pair
     * expansion), so capped runs rank BEFORE any collect, and the whole
     * operator is ONE content scan + ONE (hash, id) shuffle: n_rows and
@@ -74,7 +77,7 @@ object Dedup {
     * hashed the content twice.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
-                      maxIdsPerGroup: Int = Int.MaxValue): DataFrame = {
+                      maxIdsPerGroup: Int = 10000): DataFrame = {
     val hashed = df.select(xxhash64(colExact(textCol)).as("content_hash"), colExact(idCol).as("__id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("__id")
@@ -310,6 +313,73 @@ object Dedup {
         Seq("shingle"), maxBucket)
       .withColumnRenamed("n_members", "n_ids")
 
+  /** PRECISION audit of [[nearDuplicatePairs]]: the emitted pairs whose
+    * exact n-gram Jaccard — recomputed FROM SCRATCH on raw STRING
+    * shingle sets (the formulation an external engine replays
+    * verbatim), not the 64-bit hashed sets the internal verify
+    * intersects — falls below `minJaccard`. ALWAYS EMPTY for a correct
+    * engine: the LSH tiers may MISS pairs (recall is the probabilistic
+    * trade, audited separately by [[minhashRecall]]), but every pair
+    * they EMIT is exact-verified, so a single row here is a bug
+    * (hash-collision verify, banding corruption, threshold drift) —
+    * which makes the empty set a driver-gate-visible oracle target for
+    * an otherwise hash-valued operator.
+    */
+  def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
+                            shingleN: Int = 3): DataFrame =
+    stringJaccardBelow(df, idCol, textCol, shingleN,
+      nearDuplicatePairs(df, idCol, textCol, minJaccard, bands, rowsPerBand, shingleN)
+        .select("id_a", "id_b"),
+      minJaccard)
+
+  /** Measured RECALL of the MinHash+LSH tier against the exact
+    * prefix-filter baseline at the same threshold/shingling — ONE row
+    * `(n_exact_pairs, n_found, recall)`. The S-curve makes recall the
+    * deliberate trade of banding; this measures it instead of trusting
+    * it, so a silent seed/band-layout regression (which no
+    * fixed-output test can see) shows up as a recall drop. recall = 1.0
+    * on an empty exact set (nothing to find).
+    */
+  def minhashRecall(df: DataFrame, idCol: String, textCol: String,
+                    minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
+                    shingleN: Int = 3): DataFrame = {
+    val exact = exactJaccardPairs(df, idCol, textCol, minJaccard, shingleN)
+      .select("id_a", "id_b")
+    val lsh = nearDuplicatePairs(df, idCol, textCol, minJaccard, bands, rowsPerBand, shingleN)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+      .select(col("n_exact_pairs"), col("n_found"),
+        when(col("n_exact_pairs") === 0, 1.0)
+          .otherwise(col("n_found").cast("double") / col("n_exact_pairs")).as("recall"))
+  }
+
+  /** Exact string-shingle Jaccard for `pairs`, keeping rows BELOW the
+    * threshold — the shared audit core of [[minhashPrecisionAudit]]
+    * (and structurally the contract [[jaccardVerify]] enforces, re-run
+    * on un-hashed shingles so the two paths check each other).
+    */
+  private def stringJaccardBelow(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int, pairs: DataFrame,
+                                 minJaccard: Double): DataFrame = {
+    val sets = df.select(colExact(idCol).as("id"),
+      array_distinct(shingles(colExact(textCol), shingleN)).as("sh"))
+    pairs
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // threshold on the UNROUNDED division — the same double the
+        // verify path compares — so a 6dp-rounding boundary flip can
+        // never suppress (or fabricate) an audit row; round only the
+        // published value
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+      .where(col("__j") < minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame =
     pairs
@@ -339,6 +409,59 @@ object Dedup {
     * map-side right after pair expansion, so only true near-dups reach
     * the distinct's shuffle (candidates can be 1000× the result).
     */
+  /** Reference SimHash recomputation as pure higher-order expressions —
+    * a genuinely INDEPENDENT route to the same fingerprint the native
+    * [[graft.functions.SimHash64]] codegen computes: per bit b the
+    * native path keeps a ±1 counter over token-hash bits and takes its
+    * sign; this path counts SET bits and takes the strict majority
+    * (`2·#set > n` ⟺ `#set − (n − #set) > 0`). Same xxhash64 seed-42
+    * token hash (Spark's `xxhash64` IS `XXH64.hashUnsafeBytes(…, 42)`),
+    * so the two must agree bit-for-bit — the audit's point. Interpreted
+    * lambda cost ×64 bits: audit/verification tiers only, never the
+    * corpus-wide path.
+    */
+  private[operators] def simhashRef(text: Column): Column =
+    let(transform(tokens(text), t => xxhash64(t))) { hs =>
+      let(size(hs)) { n =>
+        (0 until 64).map { b =>
+          val set = aggregate(hs, lit(0L),
+            (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(lit(1L)))
+          when(set * 2 > n, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+      }
+    }
+
+  /** PRECISION audit of [[simhashPairs]]: emitted pairs whose Hamming
+    * distance — recomputed from the independent [[simhashRef]]
+    * fingerprints — exceeds `maxHamming`. ALWAYS EMPTY for a correct
+    * engine (the banding may MISS pairs beyond the pigeonhole radius,
+    * but every emitted pair is Hamming-verified), so the empty set is
+    * the driver-gate oracle for an operator whose pair set is otherwise
+    * hash-valued. A row here means the native codegen expression and
+    * the reference formulation disagree, or the verify threshold
+    * drifted.
+    */
+  def simhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
+                            cap: Int = 4096, chunks: Int = 4): DataFrame = {
+    val pairs = simhashPairs(df, idCol, textCol, maxHamming, maxBucket, cap, chunks)
+      .select("id_a", "id_b")
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // recompute only candidate documents' fingerprints (semi-join) —
+    // the audited pairs are a sliver of the corpus. df(idCol), not
+    // colExact: the corpus id column may itself be named "id", and the
+    // dataframe-qualified reference is what disambiguates the join
+    val fp = df.join(ids, df(idCol) === ids("id"), "left_semi")
+      .select(colExact(idCol).as("id"), simhashRef(colExact(textCol)).as("fp"))
+    pairs
+      .join(fp.withColumnsRenamed(Map("id" -> "id_a", "fp" -> "fp_a")), Seq("id_a"))
+      .join(fp.withColumnsRenamed(Map("id" -> "id_b", "fp" -> "fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") > maxHamming)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
                    cap: Int = 4096, chunks: Int = 4): DataFrame = {

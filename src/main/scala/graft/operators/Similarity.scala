@@ -127,25 +127,39 @@ object Similarity {
     * write time (one map-side pass, no shuffle beyond the write), and
     * a probe reads only its bucket directories.
     */
-  def writeSignatures(df: DataFrame, vecCol: String, bits: Int, path: String,
-                      seed: Long = 42L, dim: Int = 0): Unit = {
-    // empty-corpus guard: an empty partitionBy write leaves no schema-
-    // bearing file, so (a) dim inference must not head() a frame with
-    // no rows, and (b) a `_schema` sidecar (underscore ⇒ invisible to
-    // partition discovery) keeps the layout readable — the same
-    // contract as every other sink ([[graft.spark.Sinks]], Checkpoint,
-    // StreamingSink). An empty corpus with dim unset still types `sig`
-    // (the signature of nothing is schema-only — a long).
+  /** The corpus with its SRP signature column — the map-side pass under
+    * both [[writeSignatures]] and [[appendSignatures]] (ONE definition
+    * so an append can never sign rows differently than the initial
+    * build). Empty-corpus guard: dim inference must not head() a frame
+    * with no rows; an empty corpus with dim unset still types `sig`
+    * (the signature of nothing is schema-only — a long).
+    */
+  private def signed(df: DataFrame, vecCol: String, bits: Int,
+                     seed: Long, dim: Int): DataFrame = {
     val d =
       if (dim > 0) dim
       else df.select(size(colExact(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
-    val sigd =
-      if (d > 0)
-        df.withColumn("sig", srpSignature(colExact(vecCol), hyperplanes(d, bits, seed)))
-      else df.withColumn("sig", lit(0L))
-    sigd.write.partitionBy("sig").mode("overwrite").parquet(path)
-    sigd.limit(0).write.mode("overwrite").parquet(path + "/_schema")
+    if (d > 0)
+      df.withColumn("sig", srpSignature(colExact(vecCol), hyperplanes(d, bits, seed)))
+    else df.withColumn("sig", lit(0L))
   }
+
+  def writeSignatures(df: DataFrame, vecCol: String, bits: Int, path: String,
+                      seed: Long = 42L, dim: Int = 0): Unit =
+    graft.spark.Layouts.write(signed(df, vecCol, bits, seed, dim), "sig", path)
+
+  /** Incremental layout maintenance: ONLY the new rows are signed and
+    * written (their own version dir via the [[graft.spark.Layouts]]
+    * manifest protocol — nothing existing is rewritten, the publish is
+    * one atomic manifest bump, and a probe after the append is still
+    * partition-pruned across every version). At 100 TB this is the
+    * daily-corpus-append path the overwrite-only r3 layout lacked.
+    * Caller contract: same (bits, seed, dim) as the initial build —
+    * the signature function IS the layout.
+    */
+  def appendSignatures(df: DataFrame, vecCol: String, bits: Int, path: String,
+                       seed: Long = 42L, dim: Int = 0): Unit =
+    graft.spark.Layouts.append(signed(df, vecCol, bits, seed, dim), "sig", path)
 
   /** ANN top-k over a [[writeSignatures]] layout: the multi-probe
     * bucket set resolves on the driver, the scan reads ONLY those
@@ -160,12 +174,70 @@ object Similarity {
                     bits: Int, probeHamming: Int, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, bits, seed)
     val probe = probeSignatures(querySignature(query, planes), bits, probeHamming)
-    graft.spark.Manifests.readOrSchemaFallback(spark.read.parquet(path))(
-        spark.read.parquet(path + "/_schema"))
+    graft.spark.Layouts.read(spark, path)
       .where(col("sig").isin(probe: _*)) // partition-column filter ⇒ pruning
       .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
       .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
+  }
+
+  /** BATCHED ANN over a [[writeSignatures]] layout: ONE job answers a
+    * whole frame of queries — the shape a training pipeline needs (it
+    * probes millions of vectors, not one). Dataflow:
+    *
+    *  1. each query row gets its SRP signature (same planes as the
+    *     layout — map-side Column, never a driver loop over queries),
+    *     and is EXPLODED into its Hamming-ball probe signatures
+    *     (C(bits, ≤r) rows per query, e.g. 37 for bits=8, r=2);
+    *  2. the DISTINCT probed buckets — bounded by 2^bits (≤ 256 for the
+    *     8-bit default), NOT by the query count — are collected and
+    *     become a LITERAL partition filter, so the layout scan stays
+    *     statically partition-PRUNED no matter how many queries ride
+    *     the batch (plan-asserted in PlanShapeSpec); a batch so diverse
+    *     it probes every bucket degenerates to the full scan it
+    *     semantically is;
+    *  3. the pruned scan equi-joins the (broadcast) exploded probe
+    *     frame ON the signature — each corpus row hash-probes the
+    *     query set, no per-query scan, no theta join;
+    *  4. exact cosine rescoring, then per-query top-k via the salted
+    *     two-stage window ([[Ranking.topKPerGroup]] — no hot single
+    *     reducer even if one query's candidate bucket is huge).
+    *
+    * Output: (qid, id, cos_sim) — k rows per query (fewer if its ball
+    * holds fewer corpus rows). At `probeHamming = bits` the ball is
+    * exhaustive and the result provably equals per-query brute force —
+    * the oracle regime; narrow probes trade recall for the pruning.
+    */
+  def signatureTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         vecCol: String, idCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, bits: Int, probeHamming: Int,
+                         seed: Long = 42L, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim
+      else queries.select(size(colExact(qvecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    require(d > 0, "signatureTopKBatch needs the embedding dim (empty query frame and dim unset)")
+    val planes = hyperplanes(d, bits, seed)
+    // Hamming-ball expansion as a Column: ball(sig) = { sig ^ m | m ∈
+    // masks }, masks = all ≤probeHamming-bit subsets (driver-enumerated
+    // ONCE — C(bits, ≤r) longs, query-independent)
+    val masks = probeSignatures(0L, bits, probeHamming)
+    val probes = queries.select(
+        colExact(qidCol).as("qid"), colExact(qvecCol).as("qv"),
+        srpSignature(colExact(qvecCol), planes).as("qsig"))
+      .select(col("qid"), col("qv"),
+        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    // the distinct probed-bucket set is ≤ 2^bits by construction —
+    // driver-safe regardless of batch size
+    val probedBuckets = probes.select("sig").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.spark.Layouts.read(spark, path)
+      .where(col("sig").isin(probedBuckets: _*)) // literal ⇒ static pruning
+      .join(broadcast(probes), Seq("sig"))
+      .select(col("qid"), colExact(idCol).as("id"),
+        cosine(colExact(vecCol), col("qv")).as("cos_sim"))
+      .transform(scored => Ranking.topKPerGroup(scored, Seq("qid"),
+        Seq(col("cos_sim").desc, col("id").asc), k))
+      .select("qid", "id", "cos_sim")
   }
 
   // ---- IVF (inverted-file) ANN: coarse k-means quantizer ---------------
@@ -253,8 +325,19 @@ object Similarity {
     */
   def writeClustered(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
                      path: String): Unit =
-    df.withColumn("cluster_id", ivfClusterId(colExact(vecCol), centroids))
-      .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+    graft.spark.Layouts.write(
+      df.withColumn("cluster_id", ivfClusterId(colExact(vecCol), centroids)), "cluster_id", path)
+
+  /** Incremental IVF maintenance — new rows assigned with the SAME
+    * centroids and appended as their own manifest version (see
+    * [[appendSignatures]]; the quantizer is the layout, so appends must
+    * not retrain it — periodic re-clustering is a [[writeClustered]]
+    * compaction).
+    */
+  def appendClustered(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+                      path: String): Unit =
+    graft.spark.Layouts.append(
+      df.withColumn("cluster_id", ivfClusterId(colExact(vecCol), centroids)), "cluster_id", path)
 
   /** IVF ANN top-k over a [[writeClustered]] layout: the nprobe
     * nearest-centroid ids resolve on the driver, the scan reads ONLY
@@ -266,7 +349,7 @@ object Similarity {
                     vecCol: String, idCol: String, query: Array[Float], k: Int,
                     centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val probe = nearestCentroids(query, centroids, nprobe)
-    spark.read.parquet(path)
+    graft.spark.Layouts.read(spark, path)
       .where(col("cluster_id").isin(probe: _*)) // partition-column filter ⇒ pruning
       .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
       .orderBy(desc("cos_sim"), colExact(idCol))
@@ -313,6 +396,52 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosineFromNorms(dot(col("a.v"), col("b.v")), normProd), roundTo).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
+  }
+
+  /** PRECISION audit of [[embeddingNearDupPairs]]: emitted pairs whose
+    * cosine — recomputed FROM SCRATCH by joining the ids back to the
+    * base table (a fresh plan through [[cosine]], not the in-bucket
+    * precomputed-norm structs) — either falls below `minCosine` or
+    * disagrees with the published `cos_sim`. ALWAYS EMPTY for a correct
+    * engine: SRP bucketing may MISS pairs (recall is the trade,
+    * measured by [[srpRecall]]), but every EMITTED pair is
+    * exact-verified — so the empty set is a driver-gate oracle for an
+    * otherwise hash-valued pair set.
+    */
+  def embeddingPrecisionAudit(df: DataFrame, vecCol: String, idCol: String,
+                              minCosine: Double, bits: Int = 8, seed: Long = 42L,
+                              dim: Int = 0, roundTo: Int = 3): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, vecCol, idCol, minCosine, bits, seed, dim,
+      roundTo = roundTo).select("id_a", "id_b", "cos_sim")
+    val vecs = df.select(colExact(idCol).as("id"), colExact(vecCol).as("v"))
+    pairs
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_sim"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("__check"))
+      .where(col("__check") < minCosine || col("__check") =!= col("cos_sim"))
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Measured RECALL of the SRP-bucketed pairing against the exact
+    * all-pairs baseline at the same (threshold, rounding) contract —
+    * ONE row `(n_exact_pairs, n_found, recall)`. Exact-pairs cost is
+    * O(n²): run on the same bounded verification slices
+    * [[exactNearDupPairs]] is for. recall = 1.0 on an empty exact set.
+    */
+  def srpRecall(df: DataFrame, vecCol: String, idCol: String, minCosine: Double,
+                bits: Int = 8, seed: Long = 42L, dim: Int = 0,
+                roundTo: Int = 3): DataFrame = {
+    val exact = exactNearDupPairs(df, vecCol, idCol, minCosine, roundTo)
+      .select("id_a", "id_b")
+    val lsh = embeddingNearDupPairs(df, vecCol, idCol, minCosine, bits, seed, dim,
+      roundTo = roundTo).select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+      .select(col("n_exact_pairs"), col("n_found"),
+        when(col("n_exact_pairs") === 0, 1.0)
+          .otherwise(col("n_found").cast("double") / col("n_exact_pairs")).as("recall"))
   }
 
   /** Exact all-pairs embedding near-duplicates — the EXACTNESS BASELINE

@@ -78,6 +78,39 @@ object Stats {
     one.select(explode(rows).as("s")).select("s.*")
   }
 
+  /** The HLL++ error-bound AUDIT of [[sketchStats]] — per column
+    * `(col_name, n_distinct, within_bound)` where `n_distinct` is the
+    * EXACT distinct count (any engine can replay it) and
+    * `within_bound` = 1 iff the `approx_count_distinct` estimate lands
+    * within `maxRelErr` of it. The estimate itself is hash-specific
+    * (HLL register layout), so it cannot be cross-engine-compared —
+    * but the BOUND can: HLL++ at relative standard deviation `rsd`
+    * stays within 3·rsd of truth except with ~0.3% probability, and
+    * for a FIXED input + hash function the estimate is deterministic,
+    * so the audit row is a stable oracle target. Runs exact
+    * `count(DISTINCT)` alongside the sketch in the same single-pass
+    * aggregate — this is the VERIFICATION operator (run on
+    * correctness slices / samples); the production 100 TB path remains
+    * [[sketchStats]], whose sketches never pay the exact-distinct
+    * Expand replication.
+    */
+  def sketchAudit(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+                  maxRelErr: Double = 0.15): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(colExact(c), rsd).as(s"__adst_$c"),
+        countDistinct(colExact(c)).as(s"__dst_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name"), colExact(s"__dst_$c").as("n_distinct"),
+        when(abs(colExact(s"__adst_$c") - colExact(s"__dst_$c")).cast("double")
+            <= lit(maxRelErr) * colExact(s"__dst_$c").cast("double"), 1)
+          .otherwise(0).as("within_bound"))
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
+  }
+
   /** t-digest quantiles (custom mergeable Aggregator,
     * [[graft.functions.TDigestQuantiles]]) — the north star's named
     * sketch; same single-pass partial-aggregate shape as [[sketchStats]]

@@ -371,11 +371,16 @@ object TextAnalysis {
       }
     }
     // generator outputs aliased to internal names so an id column
-    // literally named "pos"/"col" can't collide with posexplode's
-    val staged = df.select(colExact(idCol), posexplode(chunks).as(Seq("__ci", "__c")))
+    // literally named "pos"/"col" can't collide with posexplode's; the
+    // internal names themselves are derived fresh (freshName) so an id
+    // column literally named "__ci"/"__c" can't collide either
+    val (ci, c) = (graft.spark.ColumnCompiler.freshName(df, "__ci"),
+      graft.spark.ColumnCompiler.freshName(df, "__c"))
+    val staged = df.select(colExact(idCol), posexplode(chunks).as(Seq(ci, c)))
     staged.select(colExact(staged.columns.head),
-      col("__ci").cast("long").as("chunk_idx"),
-      col("__c.n_tokens").as("n_tokens"), col("__c.chunk_text").as("chunk_text"))
+      colExact(ci).cast("long").as("chunk_idx"),
+      colExact(c).getField("n_tokens").as("n_tokens"),
+      colExact(c).getField("chunk_text").as("chunk_text"))
   }
 
   /** Character-distribution signals — the compressibility tier of
@@ -446,11 +451,14 @@ object TextAnalysis {
     Dedup.let(entropyRle(text))(entropyFromRle)
 
   def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val staged = df.select(colExact(idCol), entropyRle(colExact(textCol)).as("__e"))
+    // staging name derived fresh so an input column named "__e" can't
+    // shadow the RLE struct
+    val e = graft.spark.ColumnCompiler.freshName(df, "__e")
+    val staged = df.select(colExact(idCol), entropyRle(colExact(textCol)).as(e))
     staged.select(colExact(staged.columns.head),
-        col("__e.n").as("n_chars"),
-        col("__e.uniq").as("n_distinct_chars"),
-        entropyFromRle(col("__e")).as("char_entropy"))
+        colExact(e).getField("n").as("n_chars"),
+        colExact(e).getField("uniq").as("n_distinct_chars"),
+        entropyFromRle(colExact(e)).as("char_entropy"))
   }
 
   /** Document fingerprint: full-content sha-256 + bottom-k sketch of

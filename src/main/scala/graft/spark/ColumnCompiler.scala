@@ -78,6 +78,23 @@ object ColumnCompiler {
   def colExact(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  /** A helper-column name GUARANTEED absent from `df` (the preferred
+    * base, underscore-suffixed until it collides with nothing). The
+    * operators that stage internal columns ([[graft.operators.Components.keepCanonical]]'s
+    * drop-id, the text-analysis posexplode stages) derive their names
+    * here so an input that already carries a column spelled like the
+    * helper can never make a join or projection ambiguous — deriving
+    * beats refusing (the loud-refusal alternative) because the caller's
+    * column is untouched and the operator still runs. Resolution is
+    * case-insensitive under the default spark.sql.caseSensitive=false,
+    * so the collision check is too.
+    */
+  def freshName(df: org.apache.spark.sql.DataFrame, base: String): String = {
+    var n = base
+    while (df.columns.exists(_.equalsIgnoreCase(n))) n += "_"
+    n
+  }
+
   /** Normalize a numeric enum member for exact decimal comparison
     * against a column of type `dec`: trailing zeros stripped (1.00 ≡ 1
     * by value, and a 41-digit trailing-zero literal must not be

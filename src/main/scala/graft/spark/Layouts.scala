@@ -1,0 +1,144 @@
+package graft.spark
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned partitioned-parquet layouts — the storage protocol under
+  * the materialized ANN tiers ([[graft.operators.Similarity]]'s
+  * signature/IVF layouts) and any other partition-pruned derived table.
+  *
+  * The r3 layouts were overwrite-only: at 100 TB a daily corpus append
+  * must NOT rewrite the whole layout. This module reuses the
+  * [[Manifests]] snapshot protocol (the same one the violation sinks
+  * commit through) with a MULTI-LINE manifest: each committed write is
+  * its own immutable `v-<token>/` version directory holding ONLY that
+  * write's rows (partitioned by the layout's partition column), and the
+  * `_current` manifest lists every live version, one per line. So:
+  *
+  *  - [[write]] — fresh layout: sweep, one version dir, manifest := it.
+  *  - [[append]] — incremental maintenance: a NEW version dir with just
+  *    the appended rows (dynamic-partition layout inside it), then ONE
+  *    atomic manifest replace publishing old-lines + new-line. No
+  *    existing byte is rewritten; a crash before publish leaves the old
+  *    manifest live and an orphan dir for the next write's sweep —
+  *    readers never observe a partial append.
+  *  - [[read]] — resolves the manifest and reads ALL listed version
+  *    dirs in one multi-root scan. Each root discovers its own
+  *    `part=...` directories, so a filter on the partition column still
+  *    prunes DIRECTORIES across every version (plan-asserted in
+  *    PlanShapeSpec) — the probe cost of a layout stays proportional to
+  *    the probed buckets, not to how many appends built it.
+  *
+  * Every version carries a `_schema` sidecar (underscore ⇒ invisible to
+  * partition discovery) so an all-empty layout still reads back typed —
+  * same contract as [[Sinks]] / Checkpoint / StreamingSink. Compaction
+  * (folding many small versions into one) is [[write]] of the read-back
+  * — the manifest swap makes it atomic too.
+  */
+object Layouts {
+
+  private val Manifest = "_current"
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val root = new Path(path)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def liveVersions(fs: FileSystem, root: Path): Seq[String] =
+    Manifests.readLines(fs, new Path(root, Manifest))
+
+  private def isVersionArtifact(name: String): Boolean =
+    name.startsWith("v-") || name.startsWith(Manifest + ".tmp-")
+
+  private def writeVersion(df: DataFrame, partCol: String, dir: String): Unit = {
+    df.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    df.limit(0).write.mode("overwrite").parquet(dir + "/_schema")
+  }
+
+  /** Fresh layout: previous versions and crash orphans are swept, the
+    * frame lands as one version dir, and the manifest is atomically
+    * replaced to name it alone.
+    */
+  def write(df: DataFrame, partCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, path)
+    // sweep ONLY what is not live: crash orphans and versions a prior
+    // write already superseded. The CURRENTLY live versions must
+    // survive until this write publishes — deleting them first would
+    // break both a concurrent reader holding the old manifest and this
+    // very layout if we crash before publishing (manifest pointing at
+    // deleted dirs). They become sweepable at the START of the next
+    // write — the same one-write grace period as [[Sinks]]. A
+    // manifest-less root may be a legacy plain layout, so only
+    // version-scheme artifacts are known-ours to delete then.
+    val live = liveVersions(fs, root)
+    if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale =
+          if (live.nonEmpty) n != Manifest && !live.contains(n) && isVersionArtifact(n)
+          else isVersionArtifact(n)
+        if (stale) fs.delete(p, true)
+      }
+    }
+    val v = "v-" + java.util.UUID.randomUUID().toString.take(8)
+    writeVersion(df, partCol, new Path(root, v).toString)
+    Manifests.atomicReplace(spark.sparkContext.hadoopConfiguration, root, Manifest, v)
+  }
+
+  /** Incremental append: ONLY the new rows are written (their own
+    * version dir, partitioned like the rest), and the manifest bump
+    * publishes them atomically. Refuses a never-written layout loudly —
+    * an append that silently became a first write would hide a wrong
+    * path.
+    */
+  def append(df: DataFrame, partCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, path)
+    val live = liveVersions(fs, root)
+    require(live.nonEmpty,
+      s"append to a layout that was never written: $path has no committed manifest — " +
+        "call write() for the initial build")
+    // sweep crash orphans (version dirs not in the manifest) so
+    // repeated failed appends cannot accumulate unbounded debris
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (isVersionArtifact(n) && n != Manifest && !live.contains(n)) fs.delete(p, true)
+    }
+    val v = "v-" + java.util.UUID.randomUUID().toString.take(8)
+    writeVersion(df, partCol, new Path(root, v).toString)
+    Manifests.atomicReplace(spark.sparkContext.hadoopConfiguration, root, Manifest,
+      (live :+ v).mkString("\n"))
+  }
+
+  /** The layout as one DataFrame: every live version dir read
+    * separately and unioned (Spark refuses several partitioned ROOTS in
+    * one reader call — CONFLICTING_DIRECTORY_STRUCTURES — and a shared
+    * basePath would demand the version segment be a partition column).
+    * The union costs nothing at scale: a partition-column filter pushes
+    * into EACH branch's scan as its own PartitionFilters (plan-asserted
+    * in PlanShapeSpec), so probe cost stays proportional to probed
+    * buckets × versions — and version count is bounded by the append
+    * cadence between [[write]] compactions, not by data size. A
+    * manifest-less path reads as a legacy plain layout; an empty
+    * version contributes its typed `_schema` frame.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val dirs = liveVersions(fs, root).map(v => new Path(root, v).toString)
+    def one(dir: String): DataFrame =
+      Manifests.readOrSchemaFallback(spark.read.parquet(dir))(
+        spark.read.parquet(dir + "/_schema"))
+    if (dirs.isEmpty) one(path)
+    // unionByName: partition-column TYPES can differ between a data
+    // version (directory-inferred) and an empty version's _schema
+    // sidecar (writer schema) — by-name union widens them
+    else dirs.map(one).reduce(_.unionByName(_))
+  }
+
+  /** Whether `path` holds a committed layout (manifest published). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    liveVersions(fs, root).nonEmpty
+  }
+}

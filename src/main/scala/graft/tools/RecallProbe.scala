@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: prints the MEASURED recall of every LSH tier on a
+  * testdata dir — the numbers the asserted floors in SparkEntry
+  * (minhashRecallFloor / srpRecallFloor / annProbeRecallFloor) and
+  * OperatorSpec were banked from. Re-run after changing seeds, banding
+  * or bucket layouts:
+  * `sbt -batch "runMain graft.tools.RecallProbe /root/testdata/sf0.01"`
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .appName("recall-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    println("== minhash recall (minJaccard=0.2, bands=16, r=4) ==")
+    Dedup.minhashRecall(docs, "doc_id", "text", minJaccard = 0.2).show(false)
+
+    println("== srp recall (vec_id<300, minCosine=0.35, bits=3, dim=64) ==")
+    Similarity.srpRecall(emb.where(col("vec_id") < 300), "embedding", "vec_id",
+      minCosine = 0.35, bits = 3, dim = 64).show(false)
+
+    println("== ann narrow-probe recall@10 (bits=8, probe=2) ==")
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val path = java.nio.file.Files.createTempDirectory("recallprobe").toString + "/sigs"
+    Similarity.writeSignatures(emb, "embedding", bits = 8, path, dim = 64)
+    val truth = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 10).select("vec_id")
+    val probed = Similarity.signatureTopK(spark, path, "embedding", "vec_id", q, 10,
+      bits = 8, probeHamming = 2).select(col("vec_id"), lit(1L).as("__hit"))
+    truth.join(probed, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_topk"), coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+      .show(false)
+
+    println("== simhash precision audit rows (expect 0) ==")
+    println(Dedup.simhashPrecisionAudit(docs, "doc_id", "text", maxHamming = 16).count())
+    println("== minhash precision audit rows (expect 0) ==")
+    println(Dedup.minhashPrecisionAudit(docs, "doc_id", "text", minJaccard = 0.2).count())
+    println("== embed precision audit rows (expect 0) ==")
+    println(Similarity.embeddingPrecisionAudit(emb, "embedding", "vec_id",
+      minCosine = 0.35, bits = 3, dim = 64).count())
+    spark.stop()
+  }
+}

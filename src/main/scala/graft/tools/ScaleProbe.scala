@@ -1,0 +1,120 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Growth study for the superlinear-risk operator family
+  * (d_jaccard_exact, d_dup_clusters, x_dedup_keep, x_curation_full):
+  * times each at 1× and K× corpus scale and reports wall-growth ratios
+  * against the data ratio — the strongest 100×-scale evidence a single
+  * box can produce (VERDICT r3 #8). Writes `BENCH/SCALE.md`.
+  *
+  * The K× corpus is derived DETERMINISTICALLY from the shipped sf
+  * documents table (no external data): copy k suffixes every alnum
+  * token with a copy tag. Appending one fixed suffix to every token is
+  * a bijection on the token vocabulary, so WITHIN-copy shingle sets are
+  * isomorphic to the original — every copy carries exactly the base
+  * corpus's near-dup structure — while tokens never collide ACROSS
+  * copies, so cross-copy Jaccard is 0 and the planted pair count grows
+  * exactly ×K (a naive union of untagged copies would grow near-dup
+  * pairs ×K² and measure a different problem, not scale-up). The 1×
+  * baseline is tagged copy 0 alone, so both scales run content of
+  * identical shape.
+  *
+  * `sbt -batch "runMain graft.tools.ScaleProbe [sfDir] [K] [reps]"`
+  */
+object ScaleProbe {
+
+  private val family = Seq("d_jaccard_exact", "d_dup_clusters", "x_dedup_keep", "x_curation_full")
+
+  private def tagged(docs: DataFrame, k: Int, stride: Long): DataFrame =
+    docs.select(
+      (col("doc_id") + lit(k * stride)).as("doc_id"),
+      // $1 back-reference keeps the token, the copy tag glues to its
+      // tail (no new token boundary — the tag must change the token,
+      // not add one)
+      regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1q" + k).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(3)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val baseDir = s"target/scale_base"
+    val kDir = s"target/scale_${k}x"
+    // staged OUTSIDE timing, once per content hash of the config
+    if (!Files.exists(Paths.get(s"$baseDir/documents.parquet/_SUCCESS")))
+      tagged(docs, 0, stride).write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    if (!Files.exists(Paths.get(s"$kDir/documents.parquet/_SUCCESS")))
+      (0 until k).map(tagged(docs, _, stride)).reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$kDir/documents.parquet")
+
+    val n1 = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nK = spark.read.parquet(s"$kDir/documents.parquet").count()
+    System.err.println(s"[scale] base rows=$n1, ${k}x rows=$nK")
+
+    val rows = family.map { q =>
+      val fn = SparkEntry.queries(q)
+      def best(dir: String): Double =
+        (1 to reps).map(_ => timed(fn(spark, dir).count())).min
+      val w1 = best(baseDir)
+      val wK = best(kDir)
+      val ratio = wK / w1
+      System.err.println(f"[scale] $q: 1x $w1%.1fs, ${k}x $wK%.1fs, growth ${ratio}%.2fx (data ${k}x)")
+      (q, w1, wK, ratio)
+    }
+
+    val dataRatio = nK.toDouble / n1
+    val logFactor = math.log(nK.toDouble) / math.log(n1.toDouble)
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/SCALE.md"),
+      s"""# BENCH/SCALE — wall growth vs data growth (superlinear-risk family)
+         |
+         |Corpus: the sf documents table tagged per copy (token-suffix
+         |bijection — within-copy near-dup structure identical to the
+         |base, cross-copy Jaccard 0, planted pairs grow exactly ×K; see
+         |`graft.tools.ScaleProbe`). Base = tagged copy 0 ($n1 rows),
+         |scaled = $k tagged copies ($nK rows, ×${f"$dataRatio%.2f"}).
+         |local[32], best of $reps reps per point, staging excluded.
+         |Date: ${java.time.LocalDate.now}.
+         |
+         || query | 1× wall (s) | ${k}× wall (s) | growth | verdict vs data ratio ×${f"$dataRatio%.2f"} |
+         ||---|---|---|---|---|
+         |${rows.map { case (q, w1, wK, r) =>
+             val verdict =
+               if (r <= dataRatio * 1.15) "≤ linear (within noise)"
+               else if (r <= dataRatio * logFactor * 1.15) "≲ n·log n"
+               else "SUPERLINEAR — investigate"
+             f"| $q | $w1%.2f | $wK%.2f | ×$r%.2f | $verdict |"
+           }.mkString("\n")}
+         |
+         |Target: growth ≲ data ratio × log-factor (the pair/cluster
+         |operators are n·log-ish by design — prefix-filtered inverted
+         |index, O(log² n) star rounds). A growth ratio tracking the
+         |data ratio here is the evidence that the same plans hold at
+         |100× — nothing in the family is all-pairs or
+         |collect-to-driver, so the curve has no knee to hit.
+         |""".stripMargin)
+    println(rows.map { case (q, w1, wK, r) =>
+      f"""\"$q\":{\"w1\":$w1%.2f,\"wK\":$wK%.2f,\"growth\":$r%.2f}"""
+    }.mkString(s"""{"k":$k,"rows1":$n1,"rowsK":$nK,""", ",", "}"))
+    spark.stop()
+  }
+}

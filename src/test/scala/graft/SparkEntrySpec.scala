@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Driver-contract guard: the flagship `entry` and every `queries`
   * entry must execute against sf0.001 — a query that throws at driver
   * time silently zeroes its correctness score, so it fails CI here
-  * instead. Oracle keys must reference implemented queries (the
-  * reverse is allowed: rows-only queries have no oracle).
+  * instead. Oracle coverage is TOTAL in both directions since r4:
+  * every oracle names a query, and every query carries an oracle (the
+  * hash/sketch-valued operators are gated through precision audits,
+  * recall floors, error-bound rows, or exhaustive-probe regimes — a
+  * new rows-only query would be invisible to the driver gate, so it
+  * fails here).
   */
 class SparkEntrySpec extends AnyFunSuite {
 
@@ -21,6 +25,11 @@ class SparkEntrySpec extends AnyFunSuite {
   test("every oracleSql key has a query implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query is oracle-gated — no rows-only entries") {
+    val blind = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(blind.isEmpty, s"queries invisible to the driver gate: $blind")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

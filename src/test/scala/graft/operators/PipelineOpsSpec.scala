@@ -24,6 +24,92 @@ class PipelineOpsSpec extends AnyFunSuite {
     (6L, "le chat est dans la maison et les oiseaux sont dans le jardin pour une heure"))
     .toDF("id", "text")
 
+  // ---- precision / recall audits --------------------------------------
+
+  test("precision audits emit nothing on a healthy corpus (their oracle contract)") {
+    assert(Dedup.minhashPrecisionAudit(docs, "id", "text", minJaccard = 0.2).count() == 0)
+    assert(Dedup.simhashPrecisionAudit(docs, "id", "text", maxHamming = 16).count() == 0)
+  }
+
+  test("minhash recall is 1.0 on the planted near-dup corpus and the audit math is sound") {
+    val r = Dedup.minhashRecall(docs, "id", "text", minJaccard = 0.2).head()
+    val exact = Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.2).count()
+    assert(r.getAs[Long]("n_exact_pairs") == exact)
+    assert(exact >= 3, s"planted corpus must have near-dup pairs, got $exact") // 1-2, 1-3, 2-3
+    assert(r.getAs[Long]("n_found") == exact)
+    assert(r.getAs[Double]("recall") == 1.0)
+    // empty exact set → recall defined as 1.0, not NULL/NaN
+    val none = Dedup.minhashRecall(docs.where(col("id") > 100), "id", "text").head()
+    assert(none.getAs[Long]("n_exact_pairs") == 0 && none.getAs[Double]("recall") == 1.0)
+  }
+
+  test("simhashRef (HOF majority formulation) agrees bit-for-bit with the native codegen expression") {
+    // the precision audit's independence rests on this: two different
+    // arithmetic routes (±1 counters vs popcount strict majority over
+    // the same seed-42 xxhash64) to the same fingerprint — including
+    // the empty-token edge (all counters at the 0 tie → fingerprint 0)
+    val edgy = docs.union(Seq((7L, ""), (8L, "one"), (9L, "... !!!")).toDF("id", "text"))
+    val both = edgy.select(Dedup.simhash(col("text")).as("native"),
+      Dedup.simhashRef(col("text")).as("ref")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"native=${r.getLong(0)} ref=${r.getLong(1)}"))
+  }
+
+  test("srp recall measures the bucketing honestly on a planted embedding set") {
+    // 40 vectors in 2 tight clusters (high intra-cluster cosine):
+    // bits=1 splits space by one hyperplane — recall must be measured
+    // in (0, 1] and n_exact_pairs must match the exact baseline
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.05f)
+    val a = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val b = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val vecs = (0 until 20).map(i => (i.toLong, jitter(a).toSeq)) ++
+      (20 until 40).map(i => (i.toLong, jitter(b).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val r = Similarity.srpRecall(df, "embedding", "vec_id", minCosine = 0.9,
+      bits = 2, dim = 16).head()
+    val exact = Similarity.exactNearDupPairs(df, "embedding", "vec_id", 0.9).count()
+    assert(r.getAs[Long]("n_exact_pairs") == exact && exact > 0)
+    val rec = r.getAs[Double]("recall")
+    assert(rec > 0.0 && rec <= 1.0, s"recall=$rec")
+    assert(r.getAs[Long]("n_found") ==
+      math.round(rec * exact), "recall must be n_found/n_exact")
+    // and the precision audit on the same frame is empty
+    assert(Similarity.embeddingPrecisionAudit(df, "embedding", "vec_id",
+      minCosine = 0.9, bits = 2, dim = 16).count() == 0)
+  }
+
+  test("staging helper names are derived fresh — inputs may carry __e/__ci/__c/__drop_id") {
+    // an input column spelled like an internal staging name must not
+    // make a projection or join ambiguous (ColumnCompiler.freshName)
+    val tricky = Seq((1L, "hello world text here and more words following"))
+      .toDF("id", "text")
+      .withColumn("__e", lit("decoy")).withColumn("__ci", lit(1))
+      .withColumn("__c", lit(2)).withColumn("__drop_id", lit(3))
+    val ent = TextAnalysis.entropyStats(tricky, "id", "text").head()
+    assert(ent.getAs[Long]("n_chars") > 0)
+    assert(TextAnalysis.chunkTokens(tricky, "id", "text", maxTokens = 4, overlap = 0).count() == 2)
+    val kept = Components.keepCanonical(tricky, "id", Seq((1L, 99L)).toDF("id_a", "id_b"))
+    assert(kept.count() == 1) // id 1 is its cluster's min — kept, unambiguously
+  }
+
+  // ---- sketch audit ----------------------------------------------------
+
+  test("sketchAudit: exact distinct replayable, HLL++ inside its bound, bound check falsifiable") {
+    val df = spark.range(60000).select((col("id") % 50).as("few"), col("id").as("many"))
+    val rows = Stats.sketchAudit(df, Seq("few", "many")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows("few").getAs[Long]("n_distinct") == 50L)
+    assert(rows("many").getAs[Long]("n_distinct") == 60000L)
+    assert(rows.values.forall(_.getAs[Int]("within_bound") == 1))
+    // falsifiability: at a zero error budget the 60k-distinct sketch
+    // (inexact at this cardinality) must flip the flag — proving the
+    // bound comparison actually compares
+    val strict = Stats.sketchAudit(df, Seq("many"), maxRelErr = 0.0).head()
+    assert(strict.getAs[Int]("within_bound") == 0,
+      "HLL++ exact at 60k distinct? bound check may be vacuous")
+  }
+
   // ---- t-digest --------------------------------------------------------
 
   test("t-digest quantiles track exact quantiles within 1%") {
@@ -98,10 +184,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(g(0).getAs[Long]("n_rows") == 50L) // multiplicity stays exact
     assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toList == (0L to 6L).toList)
     assert(g(0).getAs[Boolean]("ids_truncated")) // cap is never silent
-    // default run: unbounded, flag false
+    // default run: the 10^4 default cap is far above this group, flag false
     val full = Dedup.exactDuplicates(many, "id", "text").collect()
     assert(full(0).getAs[scala.collection.Seq[Long]]("ids").length == 50)
     assert(!full(0).getAs[Boolean]("ids_truncated"))
+    // a group larger than the DEFAULT cap truncates loudly without opt-in
+    val mega = Seq.tabulate(10001)(i => (i.toLong, "x")).toDF("id", "text")
+    val m = Dedup.exactDuplicates(mega, "id", "text").collect()
+    assert(m(0).getAs[Long]("n_rows") == 10001L)
+    assert(m(0).getAs[scala.collection.Seq[Long]]("ids").length == 10000)
+    assert(m(0).getAs[Boolean]("ids_truncated"))
   }
 
   test("bucket cap is opt-in: default emits all pairs, capped run surfaces declines") {

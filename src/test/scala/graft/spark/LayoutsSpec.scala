@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The versioned-layout manifest protocol under the materialized ANN
+  * tiers: write/append/read round-trips, atomic-manifest visibility,
+  * crash-orphan sweeps, legacy fallback. (Probe-side behavior — pruning
+  * and append-then-probe equivalence — is plan-asserted in
+  * PlanShapeSpec.)
+  */
+class LayoutsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_layout").toString + "/layout"
+
+  private def frame(ids: Range) =
+    ids.map(i => (i.toLong, i.toLong % 4)).toDF("id", "part")
+
+  test("write → read round-trips; a second write supersedes (overwrite semantics)") {
+    val path = tmp()
+    assert(!Layouts.exists(spark, path))
+    Layouts.write(frame(0 until 20), "part", path)
+    assert(Layouts.exists(spark, path))
+    assert(Layouts.read(spark, path).count() == 20)
+    Layouts.write(frame(0 until 8), "part", path)
+    assert(Layouts.read(spark, path).count() == 8) // not 28: write resets
+  }
+
+  test("append adds a version; nothing is lost, duplicated, or rewritten") {
+    val path = tmp()
+    Layouts.write(frame(0 until 10), "part", path)
+    val firstVersionFiles = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = Manifests.readLines(fs, new org.apache.hadoop.fs.Path(path, "_current"))
+      v.map(d => d -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$d")).getModificationTime)
+    }
+    Layouts.append(frame(10 until 25), "part", path)
+    val got = Layouts.read(spark, path).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 25L))
+    // the initial version dir was not touched by the append
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    firstVersionFiles.foreach { case (d, mtime) =>
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$d")).getModificationTime == mtime,
+        s"append rewrote version dir $d")
+    }
+    // manifest now lists two versions
+    assert(Manifests.readLines(fs, new org.apache.hadoop.fs.Path(path, "_current")).size == 2)
+  }
+
+  test("append refuses a never-written layout; empty layouts read back typed") {
+    val err = intercept[IllegalArgumentException](Layouts.append(frame(0 until 3), "part", tmp()))
+    assert(err.getMessage.contains("never written"))
+    val path = tmp()
+    Layouts.write(frame(0 until 0), "part", path)
+    val empty = Layouts.read(spark, path)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "part"))
+  }
+
+  test("crash orphan (uncommitted version dir) is invisible to readers and swept by the next write") {
+    val path = tmp()
+    Layouts.write(frame(0 until 10), "part", path)
+    // simulate a crashed append: a version dir that never made the manifest
+    frame(100 until 200).write.partitionBy("part").parquet(s"$path/v-deadbeef")
+    assert(Layouts.read(spark, path).count() == 10) // reader resolves the manifest only
+    Layouts.append(frame(10 until 12), "part", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v-deadbeef")), "orphan not swept")
+    assert(Layouts.read(spark, path).count() == 12)
+  }
+
+  test("legacy manifest-less path reads as a plain layout") {
+    val path = tmp()
+    frame(0 until 7).write.partitionBy("part").parquet(path)
+    assert(Layouts.read(spark, path).count() == 7)
+  }
+}

@@ -68,6 +68,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition in the SMJ anti-join path") {
+    // SURVEY §4.2 claims AQE skew handling for the shuffleOrphans shape
+    // (the bench table plants Zipf-hot repos: top 1% ≈ 32% of rows);
+    // this pins the MECHANISM, not just the confs: a planted hot key
+    // carrying half the fact rows must make the runtime re-plan mark
+    // the sort-merge anti-join skew=true (partition split + sub-join),
+    // instead of letting one reducer straggle. Thresholds are scaled to
+    // test-size data — the mechanism is identical at 100 TB defaults.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
+    iso.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val fact = iso.range(0, 120000).select(
+      when(col("id") % 2 === 0, lit("hotcommit"))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(500)))).as("commit"),
+      // padding gives the hot partition real shuffle bytes to trip the
+      // threshold on
+      lpad(col("id").cast("string"), 48, "x").as("pad"))
+    val dim = iso.range(0, 500).select(concat(lit("c"), col("id")).as("commit"))
+    val orphans = Referential.shuffleOrphans(fact, Seq("commit"), dim, Seq("commit"))
+    // collect() (not count(), which builds its OWN QueryExecution over
+    // an added aggregate) so THIS df's adaptive plan is the one
+    // executed and finalized
+    assert(orphans.collect().length == 60000) // the hot key is the orphan
+    val p = orphans.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"),
+      s"AQE did not split the skewed anti-join partition:\n$p")
+  }
+
   test("salted uniqueness plans two-stage partial+final hash aggregation") {
     val p = plan(Uniqueness.duplicates(src, Seq("repo", "path", "commit")))
     assert(p.contains("HashAggregate"), p)
@@ -197,7 +231,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val layered = topk.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
     assert(layered == direct, s"layered=$layered direct=$direct")
     // the layout holds the full corpus (pruning is per-query, not lossy)
-    assert(spark.read.parquet(path).count() == e.count())
+    assert(Layouts.read(spark, path).count() == e.count())
   }
 
   test("materialized LSH signature layout prunes partitions at the source") {
@@ -219,7 +253,65 @@ class PlanShapeSpec extends AnyFunSuite {
     val layered = topk.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
     assert(layered == direct, s"layered=$layered direct=$direct")
     // the layout holds the full corpus (pruning is per-query, not lossy)
-    assert(spark.read.parquet(path).count() == e.count())
+    assert(Layouts.read(spark, path).count() == e.count())
+  }
+
+  test("appended signature layout: probe equivalence + pruning across versions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (older, newer) = (e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    // layout A: initial build + incremental append (two manifest versions)
+    val pathA = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString + "/sigs"
+    Similarity.writeSignatures(older, "embedding", bits = 8, pathA, dim = 64)
+    Similarity.appendSignatures(newer, "embedding", bits = 8, pathA, dim = 64)
+    // layout B: the same corpus written at once
+    val pathB = java.nio.file.Files.createTempDirectory("graft_lsh_one").toString + "/sigs"
+    Similarity.writeSignatures(e, "embedding", bits = 8, pathB, dim = 64)
+    // nothing lost, nothing duplicated
+    assert(Layouts.read(spark, pathA).count() == e.count())
+    def probe(path: String) =
+      Similarity.signatureTopK(spark, path, "embedding", "vec_id", q, 5,
+        bits = 8, probeHamming = 2)
+    val a = probe(pathA).collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val b = probe(pathB).collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(a == b, s"append-then-probe diverged: appended=$a atOnce=$b")
+    // the multi-version read still prunes on the signature partition
+    // column — probing cost stays proportional to probed buckets, not
+    // to how many appends built the layout
+    val p = plan(probe(pathA))
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("sig")), p)
+    // append to a never-written layout refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendSignatures(newer, "embedding", bits = 8,
+        java.nio.file.Files.createTempDirectory("graft_lsh_nope").toString + "/sigs", dim = 64)
+    }
+    assert(err.getMessage.contains("never written"))
+  }
+
+  test("batched ANN probe: pruned scan + broadcast probe join + salted per-query top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_batch").toString + "/sigs"
+    Similarity.writeSignatures(e, "embedding", bits = 8, path, dim = 64)
+    val queries = e.where(col("vec_id") < 3)
+    val batch = Similarity.signatureTopKBatch(spark, path, "embedding", "vec_id",
+      queries, "vec_id", "embedding", k = 5, bits = 8, probeHamming = 2, dim = 64)
+    val p = plan(batch)
+    // the union of the 3 queries' Hamming balls lands as a LITERAL
+    // partition filter — static pruning regardless of batch size
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("sig")), p)
+    // probe frame joins broadcast on the signature (equi-join, no
+    // theta/nested-loop over the corpus)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // per-query result identity with the single-query probe at the same
+    // (bits, probe, seed)
+    val q0 = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val single = Similarity.signatureTopK(spark, path, "embedding", "vec_id", q0, 5,
+        bits = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val batched = batch.where(col("qid") === 0).orderBy(desc("cos_sim"), col("id"))
+      .collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSeq
+    assert(batched == single, s"batched=$batched single=$single")
   }
 
   test("empty-corpus signature layout writes readable; probes return empty typed") {
