@@ -390,7 +390,11 @@ object Bench {
          |
          |${queryTimes.map { case (k, v, ws) =>
              f"| $k | $v%.3f s | ${ws.map(w => f"$w%.3f").mkString(", ")} |"
-           }.mkString("| query | best | samples |\n|---|---|---|\n", "\n", "")}
+           // generated continuation lines re-enter the stripMargin
+           // block, so each carries its own margin pipe — without it
+           // stripMargin eats the table's leading | (r3's file showed
+           // the malformed rows)
+           }.mkString("| query | best | samples |\n||---|---|---|\n|", "\n|", "")}
          |""".stripMargin)
   }
 }

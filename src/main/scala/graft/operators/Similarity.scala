@@ -25,8 +25,16 @@ import graft.spark.ColumnCompiler.colExact
   *    IVF [[writeClustered]]/[[clusteredTopK]] pair), so a multi-probe
   *    query becomes source partition PRUNING — only the C(bits, ≤r)
   *    probed buckets are listed, opened, or read, and signatures are
-  *    computed once at write time, never per query.
+  *    computed once at write time, never per query. Both layouts
+  *    commit through the [[graft.spark.Layouts]] manifest protocol and
+  *    take INCREMENTAL appends ([[appendSignatures]] /
+  *    [[appendClustered]] — a daily corpus append never rewrites the
+  *    layout), and [[signatureTopKBatch]] answers a whole query frame
+  *    in ONE pruned job.
   *
+  * The approximate tiers are held to checkable contracts:
+  * [[embeddingPrecisionAudit]] (emitted pairs re-verified — provably
+  * empty) and [[srpRecall]] (measured recall vs [[exactNearDupPairs]]).
   * Dot products ride `aggregate`/`zip_with` higher-order expressions —
   * codegen'd, no UDF.
   */

@@ -103,7 +103,9 @@ object ScaleProbe {
                else if (r <= dataRatio * logFactor * 1.15) "≲ n·log n"
                else "SUPERLINEAR — investigate"
              f"| $q | $w1%.2f | $wK%.2f | ×$r%.2f | $verdict |"
-           }.mkString("\n")}
+           // continuation lines re-enter the stripMargin block, so they
+           // carry their own margin pipe
+           }.mkString("\n|")}
          |
          |Target: growth ≲ data ratio × log-factor (the pair/cluster
          |operators are n·log-ish by design — prefix-filtered inverted
