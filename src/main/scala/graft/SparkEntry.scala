@@ -50,12 +50,23 @@ object SparkEntry {
     * built once per (session, sfDir) through the Layouts manifest
     * protocol and shared by every query that probes it
     * (s_ann_lsh_clustered, s_ann_probe_recall, s_ann_batch).
+    *
+    * Deliberately built as an initial write PLUS an incremental append
+    * (corpus split by vec_id parity), so the append path — two
+    * manifest versions, union read, per-branch pruning — is driven
+    * through the DRIVER GATE by every layout query, not just by specs:
+    * the exhaustive-probe oracles then prove append-then-probe ≡
+    * brute force over the whole corpus.
     */
   private def stagedSignatureLayout(s: SparkSession, dir: String): String = {
     val path = sessionScratch(s, dir, "lshsig") + "/sigs"
-    if (!graft.spark.Layouts.exists(s, path))
+    if (!graft.spark.Layouts.exists(s, path)) {
+      val e = table(s, dir, "embeddings")
       graft.operators.Similarity.writeSignatures(
-        table(s, dir, "embeddings"), "embedding", bits = 8, path, dim = 64)
+        e.where(col("vec_id") % 2 === 0), "embedding", bits = 8, path, dim = 64)
+      graft.operators.Similarity.appendSignatures(
+        e.where(col("vec_id") % 2 === 1), "embedding", bits = 8, path, dim = 64)
+    }
     path
   }
 
@@ -578,6 +589,28 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
+    // BATCHED IVF probe over a write+append clustered layout — the IVF
+    // twin of s_ann_batch (per-query probe-cluster explosion, distinct
+    // probed clusters as a literal partition filter, broadcast
+    // equi-join, salted per-query top-k). nprobe = every cluster, so
+    // the result provably equals the same per-query brute-force replay
+    "s_ann_ivf_batch" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8,
+        sampleN = 2000)
+      val path = sessionScratch(s, dir, "ivfclu") + "/clustered"
+      if (!graft.spark.Layouts.exists(s, path)) {
+        graft.operators.Similarity.writeClustered(
+          e.where(col("vec_id") % 2 === 0), "embedding", cents, path)
+        graft.operators.Similarity.appendClustered(
+          e.where(col("vec_id") % 2 === 1), "embedding", cents, path)
+      }
+      graft.operators.Similarity.clusteredTopKBatch(s, path, "embedding", "vec_id",
+          e.where(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, cents, nprobe = cents.length)
+        .select(col("qid"), col("id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
     // the STREAMING sink's whole exactly-once protocol under the batch
     // oracle (appendBatch/compact/readCommitted are plain-DataFrame
     // calls — foreachBatch is just their streaming driver): the
@@ -913,6 +946,23 @@ object SparkEntry {
       |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
       |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35""".stripMargin
+
+  /** Per-query brute-force top-10 for the 3-query batched ANN probes:
+    * windowed cross join, same double arithmetic and (cos DESC, id ASC)
+    * tie-break as the engine's salted per-query top-k.
+    */
+  private val batchBruteForceTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cos_sim,
+      |    row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+      |               e.vec_id) AS rn
+      |  FROM q CROSS JOIN embeddings e)
+      |SELECT qid, id, cos_sim FROM scored WHERE rn <= 10""".stripMargin
 
   /** Brute-force cosine top-10 (query = vec 0) — the oracle for BOTH
     * `s_cosine_topk` (exactness baseline) and `s_ann_ivf` (whose probe
@@ -1489,21 +1539,11 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |  LIMIT 10)""".stripMargin,
 
-    // per-query brute-force top-10 for the 3-query batch: windowed
-    // cross join, same double arithmetic and (cos DESC, id ASC)
-    // tie-break as the engine
-    "s_ann_batch" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 3),
-        |scored AS (
-        |  SELECT q.qid, e.vec_id AS id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cos_sim,
-        |    row_number() OVER (PARTITION BY q.qid
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
-        |               e.vec_id) AS rn
-        |  FROM q CROSS JOIN embeddings e)
-        |SELECT qid, id, cos_sim FROM scored WHERE rn <= 10""".stripMargin,
+    // per-query brute-force top-10 for the 3-query batch — ONE copy
+    // shared by the LSH and IVF batched probes (both run the
+    // exhaustive regime, so both provably equal this replay)
+    "s_ann_batch" -> batchBruteForceTopKSql,
+    "s_ann_ivf_batch" -> batchBruteForceTopKSql,
 
     "t_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -215,6 +215,12 @@ object Similarity {
     * holds fewer corpus rows). At `probeHamming = bits` the ball is
     * exhaustive and the result provably equals per-query brute force —
     * the oracle regime; narrow probes trade recall for the pruning.
+    *
+    * Scale envelope: the broadcast probe frame carries
+    * (qid, vector, sig) × C(bits, ≤r) rows per query — right up to
+    * ~10⁵–10⁶ queries per batch at typical dims. A larger probe load
+    * partitions into sub-batches (each still ONE pruned job); the
+    * pruning bound (≤ 2^bits buckets) is per-batch regardless.
     */
   def signatureTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          vecCol: String, idCol: String,
@@ -362,6 +368,53 @@ object Similarity {
       .select(colExact(idCol), cosine(colExact(vecCol), queryLit(query)).as("cos_sim"))
       .orderBy(desc("cos_sim"), colExact(idCol))
       .limit(k)
+  }
+
+  /** BATCHED IVF probe over a [[writeClustered]] layout — the IVF twin
+    * of [[signatureTopKBatch]], one job per query frame:
+    *
+    *  1. each query row scores every centroid map-side (`nprobe`
+    *     highest dots via a sorted struct array — pure Columns, no
+    *     driver loop over queries) and EXPLODES into its probe
+    *     clusters;
+    *  2. the DISTINCT probed clusters — bounded by k centroids, not by
+    *     the query count — become a LITERAL partition filter (static
+    *     pruning);
+    *  3. pruned scan equi-joins the broadcast probe frame on
+    *     cluster_id, exact cosine rescoring, salted per-query top-k.
+    *
+    * At `nprobe = centroids.length` every cluster is probed and the
+    * result provably equals per-query brute force (the oracle regime).
+    */
+  def clusteredTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         vecCol: String, idCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe=$nprobe outside [1, ${centroids.length}]")
+    // per-query nprobe nearest centroids: (dot, idx) structs sorted
+    // DESCENDING by dot with ascending idx tiebreak — the same
+    // (max-dot, lowest-index) selection as the driver-side
+    // nearestCentroids, stated as sort_array of (-dot, idx)
+    val scored = array(centroids.indices.map { i =>
+      struct((-dot(colExact(qvecCol), queryLit(centroids(i)))).as("negdot"),
+        lit(i).as("idx"))
+    }: _*)
+    val probes = queries.select(
+        colExact(qidCol).as("qid"), colExact(qvecCol).as("qv"),
+        explode(graft.operators.Dedup.let(sort_array(scored)) { s =>
+          transform(slice(s, 1, nprobe), e => e.getField("idx"))
+        }).as("cluster_id"))
+    val probedClusters = probes.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ k values — driver-safe
+    graft.spark.Layouts.read(spark, path)
+      .where(col("cluster_id").isin(probedClusters: _*)) // literal ⇒ static pruning
+      .join(broadcast(probes), Seq("cluster_id"))
+      .select(col("qid"), colExact(idCol).as("id"),
+        cosine(colExact(vecCol), col("qv")).as("cos_sim"))
+      .transform(s => Ranking.topKPerGroup(s, Seq("qid"),
+        Seq(col("cos_sim").desc, col("id").asc), k))
+      .select("qid", "id", "cos_sim")
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket

@@ -314,6 +314,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(batched == single, s"batched=$batched single=$single")
   }
 
+  test("batched IVF probe: pruned scan + broadcast probe join + per-query identity") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, "embedding", k = 4, sampleN = 200)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString + "/clustered"
+    Similarity.writeClustered(e, "embedding", cents, path)
+    val queries = e.where(col("vec_id") < 3)
+    val batch = Similarity.clusteredTopKBatch(spark, path, "embedding", "vec_id",
+      queries, "vec_id", "embedding", k = 5, cents, nprobe = 2)
+    val p = plan(batch)
+    // the union of the 3 queries' probe clusters is a LITERAL partition
+    // filter; the probe frame joins broadcast on cluster_id
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cluster_id")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // per-query identity with the single-query probe at the same
+    // (centroids, nprobe) — the column-form centroid selection must
+    // pick the SAME clusters as the driver-side nearestCentroids
+    val q0 = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val single = Similarity.clusteredTopK(spark, path, "embedding", "vec_id", q0, 5, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val batched = batch.where(col("qid") === 0).orderBy(desc("cos_sim"), col("id"))
+      .collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSeq
+    assert(batched == single, s"batched=$batched single=$single")
+  }
+
   test("empty-corpus signature layout writes readable; probes return empty typed") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft_lsh0").toString + "/sigs"
