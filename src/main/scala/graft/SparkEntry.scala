@@ -425,6 +425,19 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // INCREMENTAL dedup: exact near-dup pairs involving the "new" half
+    // of the corpus (odd doc_ids) against the already-deduped "old"
+    // half — the daily-increment shape that never re-pairs old×old.
+    // Oracle = the full replayed pair set filtered to pairs touching a
+    // new id (the operator's exactness contract verbatim).
+    "d_incr_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.exactJaccardPairsIncremental(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // connected components (alternating large/small-star) over the
     // exact near-dup pair set → dedup clusters; component = smallest
     // reachable doc_id. DuckDB replays the transitive closure as a
@@ -561,14 +574,10 @@ object SparkEntry {
       val truth = graft.operators.Similarity.cosineTopK(e, "embedding", "vec_id", q, 10)
         .select("vec_id")
       val probed = graft.operators.Similarity.signatureTopK(s, stagedSignatureLayout(s, dir),
-          "embedding", "vec_id", q, 10, bits = 8, probeHamming = 2)
-        .select(col("vec_id"), lit(1L).as("__hit"))
-      truth.join(probed, Seq("vec_id"), "left")
-        .agg(count(lit(1)).as("n_topk"),
-          coalesce(sum(col("__hit")), lit(0L)).as("__found"))
+        "embedding", "vec_id", q, 10, bits = 8, probeHamming = 2)
+      graft.operators.Recall.measure(truth, probed, Seq("vec_id"), totalCol = "n_topk")
         .select(col("n_topk"),
-          when(col("__found").cast("double") / col("n_topk") >= annProbeRecallFloor, 1)
-            .otherwise(0).as("recall_ok"))
+          when(col("recall") >= annProbeRecallFloor, 1).otherwise(0).as("recall_ok"))
     }),
 
     // BATCHED ANN probe over the same layout (VERDICT r3 #6): one job
@@ -1501,6 +1510,13 @@ object SparkEntry {
     "d_minhash_recall" ->
       s"""WITH ${jaccardPairsCte()}
          |SELECT count(*) AS n_exact_pairs, 1 AS recall_ok FROM pairs""".stripMargin,
+
+    // the incremental operator's exactness contract replayed: the full
+    // pair set restricted to pairs involving a "new" (odd) id
+    "d_incr_dedup" ->
+      s"""WITH ${jaccardPairsCte()}
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_a % 2 = 1 OR id_b % 2 = 1""".stripMargin,
 
     "d_simhash_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,

@@ -280,6 +280,71 @@ object Dedup {
       finally sets.unpersist()
   }
 
+  /** INCREMENTAL exact n-gram Jaccard: every qualifying pair that
+    * involves at least one `newDocs` row — (new, old) and (new, new) —
+    * WITHOUT re-pairing corpus × corpus. This is the daily-increment
+    * shape of [[exactJaccardPairs]]: yesterday's 100 TB corpus is
+    * already deduped against itself, so today's job must pay
+    * O(new × matched postings), not O((corpus + new)²).
+    *
+    * Same lossless prefix-filter rule (Chaudhuri/Bayardo — a pair with
+    * J ≥ t must share an element within BOTH sets' prefixes), but
+    * candidate generation is an equi-join of the NEW side's prefix
+    * postings against the prefix postings of corpus ∪ new, so every
+    * candidate has ≥ 1 new id by construction. A join streams its
+    * matches — no giant aggregation row can form, and a hot shingle
+    * skewing one join key is AQE skew-split territory, not an OOM. The
+    * map-side min ≥ t·max size filter and the exact [[jaccardVerify]]
+    * are shared with the full-corpus operator.
+    *
+    * EXACTNESS CONTRACT (spec-pinned):
+    * `exactJaccardPairsIncremental(corpus, new) ==
+    *  exactJaccardPairs(corpus ∪ new) filtered to pairs with ≥ 1 new
+    * id`. Caller contract: ids are unique ACROSS the two frames (the
+    * identity key of the combined corpus). Same eager/lazy cache
+    * lifecycle as [[exactJaccardPairs]].
+    */
+  def exactJaccardPairsIncremental(corpus: DataFrame, newDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minJaccard: Double = 0.7, shingleN: Int = 3,
+                                   eager: Boolean = true): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard = $minJaccard outside (0, 1] — at 0 the prefix is the whole set and the result is all pairs")
+    val setsNew = shingleSets(newDocs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus side is scanned for postings ONCE; its sets are
+    // re-derived only for verify's candidate sliver (semi-join below)
+    val prefixAll = prefixIndex(shingleSets(corpus, idCol, textCol, shingleN), minJaccard)
+      .unionByName(prefixIndex(setsNew, minJaccard))
+    val pn = prefixIndex(setsNew, minJaccard)
+      .withColumnsRenamed(Map("id" -> "nid", "sz" -> "nsz"))
+    val cands = pn.join(prefixAll, Seq("shingle"))
+      .where(col("nid") =!= col("id") &&
+        least(col("nsz"), col("sz")).cast("double") /
+          greatest(col("nsz"), col("sz")) >= minJaccard)
+      .select(least(col("nid"), col("id")).as("id_a"),
+        greatest(col("nid"), col("id")).as("id_b"))
+      .distinct()
+    // verify needs both sides' sets; only candidate documents are
+    // re-shingled (semi-join the COMBINED corpus to the candidate ids)
+    val candIds = cands.select(col("id_a").as("cid"))
+      .union(cands.select(col("id_b").as("cid"))).distinct()
+    val all = corpus.unionByName(newDocs)
+    val sets = all.join(candIds, all(idCol) === candIds("cid"), "left_semi")
+      .select(colExact(idCol).as("id"),
+        array_sort(array_distinct(
+          transform(shingles(colExact(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verify = jaccardVerify(cands, sets, minJaccard)
+    if (!eager) verify
+    else
+      try verify.localCheckpoint()
+      finally {
+        setsNew.unpersist()
+        sets.unpersist()
+      }
+  }
+
   /** Per-doc sorted distinct shingle-hash sets: (id, sh). */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
@@ -343,18 +408,11 @@ object Dedup {
     */
   def minhashRecall(df: DataFrame, idCol: String, textCol: String,
                     minJaccard: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
-                    shingleN: Int = 3): DataFrame = {
-    val exact = exactJaccardPairs(df, idCol, textCol, minJaccard, shingleN)
-      .select("id_a", "id_b")
-    val lsh = nearDuplicatePairs(df, idCol, textCol, minJaccard, bands, rowsPerBand, shingleN)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
-    exact.join(lsh, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact_pairs"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
-      .select(col("n_exact_pairs"), col("n_found"),
-        when(col("n_exact_pairs") === 0, 1.0)
-          .otherwise(col("n_found").cast("double") / col("n_exact_pairs")).as("recall"))
-  }
+                    shingleN: Int = 3): DataFrame =
+    Recall.measure(
+      exactJaccardPairs(df, idCol, textCol, minJaccard, shingleN).select("id_a", "id_b"),
+      nearDuplicatePairs(df, idCol, textCol, minJaccard, bands, rowsPerBand, shingleN),
+      Seq("id_a", "id_b"))
 
   /** Exact string-shingle Jaccard for `pairs`, keeping rows BELOW the
     * threshold — the shared audit core of [[minhashPrecisionAudit]]
@@ -364,8 +422,16 @@ object Dedup {
   private def stringJaccardBelow(df: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int, pairs: DataFrame,
                                  minJaccard: Double): DataFrame = {
-    val sets = df.select(colExact(idCol).as("id"),
-      array_distinct(shingles(colExact(textCol), shingleN)).as("sh"))
+    // semi-join first: only the audited pairs' documents are
+    // re-shingled — the audit must cost O(pairs), not a corpus-wide
+    // tokenize pass (same shape as [[simhashPrecisionAudit]]).
+    // df(idCol), not colExact: the corpus id column may itself be
+    // named "id"
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sets = df.join(ids, df(idCol) === ids("id"), "left_semi")
+      .select(colExact(idCol).as("id"),
+        array_distinct(shingles(colExact(textCol), shingleN)).as("sh"))
     pairs
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -444,8 +510,13 @@ object Dedup {
   def simhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
                             cap: Int = 4096, chunks: Int = 4): DataFrame = {
+    // the (small) pair set fans out THREE ways below (both union
+    // branches of `ids` + the final join) — un-materialized, the whole
+    // simhash/banding pipeline over the corpus would re-run per branch;
+    // same invocation-owned localCheckpoint trade as
+    // [[nearDuplicatePairs]]' eager mode
     val pairs = simhashPairs(df, idCol, textCol, maxHamming, maxBucket, cap, chunks)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").localCheckpoint()
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     // recompute only candidate documents' fingerprints (semi-join) —

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
+
+/** The ONE copy of the recall-measurement aggregation shared by every
+  * recall audit ([[Dedup.minhashRecall]], [[Similarity.srpRecall]],
+  * the s_ann_probe_recall driver query, `tools.RecallProbe`): a tweak
+  * to the recall definition — the empty-truth convention, the
+  * found-side dedup guard, the coalesce default — can no longer reach
+  * one copy and silently diverge the others.
+  */
+object Recall {
+
+  /** One row `(totalCol, n_found, recall)`: how much of `truth` shows
+    * up in `found`, joined on `on`. `found` is distinct'd on the join
+    * columns first — duplicate found rows must not multiply truth rows
+    * through the join and inflate BOTH counters. An empty truth set
+    * yields recall = 1.0 (nothing to find), never NULL/NaN.
+    */
+  def measure(truth: DataFrame, found: DataFrame, on: Seq[String],
+              totalCol: String = "n_exact_pairs"): DataFrame =
+    truth.join(
+        found.select(on.map(colExact): _*).distinct().withColumn("__hit", lit(1L)),
+        on, "left")
+      .agg(count(lit(1)).as(totalCol),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+      .select(colExact(totalCol), col("n_found"),
+        when(colExact(totalCol) === 0, 1.0)
+          .otherwise(col("n_found").cast("double") / colExact(totalCol)).as("recall"))
+}

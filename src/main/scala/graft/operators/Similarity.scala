@@ -235,11 +235,17 @@ object Similarity {
     // masks }, masks = all ≤probeHamming-bit subsets (driver-enumerated
     // ONCE — C(bits, ≤r) longs, query-independent)
     val masks = probeSignatures(0L, bits, probeHamming)
-    val probes = queries.select(
+    // the signed query frame is consumed TWICE below (the bucket
+    // collect and the broadcast probe side) — localCheckpoint'ed so a
+    // derived query frame (a filter/join over some corpus) and its
+    // bits×dim signature arithmetic execute ONCE, not per consumer
+    // (invocation-owned blocks, same trade as the dedup eager modes)
+    val signedQ = queries.select(
         colExact(qidCol).as("qid"), colExact(qvecCol).as("qv"),
         srpSignature(colExact(qvecCol), planes).as("qsig"))
-      .select(col("qid"), col("qv"),
-        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))
+      .localCheckpoint()
+    val probes = signedQ.select(col("qid"), col("qv"),
+      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))
     // the distinct probed-bucket set is ≤ 2^bits by construction —
     // driver-safe regardless of batch size
     val probedBuckets = probes.select("sig").distinct()
@@ -400,11 +406,16 @@ object Similarity {
       struct((-dot(colExact(qvecCol), queryLit(centroids(i)))).as("negdot"),
         lit(i).as("idx"))
     }: _*)
+    // consumed twice (cluster collect + broadcast side): materialized
+    // once so a derived query frame and the k centroid dot products
+    // per query never re-execute per consumer (explosion factor is
+    // only nprobe ≤ k, so checkpointing post-explode is cheap)
     val probes = queries.select(
         colExact(qidCol).as("qid"), colExact(qvecCol).as("qv"),
         explode(graft.operators.Dedup.let(sort_array(scored)) { s =>
           transform(slice(s, 1, nprobe), e => e.getField("idx"))
         }).as("cluster_id"))
+      .localCheckpoint()
     val probedClusters = probes.select("cluster_id").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ k values — driver-safe
     graft.spark.Layouts.read(spark, path)
@@ -492,18 +503,11 @@ object Similarity {
     */
   def srpRecall(df: DataFrame, vecCol: String, idCol: String, minCosine: Double,
                 bits: Int = 8, seed: Long = 42L, dim: Int = 0,
-                roundTo: Int = 3): DataFrame = {
-    val exact = exactNearDupPairs(df, vecCol, idCol, minCosine, roundTo)
-      .select("id_a", "id_b")
-    val lsh = embeddingNearDupPairs(df, vecCol, idCol, minCosine, bits, seed, dim,
-      roundTo = roundTo).select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
-    exact.join(lsh, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact_pairs"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
-      .select(col("n_exact_pairs"), col("n_found"),
-        when(col("n_exact_pairs") === 0, 1.0)
-          .otherwise(col("n_found").cast("double") / col("n_exact_pairs")).as("recall"))
-  }
+                roundTo: Int = 3): DataFrame =
+    Recall.measure(
+      exactNearDupPairs(df, vecCol, idCol, minCosine, roundTo).select("id_a", "id_b"),
+      embeddingNearDupPairs(df, vecCol, idCol, minCosine, bits, seed, dim, roundTo = roundTo),
+      Seq("id_a", "id_b"))
 
   /** Exact all-pairs embedding near-duplicates — the EXACTNESS BASELINE
     * for [[embeddingNearDupPairs]] (same contract: unordered pairs with

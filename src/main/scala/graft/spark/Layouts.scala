@@ -129,7 +129,27 @@ object Layouts {
     def one(dir: String): DataFrame =
       Manifests.readOrSchemaFallback(spark.read.parquet(dir))(
         spark.read.parquet(dir + "/_schema"))
-    if (dirs.isEmpty) one(path)
+    if (dirs.isEmpty) {
+      // manifest-less root: EITHER a legacy plain layout OR the debris
+      // of a FIRST write that crashed before publishing its manifest.
+      // The legacy read must not walk into uncommitted v-* dirs (their
+      // rows were never committed, and mixed directory depths break
+      // partition discovery) — same refuse-loudly contract as
+      // Sinks.resolveDataDir.
+      if (fs.exists(root)) {
+        val names = fs.listStatus(root).map(_.getPath.getName)
+        if (names.nonEmpty && names.forall(isVersionArtifact))
+          throw new IllegalStateException(
+            s"layout at $path has no committed version — found only uncommitted " +
+              s"write debris (${names.mkString(", ")}); the writer crashed before " +
+              "publishing its manifest")
+        require(!names.exists(isVersionArtifact),
+          s"layout at $path mixes legacy plain data with uncommitted version debris " +
+            s"(${names.filter(isVersionArtifact).mkString(", ")}) — run write() to " +
+            "rebuild, or delete the v-* orphans")
+      }
+      one(path)
+    }
     // unionByName: partition-column TYPES can differ between a data
     // version (directory-inferred) and an empty version's _schema
     // sidecar (writer schema) — by-name union widens them

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Recall, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -36,10 +36,8 @@ object RecallProbe {
     Similarity.writeSignatures(emb, "embedding", bits = 8, path, dim = 64)
     val truth = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 10).select("vec_id")
     val probed = Similarity.signatureTopK(spark, path, "embedding", "vec_id", q, 10,
-      bits = 8, probeHamming = 2).select(col("vec_id"), lit(1L).as("__hit"))
-    truth.join(probed, Seq("vec_id"), "left")
-      .agg(count(lit(1)).as("n_topk"), coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
-      .show(false)
+      bits = 8, probeHamming = 2)
+    Recall.measure(truth, probed, Seq("vec_id"), totalCol = "n_topk").show(false)
 
     println("== simhash precision audit rows (expect 0) ==")
     println(Dedup.simhashPrecisionAudit(docs, "doc_id", "text", maxHamming = 16).count())

@@ -57,9 +57,13 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val baseDir = s"target/scale_base"
-    val kDir = s"target/scale_${k}x"
-    // staged OUTSIDE timing, once per content hash of the config
+    // the staging cache key carries the SOURCE dir and K — a rerun
+    // against a different sfDir/K must restage, not silently time the
+    // previous run's corpus
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val baseDir = s"target/scale_${tag}_base"
+    val kDir = s"target/scale_${tag}_${k}x"
+    // staged OUTSIDE timing, once per (sfDir, K) key
     if (!Files.exists(Paths.get(s"$baseDir/documents.parquet/_SUCCESS")))
       tagged(docs, 0, stride).write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
     if (!Files.exists(Paths.get(s"$kDir/documents.parquet/_SUCCESS")))

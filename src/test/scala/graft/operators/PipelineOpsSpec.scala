@@ -93,6 +93,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.count() == 1) // id 1 is its cluster's min — kept, unambiguously
   }
 
+  test("incremental exact Jaccard equals the full pair set restricted to new-involving pairs") {
+    // corpus = even ids (already deduped), new = odd ids; the planted
+    // near-dup cluster {1, 2, 3} spans both halves, so the increment
+    // must find (1,2)/(2,3) cross pairs AND (1,3) new×new — and must
+    // NOT emit any old×old pair
+    val corpus = docs.where(col("id") % 2 === 0)
+    val fresh = docs.where(col("id") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+    val incr = Dedup.exactJaccardPairsIncremental(corpus, fresh, "id", "text",
+      minJaccard = 0.2).collect().map(key).toSet
+    val full = Dedup.exactJaccardPairs(docs, "id", "text", minJaccard = 0.2)
+      .collect().map(key).toSet
+    val expected = full.filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }
+    assert(expected.nonEmpty && incr == expected,
+      s"incr=$incr expected=$expected full=$full")
+    // an increment with no qualifying pairs is empty, not an error
+    assert(Dedup.exactJaccardPairsIncremental(docs, docs.where(col("id") > 100),
+      "id", "text", minJaccard = 0.2).count() == 0)
+  }
+
   // ---- sketch audit ----------------------------------------------------
 
   test("sketchAudit: exact distinct replayable, HLL++ inside its bound, bound check falsifiable") {
