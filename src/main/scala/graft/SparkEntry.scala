@@ -438,6 +438,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // the daily-increment DELIVERABLE: which new docs survive against
+    // the immutable already-deduped corpus — new content duplicating
+    // the corpus is dropped (the published copy wins regardless of id
+    // order), new-only clusters keep their min id. Composes the
+    // incremental pairing with the anchored component collapse.
+    "x_incr_keep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      val pairs = graft.operators.Dedup.exactJaccardPairsIncremental(
+        corpus, fresh, "doc_id", "text", minJaccard = 0.2)
+      graft.operators.Components.keepNewCanonical(fresh, "doc_id", pairs,
+          corpus.select("doc_id"), "doc_id")
+        .select("doc_id", "lang")
+    }),
+
     // connected components (alternating large/small-star) over the
     // exact near-dup pair set → dedup clusters; component = smallest
     // reachable doc_id. DuckDB replays the transitive closure as a
@@ -1517,6 +1533,35 @@ object SparkEntry {
       s"""WITH ${jaccardPairsCte()}
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE id_a % 2 = 1 OR id_b % 2 = 1""".stripMargin,
+
+    // increment-keep policy replayed: transitive closure over the SAME
+    // new-involving pair set; anchored components (touching an even =
+    // corpus id) drop all their new members, new-only components keep
+    // the min id
+    "x_incr_keep" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte()},
+         |ipairs AS (
+         |  SELECT id_a, id_b FROM pairs WHERE id_a % 2 = 1 OR id_b % 2 = 1),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM ipairs
+         |  UNION SELECT id_b, id_a FROM ipairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |anchored AS (SELECT DISTINCT component FROM comp WHERE id % 2 = 0),
+         |drops AS (
+         |  SELECT id FROM comp WHERE id % 2 = 1
+         |    AND component IN (SELECT component FROM anchored)
+         |  UNION
+         |  SELECT id FROM comp WHERE id % 2 = 1
+         |    AND component NOT IN (SELECT component FROM anchored)
+         |    AND id <> component)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "d_simhash_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,

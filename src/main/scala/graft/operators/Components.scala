@@ -164,6 +164,45 @@ object Components {
                      dstCol: String = "id_b", maxIter: Int = 50): DataFrame =
     starMembers(pairs, srcCol, dstCol, maxIter)
 
+  /** Collapse a DAILY INCREMENT against an immutable already-deduped
+    * corpus: given the pair set of [[Dedup.exactJaccardPairsIncremental]]
+    * (every pair touching ≥ 1 new row), keep the new rows that
+    *
+    *  - share NO component with an anchor (an existing-corpus id): new
+    *    content duplicating the corpus is dropped — the corpus copy is
+    *    already published and immutable, so it wins regardless of id
+    *    order (unlike [[keepCanonical]]'s global min-id rule, which
+    *    could elect a NEW doc canonical and strand the old copy);
+    *  - and are the min-id member of their new-only component (the
+    *    [[keepCanonical]] rule applied within the increment).
+    *
+    * Anchors are a FRAME of ids, not a broadcast list — at 100 TB the
+    * anchor set is the corpus itself; only the (tiny) component map
+    * ever joins against it, semi-joined so no anchor data moves.
+    */
+  def keepNewCanonical(newDf: DataFrame, idCol: String, pairs: DataFrame,
+                       anchors: DataFrame, anchorIdCol: String,
+                       srcCol: String = "id_a", dstCol: String = "id_b",
+                       maxIter: Int = 50): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol, maxIter)
+    // components touching the existing corpus (component map is
+    // bounded by the pair set — a sliver; the corpus-sized anchor
+    // frame is only the semi-join's build input)
+    val anchored = comp.join(anchors.select(colExact(anchorIdCol).as("__aid")),
+      comp("id") === col("__aid"), "left_semi").select("component").distinct()
+    val newIds = newDf.select(colExact(idCol).as("__nid"))
+    val newComp = comp.join(newIds, comp("id") === col("__nid"), "left_semi")
+    // drop: every new member of an anchored component; non-min new
+    // members of new-only components (component = min reachable id, so
+    // the min member satisfies id == component — no window needed)
+    val drops = newComp.join(anchored, Seq("component"), "left_semi").select("id")
+      .unionByName(newComp.join(anchored, Seq("component"), "left_anti")
+        .where(col("id") =!= col("component")).select("id"))
+    val dropId = graft.spark.ColumnCompiler.freshName(newDf, "__drop_id")
+    newDf.join(drops.select(col("id").as(dropId)),
+      colExact(idCol) === colExact(dropId), "left_anti")
+  }
+
   /** Collapse a corpus against a near-dup pair set: keep exactly one
     * document per duplicate cluster (the minimum id — deterministic
     * and rerun-stable, unlike "first seen") plus every unpaired

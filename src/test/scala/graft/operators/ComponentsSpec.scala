@@ -41,6 +41,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepNewCanonical: anchored clusters drop all new members, new-only clusters keep min") {
+    // corpus (anchors, immutable): {2, 10}; increment: {1, 3, 5, 7, 9}
+    //  - cluster {1, 2, 3} touches anchor 2 ⇒ new 1 and 3 drop, even
+    //    though new id 1 < anchor id 2 (the published copy wins — the
+    //    global-min rule of keepCanonical would wrongly elect 1)
+    //  - cluster {5, 7} is new-only ⇒ keep 5, drop 7
+    //  - 9 unpaired ⇒ kept
+    val fresh = Seq((1L, "a"), (3L, "b"), (5L, "c"), (7L, "d"), (9L, "e")).toDF("id", "payload")
+    val anchors = Seq(2L, 10L).toDF("aid")
+    val pairs = Seq((1L, 2L), (1L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = Components.keepNewCanonical(fresh, "id", pairs, anchors, "aid")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L, 9L), s"kept=$kept")
+    // empty pair set: the whole increment survives
+    val none = Components.keepNewCanonical(fresh, "id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), anchors, "aid")
+    assert(none.count() == 5)
+  }
+
   test("hub star where the hub is the largest id") {
     val edges = (1L to 9L).map(i => (100L, i))
     val got = cc(edges)
