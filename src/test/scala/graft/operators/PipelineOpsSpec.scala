@@ -114,6 +114,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       "id", "text", minJaccard = 0.2).count() == 0)
   }
 
+  test("incremental ≡ filtered-full on randomized near-dup corpora (seeded fuzz)") {
+    // the exactness contract under corpora the hand-planted case can't
+    // cover: random docs over a small vocabulary with planted
+    // near-copies, split 2:1 corpus:new — identical pair sets AND
+    // jaccard values required on every draw
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc() = Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 3).foreach { round =>
+      val base = Seq.tabulate(24)(i => (i.toLong, doc()))
+      val mutated = base.map { case (id, t) =>
+        if (id > 0 && rnd.nextBoolean()) {
+          val src = base(rnd.nextInt(id.toInt))._2
+          (id, if (rnd.nextBoolean()) src else src + " " + vocab(rnd.nextInt(vocab.size)))
+        } else (id, t)
+      }
+      val df = mutated.toDF("id", "text")
+      val corpus = df.where(col("id") % 3 =!= 0)
+      val fresh = df.where(col("id") % 3 === 0)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+      val incr = Dedup.exactJaccardPairsIncremental(corpus, fresh, "id", "text",
+        minJaccard = 0.3).collect().map(key).toSet
+      val fullSet: Set[(Long, Long, Long)] =
+        Dedup.exactJaccardPairs(df, "id", "text", minJaccard = 0.3)
+          .collect().map(key).toSet
+      val full = fullSet.filter(t => t._1 % 3 == 0 || t._2 % 3 == 0)
+      assert(incr == full, s"round $round: incr=$incr expected=$full")
+    }
+  }
+
+  test("Recall.measure: duplicate found rows cannot inflate the ratio") {
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val found = Seq((1L, 2L), (1L, 2L), (9L, 9L)).toDF("id_a", "id_b")
+    val r = Recall.measure(truth, found, Seq("id_a", "id_b")).head()
+    assert(r.getAs[Long]("n_exact_pairs") == 2)
+    assert(r.getAs[Long]("n_found") == 1)
+    assert(r.getAs[Double]("recall") == 0.5)
+  }
+
   // ---- sketch audit ----------------------------------------------------
 
   test("sketchAudit: exact distinct replayable, HLL++ inside its bound, bound check falsifiable") {
