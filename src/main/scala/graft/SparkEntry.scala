@@ -327,6 +327,13 @@ object SparkEntry {
       graft.operators.Stats.sketchAudit(table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice"))),
 
+    // the GK quantile sketch under the same bound-audit pattern: exact
+    // non-null counts replay in DuckDB, within_bound holds the
+    // percentile_approx value to its published rank guarantee
+    "c_stats_qsketch" -> ((s, dir) =>
+      graft.operators.Stats.quantileAudit(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))),
+
     // t-digest quantiles via the custom mergeable Aggregator. δ = 2N
     // makes the digest provably EXACT: the k1 merge criterion can
     // absorb a second unit-weight point only if sin(θ+2π/δ) − sin(θ) ≥
@@ -1436,6 +1443,12 @@ object SparkEntry {
         |SELECT 'l_extendedprice',
         |  count(DISTINCT l_extendedprice), 1
         |FROM lineitem""".stripMargin,
+
+    "c_stats_qsketch" -> Seq("l_quantity", "l_extendedprice").flatMap { c =>
+      Seq(0.25, 0.5, 0.75, 0.99).map { p =>
+        s"SELECT '$c' AS col_name, $p AS q, count($c) AS n_rows, 1 AS within_bound FROM lineitem"
+      }
+    }.mkString("\nUNION ALL\n"),
 
     "w_top_docs" ->
       """SELECT lang, doc_id, n_chars, rnk FROM (

@@ -111,6 +111,62 @@ object Stats {
     one.select(explode(rows).as("s")).select("s.*")
   }
 
+  /** The Greenwald-Khanna quantile-sketch audit — [[sketchAudit]]'s
+    * twin for `percentile_approx`: per (column, quantile) one row
+    * `(col_name, q, n_rows, within_bound)` where `n_rows` is the exact
+    * non-null count (replayable) and `within_bound` = 1 iff the
+    * sketch's returned value has RANK within the published guarantee
+    * of the target. `percentile_approx(…, accuracy)` guarantees a
+    * value whose rank r satisfies |r − q·N| ≤ N/accuracy; a VALUE's
+    * rank is the interval [count(x < v)+1, count(x ≤ v)] (ties), so
+    * the check is interval overlap against the target window — widened
+    * to 2·N/accuracy for rank-convention slack at the interval edges
+    * (the audit must flag a broken sketch, not a fencepost).
+    *
+    * Two bounded passes: ONE aggregate row of sketch values collected
+    * (cols × quantiles doubles — driver-safe by construction), then
+    * ONE exact-rank aggregate over the same scan shape. Verification
+    * tier, like [[sketchAudit]]; the production path stays
+    * [[sketchStats]].
+    */
+  def quantileAudit(df: DataFrame, cols: Seq[String],
+                    probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99),
+                    accuracy: Int = 10000): DataFrame = {
+    val approxAggs = cols.map { c =>
+      percentile_approx(asDouble(df, c), array(probs.map(lit): _*), lit(accuracy)).as(s"__q_$c")
+    }
+    val sketch = df.agg(approxAggs.head, approxAggs.tail: _*).head()
+    val vals: Map[String, Seq[Double]] =
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> Option(sketch.getSeq[Double](i)).getOrElse(Seq.empty)
+      }.toMap
+    val aggs = cols.flatMap { c =>
+      count(asDouble(df, c)).as(s"__n_$c") +: probs.indices.flatMap { i =>
+        val v = vals(c).lift(i).map(lit(_)).getOrElse(lit(null).cast("double"))
+        Seq(
+          sum(when(asDouble(df, c) < v, 1L).otherwise(0L)).as(s"__lo_${c}_$i"),
+          sum(when(asDouble(df, c) <= v, 1L).otherwise(0L)).as(s"__hi_${c}_$i"))
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.flatMap { c =>
+      probs.zipWithIndex.map { case (p, i) =>
+        val n = colExact(s"__n_$c").cast("double")
+        val eps = n * 2.0 / accuracy
+        val target = lit(p) * n
+        val ok =
+          (colExact(s"__lo_${c}_$i").cast("double") + 1 <= target + eps) &&
+            (colExact(s"__hi_${c}_$i").cast("double") >= target - eps)
+        struct(lit(c).as("col_name"), lit(p).as("q"),
+          colExact(s"__n_$c").as("n_rows"),
+          // an empty column has no rank to audit — vacuously in bound,
+          // matching the oracle's literal
+          when(colExact(s"__n_$c") === 0 || ok, 1).otherwise(0).as("within_bound"))
+      }
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
+  }
+
   /** t-digest quantiles (custom mergeable Aggregator,
     * [[graft.functions.TDigestQuantiles]]) — the north star's named
     * sketch; same single-pass partial-aggregate shape as [[sketchStats]]

@@ -171,6 +171,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       "HLL++ exact at 60k distinct? bound check may be vacuous")
   }
 
+  test("quantileAudit: GK values land inside their rank guarantee; empty column vacuously in bound") {
+    val df = spark.range(50000).select(col("id").cast("double").as("x"),
+      lit(null).cast("double").as("y"))
+    val rows = Stats.quantileAudit(df, Seq("x", "y")).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Int]("within_bound") == 1), rows.mkString(";"))
+    val x50 = rows.find(r => r.getAs[String]("col_name") == "x" && r.getAs[Double]("q") == 0.5).get
+    assert(x50.getAs[Long]("n_rows") == 50000L)
+    assert(rows.filter(_.getAs[String]("col_name") == "y").forall(_.getAs[Long]("n_rows") == 0L))
+  }
+
   // ---- t-digest --------------------------------------------------------
 
   test("t-digest quantiles track exact quantiles within 1%") {
