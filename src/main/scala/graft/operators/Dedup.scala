@@ -318,6 +318,10 @@ object Dedup {
       .unionByName(prefixIndex(setsNew, minJaccard))
     val pn = prefixIndex(setsNew, minJaccard)
       .withColumnsRenamed(Map("id" -> "nid", "sz" -> "nsz"))
+    // cands — the operator's dominant stage (postings join + distinct)
+    // — fans out THREE ways below (both candIds union branches feeding
+    // the sets build, plus the verify's pairs side): persisted, same
+    // rationale and lifecycle as [[nearDuplicatePairs]]'s cands
     val cands = pn.join(prefixAll, Seq("shingle"))
       .where(col("nid") =!= col("id") &&
         least(col("nsz"), col("sz")).cast("double") /
@@ -325,15 +329,17 @@ object Dedup {
       .select(least(col("nid"), col("id")).as("id_a"),
         greatest(col("nid"), col("id")).as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify needs both sides' sets; only candidate documents are
-    // re-shingled (semi-join the COMBINED corpus to the candidate ids)
+    // re-shingled (semi-join the COMBINED corpus to the candidate ids,
+    // then the ONE shingle-set definition the prefix index also used —
+    // the exactness contract requires the two derivations to match)
     val candIds = cands.select(col("id_a").as("cid"))
       .union(cands.select(col("id_b").as("cid"))).distinct()
     val all = corpus.unionByName(newDocs)
-    val sets = all.join(candIds, all(idCol) === candIds("cid"), "left_semi")
-      .select(colExact(idCol).as("id"),
-        array_sort(array_distinct(
-          transform(shingles(colExact(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+    val sets = shingleSets(
+        all.join(candIds, all(idCol) === candIds("cid"), "left_semi"),
+        idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verify = jaccardVerify(cands, sets, minJaccard)
     if (!eager) verify
@@ -341,6 +347,7 @@ object Dedup {
       try verify.localCheckpoint()
       finally {
         setsNew.unpersist()
+        cands.unpersist()
         sets.unpersist()
       }
   }

@@ -152,7 +152,14 @@ object Stats {
     val rows = array(cols.flatMap { c =>
       probs.zipWithIndex.map { case (p, i) =>
         val n = colExact(s"__n_$c").cast("double")
-        val eps = n * 2.0 / accuracy
+        // the widening needs an ABSOLUTE +1-rank floor on top of the
+        // relative guarantee: percentile_approx targets rank ceil(q·N)
+        // while the window is centered on q·N, a gap of up to one rank
+        // that the relative 2N/accuracy term cannot absorb below
+        // N ≈ accuracy/2 — without it a PERFECT sketch on a small
+        // column is flagged (e.g. N=10, q=0.25: exact value has rank 3,
+        // window [2.498, 2.502])
+        val eps = n * 2.0 / accuracy + 1.0
         val target = lit(p) * n
         val ok =
           (colExact(s"__lo_${c}_$i").cast("double") + 1 <= target + eps) &&

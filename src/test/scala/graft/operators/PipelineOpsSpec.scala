@@ -180,6 +180,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val x50 = rows.find(r => r.getAs[String]("col_name") == "x" && r.getAs[Double]("q") == 0.5).get
     assert(x50.getAs[Long]("n_rows") == 50000L)
     assert(rows.filter(_.getAs[String]("col_name") == "y").forall(_.getAs[Long]("n_rows") == 0L))
+    // small-N fencepost (review regression): at N = 10 the relative
+    // window shrinks to ~0 while percentile_approx targets rank
+    // ceil(q·N) — the absolute +1-rank widening must keep a PERFECT
+    // sketch in bound at non-integral q·N
+    val tiny = spark.range(10).select(col("id").cast("double").as("x"))
+    assert(Stats.quantileAudit(tiny, Seq("x")).collect()
+      .forall(_.getAs[Int]("within_bound") == 1))
   }
 
   // ---- t-digest --------------------------------------------------------
