@@ -665,6 +665,29 @@ object SparkEntry {
         .select("doc_id", "keyword", "json_pointer", "message", "batch_id")
     }),
 
+    // the STREAMING ingestion-dedup protocol under the batch oracle
+    // (processBatch IS the foreachBatch body): two "micro-batches" of
+    // new docs dedup SEQUENTIALLY against the static corpus plus the
+    // survivors already committed — batch 1 must treat batch 0's kept
+    // docs as anchors — then batch 0 is re-delivered (ledger must
+    // skip) and the sink compacts. Read-back = per-batch anchored
+    // keep-sets with batch provenance, replayed in SQL as two chained
+    // recursive closures.
+    "x_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.{StreamingDedup, StreamingSink}
+      val docs = table(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val sink = sessionScratch(s, dir, "sdedup") + "/survivors"
+      def step(m: Int, id: Long) = StreamingDedup.processBatch(corpus,
+        docs.where(col("doc_id") % 4 === m), "doc_id", "text",
+        minJaccard = 0.2, sink, id, partCol = "lang")
+      step(1, 0L)
+      step(3, 1L)
+      step(1, 0L) // at-least-once replay — must be a no-op
+      StreamingSink.compact(s, sink, partCol = "lang")
+      StreamingDedup.survivors(s, sink).select("doc_id", "lang", "batch_id")
+    }),
+
     // sink round-trip: the violation set written through the manifest-
     // committed, keyword-partitioned sink, read back for ONE keyword
     // (partition pruning on the keyword directory) — exercises the
@@ -1546,6 +1569,76 @@ object SparkEntry {
       s"""WITH ${jaccardPairsCte()}
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE id_a % 2 = 1 OR id_b % 2 = 1""".stripMargin,
+
+    // the streaming-dedup protocol replayed batch by batch: batch 0's
+    // keep-set via one recursive closure (anchors = corpus, even ids),
+    // then batch 1's via a second closure whose anchor set INCLUDES
+    // batch 0's survivors — the sequential semantics verbatim. The
+    // intermediate CTEs are MATERIALIZED: without the hint DuckDB
+    // inlines them, and every iteration of the SECOND recursion
+    // re-derives batch 0's whole closure chain (and the shingle
+    // cross-join under it) — a compounding recompute that turns a
+    // sub-second replay into minutes
+    "x_stream_dedup" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte()},
+         |pm AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+         |e0 AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pm
+         |  WHERE (id_a % 4 = 1 OR id_b % 4 = 1)
+         |    AND (id_a % 2 = 0 OR id_a % 4 = 1)
+         |    AND (id_b % 2 = 0 OR id_b % 4 = 1)
+         |  UNION
+         |  SELECT id_b, id_a FROM pm
+         |  WHERE (id_a % 4 = 1 OR id_b % 4 = 1)
+         |    AND (id_a % 2 = 0 OR id_a % 4 = 1)
+         |    AND (id_b % 2 = 0 OR id_b % 4 = 1)),
+         |r0(u, v) AS (
+         |  SELECT u, v FROM e0
+         |  UNION
+         |  SELECT r.u, e.v FROM r0 r JOIN e0 e ON r.v = e.u),
+         |c0 AS MATERIALIZED (
+         |  SELECT u AS id, least(u, min(v)) AS component FROM r0 GROUP BY u),
+         |a0 AS (SELECT DISTINCT component FROM c0 WHERE id % 2 = 0),
+         |d0 AS (
+         |  SELECT id FROM c0 WHERE id % 4 = 1
+         |    AND component IN (SELECT component FROM a0)
+         |  UNION
+         |  SELECT id FROM c0 WHERE id % 4 = 1
+         |    AND component NOT IN (SELECT component FROM a0) AND id <> component),
+         |s0 AS MATERIALIZED (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 4 = 1 AND doc_id NOT IN (SELECT id FROM d0)),
+         |anch1 AS MATERIALIZED (
+         |  SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id FROM s0),
+         |p1 AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM pm
+         |  WHERE (id_a % 4 = 3 OR id_b % 4 = 3)
+         |    AND (id_a % 4 = 3 OR id_a IN (SELECT id FROM anch1))
+         |    AND (id_b % 4 = 3 OR id_b IN (SELECT id FROM anch1))),
+         |e1 AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM p1
+         |  UNION SELECT id_b, id_a FROM p1),
+         |r1(u, v) AS (
+         |  SELECT u, v FROM e1
+         |  UNION
+         |  SELECT r.u, e.v FROM r1 r JOIN e1 e ON r.v = e.u),
+         |c1 AS MATERIALIZED (
+         |  SELECT u AS id, least(u, min(v)) AS component FROM r1 GROUP BY u),
+         |a1 AS (SELECT DISTINCT component FROM c1 WHERE id IN (SELECT id FROM anch1)),
+         |d1 AS (
+         |  SELECT id FROM c1 WHERE id % 4 = 3
+         |    AND component IN (SELECT component FROM a1)
+         |  UNION
+         |  SELECT id FROM c1 WHERE id % 4 = 3
+         |    AND component NOT IN (SELECT component FROM a1) AND id <> component),
+         |s1 AS (SELECT doc_id FROM documents
+         |       WHERE doc_id % 4 = 3 AND doc_id NOT IN (SELECT id FROM d1))
+         |SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS batch_id
+         |FROM documents d JOIN s0 ON d.doc_id = s0.doc_id
+         |UNION ALL
+         |SELECT d.doc_id, d.lang, CAST(1 AS BIGINT)
+         |FROM documents d JOIN s1 ON d.doc_id = s1.doc_id""".stripMargin,
 
     // increment-keep policy replayed: transitive closure over the SAME
     // new-involving pair set; anchored components (touching an even =

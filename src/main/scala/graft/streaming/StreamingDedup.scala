@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Components, Dedup}
+
+/** Streaming ingestion dedup — the continuous-crawl shape of the
+  * incremental dedup family: each micro-batch of new documents is
+  * exact-Jaccard paired against the STATIC corpus PLUS every survivor
+  * this sink has already committed
+  * ([[graft.operators.Dedup.exactJaccardPairsIncremental]] — new-side
+  * prefix postings only, never corpus×corpus), collapsed by the
+  * anchored keep policy ([[graft.operators.Components.keepNewCanonical]]
+  * — published content always wins, within-batch clusters keep their
+  * min id), and appended EXACTLY-ONCE through the [[StreamingSink]]
+  * ledger protocol.
+  *
+  * Exactly-once across replays is inherited, not re-derived: a batch
+  * replayed after its commit is skipped by the ledger before any
+  * write; a batch replayed after a crash mid-append recomputes against
+  * the same committed-survivor set (the crashed dir is not in the
+  * ledger, so [[StreamingSink.readCommitted]] never saw it) and
+  * overwrites deterministically. Batches arrive serialized per
+  * checkpoint, so "survivors so far" is well-defined; the policy is
+  * order-dependent by design — earlier-committed content anchors later
+  * batches, exactly like the immutable corpus.
+  *
+  * At 100 TB the static corpus enters only as (a) prefix postings in
+  * the pairing join and (b) an id frame semi-joined against the
+  * pair-sized component map — its content never shuffles per batch.
+  */
+object StreamingDedup {
+
+  /** One micro-batch step, plain DataFrames — `foreachBatch` is just
+    * the driver of this call (the same batch-oracle pattern as
+    * [[StreamingSink.appendBatch]], so the whole protocol replays
+    * under the driver gate as x_stream_dedup).
+    */
+  def processBatch(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, sink: String, batchId: Long,
+                   partCol: String): Unit = {
+    val spark = batch.sparkSession
+    // survivors already committed by THIS sink join the anchor set; a
+    // never-appended sink has no ledger yet (readCommitted would
+    // refuse it loudly), so the first batch anchors on the corpus alone
+    val anchors =
+      if (!StreamingSink.exists(spark, sink)) corpus
+      else corpus.unionByName(
+        StreamingSink.readCommitted(spark, sink).drop("batch_id")
+          .select(corpus.columns.map(graft.spark.ColumnCompiler.colExact): _*))
+    val pairs = Dedup.exactJaccardPairsIncremental(anchors, batch, idCol, textCol, minJaccard)
+    val survivors = Components.keepNewCanonical(batch, idCol, pairs,
+      anchors.select(graft.spark.ColumnCompiler.colExact(idCol)), idCol)
+    StreamingSink.appendBatch(survivors, sink, batchId, partCol)
+  }
+
+  /** The full streaming path: new-document stream → per-batch
+    * incremental dedup against corpus + committed survivors →
+    * exactly-once survivor sink partitioned by `partCol`. Caller sets
+    * `.option("checkpointLocation", …)` and starts.
+    */
+  def dedupToSink(stream: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double, sink: String,
+                  partCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBatch(corpus, batch, idCol, textCol, minJaccard, sink, batchId, partCol)
+    }
+
+  /** The committed survivor corpus (with `batch_id` provenance). */
+  def survivors(spark: SparkSession, sink: String): DataFrame =
+    StreamingSink.readCommitted(spark, sink)
+}

@@ -82,10 +82,25 @@ object StreamingSink {
   private val BatchPrefix = "batch_id="
   private val LegacyLive = "_live"
 
-  /** Idempotent, atomically-published write of one micro-batch.
-    * Safe to hand to `foreachBatch` directly.
+  /** Whether `root` is an initialized sink (its ledger exists) — the
+    * guard a reader needs BEFORE the first append ([[readCommitted]]
+    * refuses a never-appended root loudly).
     */
-  def appendBatch(batch: DataFrame, root: String, batchId: Long): Unit = {
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val rootP = new Path(root)
+    rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(rootP, Batches))
+  }
+
+  /** Idempotent, atomically-published write of one micro-batch.
+    * Safe to hand to `foreachBatch` directly. `partCol` is the sink's
+    * partition column — "keyword" for violation sinks (default), any
+    * other low-cardinality column for other row types (e.g. the
+    * streaming-dedup survivor sink partitions by lang); one sink path
+    * uses ONE partition column for its lifetime.
+    */
+  def appendBatch(batch: DataFrame, root: String, batchId: Long,
+                  partCol: String = "keyword"): Unit = {
     val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(hconf)
@@ -106,7 +121,7 @@ object StreamingSink {
     // write leaves an unreadable directory (no schema-bearing file) —
     // empty batches commit to the ledger only
     if (!batch.isEmpty)
-      batch.write.mode("overwrite").partitionBy("keyword")
+      batch.write.mode("overwrite").partitionBy(partCol)
         .parquet(new Path(rootP, s"$DataDir/$BatchPrefix$batchId").toString)
     writeLedger(hconf, rootP, ledger.add(batchId))
   }
@@ -164,7 +179,7 @@ object StreamingSink {
     * one compact at a time.
     */
   def compact(spark: SparkSession, root: String, full: Boolean = false,
-              autoFullAt: Int = 8): Unit = {
+              autoFullAt: Int = 8, partCol: String = "keyword"): Unit = {
     require(autoFullAt >= 1, s"autoFullAt must be >= 1: $autoFullAt")
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootP = new Path(root)
@@ -211,9 +226,9 @@ object StreamingSink {
     // covered ⇒ silent data loss) and duplicate its manifest line
     val dirName = "c-" + java.util.UUID.randomUUID().toString
     readDirs(spark, rootP, foldDirs)
-      .repartition(col("keyword"))
-      .sortWithinPartitions(col("keyword"), col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id", "keyword")
+      .repartition(graft.spark.ColumnCompiler.colExact(partCol))
+      .sortWithinPartitions(graft.spark.ColumnCompiler.colExact(partCol), col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id", partCol)
       .parquet(new Path(rootP, dirName).toString)
     // newest line carries the UNION of covered ids (older lines'
     // specs stay as written — harmless supersets never un-cover);

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class NewDoc(id: Long, text: String, grp: String)
+
+/** Streaming ingestion dedup: each micro-batch pairs against the
+  * static corpus PLUS previously committed survivors, collapses by the
+  * anchored keep policy, and lands exactly-once.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmpDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  private val base = "the quick brown fox jumps over the lazy dog into the forest"
+  private val other = "completely different content about distributed query engines"
+  private val third = "yet another unrelated document mentioning streams and sinks today"
+
+  private def keptIds(sink: String): Set[Long] =
+    StreamingDedup.survivors(spark, sink).select("id").as[Long].collect().toSet
+
+  test("micro-batches dedup against corpus AND prior survivors, exactly once, end to end") {
+    val corpus = Seq((100L, base, "a")).toDF("id", "text", "grp")
+    val sink = tmpDir("graft-sdedup") + "/survivors"
+    val mem = MemoryStream[NewDoc]
+    val q = StreamingDedup.dedupToSink(mem.toDF(), corpus, "id", "text",
+        minJaccard = 0.5, sink, partCol = "grp")
+      .option("checkpointLocation", tmpDir("graft-sdedup-ckpt"))
+      .start()
+    try {
+      // batch 0: 1 duplicates the corpus (dropped — anchored), 2 is
+      // fresh (kept), 3 near-duplicates 2 (same-batch cluster → min
+      // id 2 kept, 3 dropped)
+      mem.addData(NewDoc(1L, base, "a"), NewDoc(2L, other, "b"),
+        NewDoc(3L, other + " extra", "b"))
+      q.processAllAvailable()
+      assert(keptIds(sink) == Set(2L))
+      // batch 1: 4 duplicates batch-0 SURVIVOR 2 (dropped — committed
+      // survivors anchor later batches), 5 is fresh (kept)
+      mem.addData(NewDoc(4L, other, "b"), NewDoc(5L, third, "c"))
+      q.processAllAvailable()
+      assert(keptIds(sink) == Set(2L, 5L))
+    } finally q.stop()
+
+    // at-least-once re-delivery of a committed batch id is a no-op
+    StreamingDedup.processBatch(corpus,
+      Seq(NewDoc(1L, base, "a"), NewDoc(2L, other, "b"), NewDoc(3L, other + " extra", "b"))
+        .toDF(), "id", "text", 0.5, sink, 0L, partCol = "grp")
+    assert(keptIds(sink) == Set(2L, 5L))
+
+    // survivors carry batch provenance and the grp partition column
+    val rows = StreamingDedup.survivors(spark, sink)
+      .select("id", "grp", "batch_id").as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((2L, "b", 0L), (5L, "c", 1L)))
+
+    // compaction over the non-default partition column preserves rows
+    StreamingSink.compact(spark, sink, partCol = "grp")
+    assert(keptIds(sink) == Set(2L, 5L))
+  }
+}
