@@ -432,6 +432,21 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // winnowing clone pairs (Schleimer et al., SIGMOD 2003 — the MOSS
+    // code-clone fingerprint; the north rule's payload is source code):
+    // pairs sharing >= minShared window-min k-gram fingerprints AND a
+    // fingerprint-set Jaccard >= 0.2 (the absolute gate alone matches
+    // common k-char idioms on prose-like text). md5 gram hashes make
+    // fingerprint SELECTION engine-portable, so the oracle replays it
+    // EXACTLY — positional window minima, then the same inverted-index
+    // pairing
+    "d_winnow_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.winnowPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        minShared = 3, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          round(col("winnow_jaccard"), 6).as("winnow_jaccard"))),
+
     // INCREMENTAL dedup: exact near-dup pairs involving the "new" half
     // of the corpus (odd doc_ids) against the already-deduped "old"
     // half — the daily-increment shape that never re-pairs old×old.
@@ -1505,6 +1520,33 @@ object SparkEntry {
     "d_jaccard_exact" ->
       s"""WITH ${jaccardPairsCte()}
         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // winnowing replayed from first principles: same normalization
+    // (lower → collapse \s+ → trim), md5 char-8-grams, window-of-4
+    // minima, distinct fingerprint set, then an inverted-index pair
+    // count — engine-portable because the gram hash is md5 on both
+    // sides (fingerprint SELECTION depends on hash VALUES)
+    "d_winnow_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [md5(substr(t, i, 8)) FOR i IN range(1, greatest(len(t) - 7, 1) + 1)] AS grams
+        |  FROM n),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_min(grams[j:j+3])
+        |                   FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+        |  FROM g),
+        |e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / (a.sz + b.sz - count(*)), 6) AS winnow_jaccard
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, a.sz, b.sz
+        |HAVING count(*) >= 3
+        |   AND CAST(count(*) AS DOUBLE) / (a.sz + b.sz - count(*)) >= 0.2""".stripMargin,
 
     // transitive closure of the SAME replayed pair set (d_jaccard_exact's
     // CTEs verbatim): component = min reachable doc_id, computed by a

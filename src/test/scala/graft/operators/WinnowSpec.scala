@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) and the
+  * clone-pair operator over them: parity against an independent plain-
+  * Scala reference, the paper's detection guarantee, normalization and
+  * NULL semantics, and the no-join plan shape.
+  */
+class WinnowSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- independent reference implementation (plain Scala) -------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refWinnow(text: String, k: Int = 8, w: Int = 4): Set[String] = {
+    val collapsed = Option(text).getOrElse("").toLowerCase.replaceAll("\\s+", " ")
+    val norm = collapsed.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val grams =
+      if (norm.length < k) Vector(md5hex(norm))
+      else (0 to norm.length - k).map(i => md5hex(norm.substring(i, i + k))).toVector
+    val wins =
+      if (grams.length < w) Vector(grams.min)
+      else (0 to grams.length - w).map(j => grams.slice(j, j + w).min).toVector
+    wins.toSet
+  }
+
+  private def sparkWinnow(text: String, k: Int = 8, w: Int = 4): Set[String] =
+    Seq(Tuple1(text)).toDF("text")
+      .select(Dedup.winnowFingerprints(col("text"), k, w).as("fps"))
+      .as[Seq[String]].collect()(0).toSet
+
+  test("fingerprints match the independent reference over varied inputs") {
+    val cases = Seq(
+      "fn main() { return 42; } // the answer",
+      "short",                       // < k chars: whole-text fingerprint
+      "exactly8",                    // == k chars: one gram
+      "aaaaaaaaaaaaaaaaaaaaaaaa",    // degenerate: all grams identical
+      "  Leading  and Trailing\twhitespace  ",
+      "x" * 7,                       // k-1 chars
+      "the quick brown fox jumps over the lazy dog",
+      "",                            // empty
+      null.asInstanceOf[String]      // NULL ≡ empty
+    )
+    for (c <- cases)
+      assert(sparkWinnow(c) == refWinnow(c), s"mismatch for: $c")
+    // and at non-default (k, w)
+    for (c <- cases; (k, w) <- Seq((5, 2), (3, 9)))
+      assert(sparkWinnow(c, k, w) == refWinnow(c, k, w), s"mismatch for ($k,$w): $c")
+  }
+
+  test("detection guarantee: a shared run of exactly w+k-1 chars always pairs") {
+    // k=8, w=4 ⇒ guarantee threshold 11 chars. Disjoint alphabets
+    // around the match so no other 8-gram can coincide.
+    val shared = "qwertyuiopa" // 11 chars
+    val docs = Seq(
+      (1L, "0123456789012345" + shared + "6543210"),
+      (2L, "zxcvbnmlkjhgf" + shared + "mmnnbbvv"),
+      (3L, "completely different content with no long shared run")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowPairs(docs, "id", "text", minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("below-noise-floor overlap (< k chars) never pairs") {
+    // longest common substring is 7 < k=8 ⇒ no common gram can exist
+    val docs = Seq(
+      (1L, "aaaaaaa0000000000000000"),
+      (2L, "aaaaaaa1111111111111111")
+    ).toDF("id", "text")
+    assert(Dedup.winnowPairs(docs, "id", "text", minShared = 1).isEmpty)
+  }
+
+  test("normalization: case and whitespace runs are noise; jaccard 1.0 for equal normal forms") {
+    val docs = Seq(
+      (1L, "Foo   Bar\tbaz QUX quux corge grault"),
+      (2L, "foo bar baz qux  quux corge grault"),
+      (3L, "unrelated zzz yyy xxx www vvv uuu ttt")
+    ).toDF("id", "text")
+    val rows = Dedup.winnowPairs(docs, "id", "text", minShared = 1)
+      .select("id_a", "id_b", "winnow_jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("NULL and empty text share the single empty-content fingerprint") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    val rows = Dedup.winnowPairs(docs, "id", "text", minShared = 1)
+      .select("id_a", "id_b", "n_shared", "winnow_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows == Set((1L, 2L, 1L, 1.0), (1L, 3L, 1L, 1.0), (2L, 3L, 1L, 1.0)))
+  }
+
+  test("n_shared and winnow_jaccard are the exact set intersection / Jaccard") {
+    val a = "fn alpha() { return alpha_value; } // alpha implementation body"
+    val b = "fn alpha() { return alpha_value; } // beta implementation body"
+    val docs = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val fa = refWinnow(a)
+    val fb = refWinnow(b)
+    val inter = (fa & fb).size.toLong
+    assert(inter >= 1)
+    val rows = Dedup.winnowPairs(docs, "id", "text", minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.toSeq ==
+      Seq((1L, 2L, inter, inter.toDouble / (fa.size + fb.size - inter))))
+  }
+
+  test("minShared gates pairs; oversized side channel reports hot fingerprints") {
+    val boiler = "shared license header boilerplate text here"
+    val docs = Seq((1L, boiler + " aaa0aaa1aaa2aaa3aaa4aaa5aaa6aaa7"),
+      (2L, boiler + " bbb0bbb1bbb2bbb3bbb4bbb5bbb6bbb7"),
+      (3L, boiler + " ccc0ccc1ccc2ccc3ccc4ccc5ccc6ccc7")).toDF("id", "text")
+    val all = Dedup.winnowPairs(docs, "id", "text", minShared = 1).count()
+    assert(all == 3) // every pair shares the boilerplate fingerprints
+    val strict = Dedup.winnowPairs(docs, "id", "text",
+      minShared = Int.MaxValue).count()
+    assert(strict == 0)
+    // jaccard gate: boilerplate-only overlap scores far below 0.9
+    val gated = Dedup.winnowPairs(docs, "id", "text",
+      minShared = 1, minJaccard = 0.9).count()
+    assert(gated == 0)
+    // every boilerplate fingerprint bucket has all 3 docs
+    val over = Dedup.oversizedWinnowBuckets(docs, "id", "text", maxBucket = 2)
+    assert(over.agg(max("n_ids")).as[Long].collect()(0) == 3)
+  }
+
+  test("plan shape: inverted index + aggregation only — no joins, fingerprints once") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j")).toDF("id", "text")
+    val p = Dedup.winnowPairs(docs, "id", "text").queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), p)
+    // the fingerprint expression is let-bound and computed once
+    assert("md5".r.findAllIn(p).size <= 1, s"grams hashed more than once:\n$p")
+  }
+}
