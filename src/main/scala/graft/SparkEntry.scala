@@ -435,17 +435,22 @@ object SparkEntry {
     // winnowing clone pairs (Schleimer et al., SIGMOD 2003 — the MOSS
     // code-clone fingerprint; the north rule's payload is source code):
     // pairs sharing >= minShared window-min k-gram fingerprints AND a
-    // fingerprint-set Jaccard >= 0.2 (the absolute gate alone matches
-    // common k-char idioms on prose-like text). md5 gram hashes make
-    // fingerprint SELECTION engine-portable, so the oracle replays it
-    // EXACTLY — positional window minima, then the same inverted-index
-    // pairing
-    "d_winnow_pairs" -> ((s, dir) =>
+    // fingerprint-set Jaccard >= 0.2, over the df-FILTERED
+    // representation — fingerprints in > 2% of the corpus (nDocs/50,
+    // INTEGER division so the replay agrees exactly) are stopword
+    // boilerplate: they carry 98% of the n² pair-expansion volume and
+    // none of the true pairs (measured: capping lifts the surviving
+    // pairs' jaccard floor from 0.20 to 0.75 at sf0.01). md5 gram
+    // hashes make fingerprint SELECTION engine-portable, so the oracle
+    // replays selection, df-filter, and pairing from first principles
+    "d_winnow_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
       graft.operators.Dedup.winnowPairs(
-        table(s, dir, "documents"), "doc_id", "text",
-        minShared = 3, minJaccard = 0.2)
+        docs, "doc_id", "text", minShared = 3, minJaccard = 0.2,
+        maxBucket = math.max(2L, docs.count() / 50))
         .select(col("id_a"), col("id_b"), col("n_shared"),
-          round(col("winnow_jaccard"), 6).as("winnow_jaccard"))),
+          round(col("winnow_jaccard"), 6).as("winnow_jaccard"))
+    }),
 
     // INCREMENTAL dedup: exact near-dup pairs involving the "new" half
     // of the corpus (odd doc_ids) against the already-deduped "old"
@@ -1523,9 +1528,11 @@ object SparkEntry {
 
     // winnowing replayed from first principles: same normalization
     // (lower → collapse \s+ → trim), md5 char-8-grams, window-of-4
-    // minima, distinct fingerprint set, then an inverted-index pair
-    // count — engine-portable because the gram hash is md5 on both
-    // sides (fingerprint SELECTION depends on hash VALUES)
+    // minima, distinct fingerprint set, the SAME nDocs//50 stopword
+    // df-filter with sizes recomputed over the filtered sets, then an
+    // inverted-index pair count — engine-portable because the gram
+    // hash is md5 on both sides (fingerprint SELECTION depends on hash
+    // VALUES) and the df cap is integer arithmetic on both sides
     "d_winnow_pairs" ->
       """WITH n AS (
         |  SELECT doc_id,
@@ -1540,7 +1547,14 @@ object SparkEntry {
         |    list_distinct([list_min(grams[j:j+3])
         |                   FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
         |  FROM g),
-        |e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM f)
+        |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |kept AS (
+        |  SELECT doc_id, fp FROM e0
+        |  QUALIFY count(*) OVER (PARTITION BY fp)
+        |    <= greatest(2, (SELECT count(*) FROM documents) // 50)),
+        |e AS (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS sz
+        |  FROM kept)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
         |  round(CAST(count(*) AS DOUBLE) / (a.sz + b.sz - count(*)), 6) AS winnow_jaccard
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -630,10 +630,25 @@ object Dedup {
     * [[Pairs.blockedPairs]] bounded pair expansion (each shared
     * fingerprint emits its pair exactly once, so the per-pair count IS
     * |A∩B|), then one hash aggregation per pair — set sizes ride the
-    * pair structs, so the Jaccard needs NO join back to the corpus. A
-    * boilerplate fingerprint shared by millions of files (a license
-    * header's window) is the familiar hot-bucket hazard: `maxBucket` +
-    * [[oversizedWinnowBuckets]] are the opt-in, never-silent escape.
+    * pair structs, so the Jaccard needs NO join back to the corpus.
+    *
+    * `maxBucket` is the SCALE gate: a fingerprint shared by more than
+    * `maxBucket` documents is a corpus stopword (a license header's
+    * window, a common idiom) carrying no clone signal, and its bucket's
+    * pair expansion is pure n² — measured on the synthetic corpus,
+    * fingerprints in > 2% of documents carry 98% of the pair-expansion
+    * volume and none of the true pairs. Setting it EXCLUDES those
+    * fingerprints from the representation BEFORE sizing: set sizes are
+    * recomputed over the filtered sets, so `winnow_jaccard` remains an
+    * exact Jaccard — of the declared (df-filtered) fingerprint sets,
+    * the same stopword-removal semantics similarity search uses. The
+    * filter costs two small window passes over the POSTINGS index (tiny
+    * next to the pair expansion it prevents); what was dropped is never
+    * silent — [[oversizedWinnowBuckets]] reports it. Callers should tie
+    * it to corpus size with integer arithmetic (e.g. `nDocs / 50`) so
+    * external replays agree exactly. A clone CLUSTER wider than
+    * `maxBucket` (thousands of identical files) loses its own
+    * fingerprints to the filter — run exact dedup first, as always.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 4, minShared: Int = 2,
@@ -642,10 +657,24 @@ object Dedup {
     require(minShared >= 1, s"minShared = $minShared must be >= 1")
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard = $minJaccard must be in [0, 1]")
-    val index = df.select(colExact(idCol).as("id"),
+    require(maxBucket >= 1, s"maxBucket = $maxBucket must be >= 1")
+    val raw = df.select(colExact(idCol).as("id"),
         winnowFingerprints(colExact(textCol), k, w).as("fps"))
       .select(explode(col("fps")).as("fp"), col("id"), size(col("fps")).as("sz"))
-    Pairs.blockedPairs(index, Seq("fp"), cap, maxBucket)
+    val index =
+      if (maxBucket == Long.MaxValue) raw
+      else {
+        // df-filter the representation, then re-size: both are window
+        // counts over the postings index (fp-partitioned, then
+        // id-partitioned), paid before — and dwarfed by — the pair
+        // expansion they bound
+        import org.apache.spark.sql.expressions.Window
+        raw.withColumn("__bc", count(lit(1)).over(Window.partitionBy("fp")))
+          .where(col("__bc") <= maxBucket)
+          .select(col("fp"), col("id"),
+            count(lit(1)).over(Window.partitionBy("id")).as("sz"))
+      }
+    Pairs.blockedPairs(index, Seq("fp"), cap)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_shared"))

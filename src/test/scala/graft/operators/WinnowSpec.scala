@@ -132,6 +132,36 @@ class WinnowSpec extends AnyFunSuite {
     assert(over.agg(max("n_ids")).as[Long].collect()(0) == 3)
   }
 
+  test("maxBucket df-filter: stopword fingerprints leave the representation; sizes recomputed") {
+    val boiler = "common license header boilerplate preamble text block"
+    val texts = Map(
+      1L -> (boiler + " fn alpha() { return alpha_value_one; }"),
+      2L -> (boiler + " fn alpha() { return alpha_value_two; }"),
+      3L -> (boiler + " completely distinct content zzz yyy xxx www"),
+      4L -> (boiler + " something else entirely qqq ppp ooo nnn"))
+    val docs = texts.toSeq.toDF("id", "text")
+    // independent reference: winnow sets, drop fingerprints whose doc
+    // frequency exceeds maxBucket, then exact Jaccard of the FILTERED sets
+    val sets = texts.map { case (i, t) => i -> refWinnow(t) }
+    val docFreq = sets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (f, o) => f -> o.size }
+    val filtered = sets.map { case (i, s) => i -> s.filter(f => docFreq(f) <= 3) }
+    val ids = filtered.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      inter = (filtered(a) & filtered(b)).size
+      if inter >= 1
+    } yield (a, b, inter.toLong,
+      inter.toDouble / (filtered(a).size + filtered(b).size - inter))).toSet
+    val rows = Dedup.winnowPairs(docs, "id", "text", minShared = 1, maxBucket = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows == expected)
+    // the boilerplate (df = 4 > maxBucket) no longer links unrelated docs,
+    // while the true clone pair survives on its own rare fingerprints
+    assert(!rows.exists { case (a, b, _, _) => (a, b) == (3L, 4L) })
+    assert(rows.exists { case (a, b, _, j) => (a, b) == ((1L, 2L)) && j > 0.5 })
+  }
+
   test("plan shape: inverted index + aggregation only — no joins, fingerprints once") {
     val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j")).toDF("id", "text")
     val p = Dedup.winnowPairs(docs, "id", "text").queryExecution.optimizedPlan.toString
