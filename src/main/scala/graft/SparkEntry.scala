@@ -436,21 +436,21 @@ object SparkEntry {
     // code-clone fingerprint; the north rule's payload is source code):
     // pairs sharing >= minShared window-min k-gram fingerprints AND a
     // fingerprint-set Jaccard >= 0.2, over the df-FILTERED
-    // representation — fingerprints in > 2% of the corpus (nDocs/50,
-    // INTEGER division so the replay agrees exactly) are stopword
-    // boilerplate: they carry 98% of the n² pair-expansion volume and
-    // none of the true pairs (measured: capping lifts the surviving
-    // pairs' jaccard floor from 0.20 to 0.75 at sf0.01). md5 gram
-    // hashes make fingerprint SELECTION engine-portable, so the oracle
-    // replays selection, df-filter, and pairing from first principles
-    "d_winnow_pairs" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    // representation — fingerprints in more than 32 documents (an
+    // ABSOLUTE cap: a fraction cap's kept buckets scale with n and
+    // keep the expansion quadratic) are stopword boilerplate: they
+    // carry 98% of the n² pair-expansion volume and none of the true
+    // pairs (measured: the cap lifts the surviving pairs' jaccard
+    // floor from 0.20 to 0.92 at sf0.01, and pair volume grows ×1.26
+    // for ×10 data). md5 gram hashes make fingerprint SELECTION
+    // engine-portable, so the oracle replays selection, df-filter,
+    // and pairing from first principles
+    "d_winnow_pairs" -> ((s, dir) =>
       graft.operators.Dedup.winnowPairs(
-        docs, "doc_id", "text", minShared = 3, minJaccard = 0.2,
-        maxBucket = math.max(2L, docs.count() / 50))
+        table(s, dir, "documents"), "doc_id", "text",
+        minShared = 3, minJaccard = 0.2, maxBucket = 32)
         .select(col("id_a"), col("id_b"), col("n_shared"),
-          round(col("winnow_jaccard"), 6).as("winnow_jaccard"))
-    }),
+          round(col("winnow_jaccard"), 6).as("winnow_jaccard"))),
 
     // INCREMENTAL dedup: exact near-dup pairs involving the "new" half
     // of the corpus (odd doc_ids) against the already-deduped "old"
@@ -1528,11 +1528,11 @@ object SparkEntry {
 
     // winnowing replayed from first principles: same normalization
     // (lower → collapse \s+ → trim), md5 char-8-grams, window-of-4
-    // minima, distinct fingerprint set, the SAME nDocs//50 stopword
-    // df-filter with sizes recomputed over the filtered sets, then an
-    // inverted-index pair count — engine-portable because the gram
-    // hash is md5 on both sides (fingerprint SELECTION depends on hash
-    // VALUES) and the df cap is integer arithmetic on both sides
+    // minima, distinct fingerprint set, the SAME absolute df-32
+    // stopword filter with sizes recomputed over the filtered sets,
+    // then an inverted-index pair count — engine-portable because the
+    // gram hash is md5 on both sides (fingerprint SELECTION depends on
+    // hash VALUES) and the df cap is a shared integer constant
     "d_winnow_pairs" ->
       """WITH n AS (
         |  SELECT doc_id,
@@ -1550,8 +1550,7 @@ object SparkEntry {
         |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
         |kept AS (
         |  SELECT doc_id, fp FROM e0
-        |  QUALIFY count(*) OVER (PARTITION BY fp)
-        |    <= greatest(2, (SELECT count(*) FROM documents) // 50)),
+        |  QUALIFY count(*) OVER (PARTITION BY fp) <= 32),
         |e AS (
         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS sz
         |  FROM kept)

@@ -644,11 +644,18 @@ object Dedup {
     * the same stopword-removal semantics similarity search uses. The
     * filter costs two small window passes over the POSTINGS index (tiny
     * next to the pair expansion it prevents); what was dropped is never
-    * silent — [[oversizedWinnowBuckets]] reports it. Callers should tie
-    * it to corpus size with integer arithmetic (e.g. `nDocs / 50`) so
-    * external replays agree exactly. A clone CLUSTER wider than
-    * `maxBucket` (thousands of identical files) loses its own
-    * fingerprints to the filter — run exact dedup first, as always.
+    * silent — [[oversizedWinnowBuckets]] reports it.
+    *
+    * Use an ABSOLUTE cap, not a corpus fraction: boilerplate occurs in
+    * a roughly constant FRACTION of any corpus, so a fraction cap's
+    * kept buckets scale with n and their C(bucket, 2) expansion stays
+    * quadratic (measured: wall ×4.1 at data ×3 under an nDocs/50 cap,
+    * vs pair volume ×1.26 at data ×10 under a constant 32). With a
+    * constant cap, volume is ≤ postings × maxBucket / 2 — linear in
+    * corpus size. The trade: a clone CLUSTER wider than `maxBucket`
+    * loses its own fingerprints to the filter — run exact dedup first
+    * (as always), and hand wide near-identical clusters to the
+    * MinHash tier.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 4, minShared: Int = 2,

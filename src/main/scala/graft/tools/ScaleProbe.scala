@@ -27,7 +27,14 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleProbe {
 
-  private val family = Seq("d_jaccard_exact", "d_dup_clusters", "x_dedup_keep", "x_curation_full")
+  // d_winnow_pairs rides char-gram fingerprints, so unlike the
+  // word-shingle members the tagged copies are not fully disjoint
+  // (grams interior to ≥ k-char tokens survive the tail tag and
+  // cross-copy counterpart pairs appear) — its ABSOLUTE df stopword
+  // cap is what keeps the kept-bucket pair expansion linear here (a
+  // fraction cap measured wall ×4.1 at data ×3 on this very study)
+  private val family = Seq("d_jaccard_exact", "d_dup_clusters",
+    "d_winnow_pairs", "x_dedup_keep", "x_curation_full")
 
   private def tagged(docs: DataFrame, k: Int, stride: Long): DataFrame =
     docs.select(
@@ -93,7 +100,10 @@ object ScaleProbe {
          |
          |Corpus: the sf documents table tagged per copy (token-suffix
          |bijection — within-copy near-dup structure identical to the
-         |base, cross-copy Jaccard 0, planted pairs grow exactly ×K; see
+         |base, cross-copy shingle Jaccard 0, planted word-shingle pairs
+         |grow exactly ×K; d_winnow_pairs' char-gram fingerprints also
+         |see cross-copy counterpart overlap from ≥ k-char token
+         |interiors, bounded by its constant absolute df cap; see
          |`graft.tools.ScaleProbe`). Base = tagged copy 0 ($n1 rows),
          |scaled = $k tagged copies ($nK rows, ×${f"$dataRatio%.2f"}).
          |local[32], best of $reps reps per point, staging excluded.
