@@ -71,8 +71,13 @@ object ScaleProbe {
     val baseDir = s"target/scale_${tag}_base"
     val kDir = s"target/scale_${tag}_${k}x"
     // staged OUTSIDE timing, once per (sfDir, K) key
+    // repartition BOTH stagings identically: a single-file staging would
+    // scan in ONE task and inflate that level's wall for scan-dominated
+    // queries (measured: the fingerprint-scan query read 11.2 s at 1×
+    // vs 3.8 s at 3× from exactly this asymmetry)
     if (!Files.exists(Paths.get(s"$baseDir/documents.parquet/_SUCCESS")))
-      tagged(docs, 0, stride).write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+      tagged(docs, 0, stride).repartition(32)
+        .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
     if (!Files.exists(Paths.get(s"$kDir/documents.parquet/_SUCCESS")))
       (0 until k).map(tagged(docs, _, stride)).reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$kDir/documents.parquet")
