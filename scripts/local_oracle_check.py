@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local pre-flight replay of the driver's correctness gate.
+
+Runs AFTER `graft.Verify` has dumped <out>/<query>/ parquet dirs plus
+oracle_sql.json: registers the sf parquet tables in DuckDB, executes each
+oracle SQL, and compares to the Spark dump — row count, column-name set,
+and values with columns sorted by name (floats at 1e-9 rel tol).
+Driver-side-only tooling (duckdb/pyarrow are not library deps)."""
+import sys, json, glob, math, os
+import duckdb
+
+def norm(v):
+    if v is None: return ("\x00none",)
+    import decimal
+    if isinstance(v, decimal.Decimal): v = float(v)
+    if isinstance(v, bool): return ("bool", v)
+    if isinstance(v, float):
+        if math.isnan(v): return ("nan",)
+        return ("f", round(v, 9) if abs(v) < 1e15 else v)
+    if isinstance(v, bytes): return ("b", v.hex())
+    if isinstance(v, list): return ("l", tuple(norm(x) for x in v))
+    if isinstance(v, dict): return ("d", tuple(sorted((k, norm(x)) for k, x in v.items())))
+    return v
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted((tuple(norm(r[i]) for i in order) for r in rows), key=repr)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        t = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    bad = ok = 0
+    for name in sorted(oracle):
+        spath = f"{out_dir}/{name}"
+        if not os.path.isdir(spath):
+            print(f"FAIL {name}: no spark dump"); bad += 1; continue
+        try:
+            srel = con.execute(f"SELECT * FROM read_parquet('{spath}/*.parquet')")
+            scols, srows = [d[0] for d in srel.description], srel.fetchall()
+            orel = con.execute(oracle[name])
+            ocols, orows = [d[0] for d in orel.description], orel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); bad += 1; continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}"); bad += 1; continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}"); bad += 1; continue
+        if rows_key(scols, srows) != rows_key(ocols, orows):
+            print(f"FAIL {name}: value mismatch ({len(srows)} rows)"); bad += 1; continue
+        ok += 1
+    print(f"{ok} ok / {bad} fail / {len(oracle)} total")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

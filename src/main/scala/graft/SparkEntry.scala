@@ -812,6 +812,42 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>
       graft.operators.TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
 
+    // source-code line-structure signals over a code-shaped derivation
+    // of the documents table (spaces → newlines so line structure is
+    // non-trivial; every 3rd doc leads with a comment line, every 7th
+    // with a blank line — the SAME construction is replayed in the
+    // oracle, so detection on a mixed corpus is what's checked, not a
+    // constant column)
+    "t_code_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.codeStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("// c\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("\n")).otherwise(lit("")),
+            regexp_replace(col("text"), " ", "\n")).as("content")),
+        "doc_id", "content")),
+
+    // SPDX / license-family scan: deterministic license headers planted
+    // on doc_id % 11 buckets (tag forms, phrase forms, and bare text),
+    // identically constructed in the oracle — checks both the SPDX
+    // extraction and the marker-phrase fallback tiers
+    "t_license_scan" -> ((s, dir) =>
+      graft.operators.TextAnalysis.licenseScan(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(11)) === 0, lit("// SPDX-License-Identifier: MIT\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 1, lit("/* SPDX-License-Identifier: Apache-2.0 */\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 2, lit("# Licensed under the Apache License, Version 2.0\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 3, lit("// MIT License\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 4, lit("// under the GNU General Public License v3\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 5, lit("// SPDX-License-Identifier: BSD-3-Clause\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 6, lit("/* Mozilla Public License 2.0 */\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 7, lit("// SPDX-License-Identifier: GPL-3.0-only\n"))
+              .when(pmod(col("doc_id"), lit(11)) === 8, lit("// SPDX-License-Identifier: Zlib\n"))
+              .otherwise(lit("")),
+            col("text")).as("content")),
+        "doc_id", "content")),
+
     // PII redaction: deterministic synthetic PII (email/ip/phone derived
     // from doc_id) appended to each document, scrubbed by the RE2-safe
     // rule set, per-rule match counts from the original text
@@ -1489,7 +1525,7 @@ object SparkEntry {
 
     "c_stats_qsketch" -> Seq("l_quantity", "l_extendedprice").flatMap { c =>
       Seq(0.25, 0.5, 0.75, 0.99).map { p =>
-        s"SELECT '$c' AS col_name, $p AS q, count($c) AS n_rows, 1 AS within_bound FROM lineitem"
+        s"SELECT '$c' AS col_name, CAST($p AS DOUBLE) AS q, count($c) AS n_rows, 1 AS within_bound FROM lineitem"
       }
     }.mkString("\nUNION ALL\n"),
 
@@ -2071,6 +2107,70 @@ object SparkEntry {
         |SELECT doc_id, content_hash,
         |  array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS bottom_k
         |FROM s""".stripMargin,
+
+    // mirrors TextAnalysis.codeStats over the same code-shaped
+    // derivation (string_split keeps trailing empties, matching
+    // Spark's split(_, "\n", -1))
+    "t_code_stats" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '// c' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END)
+        |    || replace(text, ' ', chr(10)) AS content
+        |  FROM documents),
+        |l AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls FROM src)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
+        |  round(CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE) / len(ls), 6) AS avg_line_len,
+        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*(//|#|--|/\*|\*)'))) AS DOUBLE) / len(ls), 6) AS comment_line_frac,
+        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*$'))) AS DOUBLE) / len(ls), 6) AS blank_line_frac,
+        |  round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(content) AS DOUBLE), 1.0), 6) AS frac_alnum
+        |FROM l""".stripMargin,
+
+    // mirrors TextAnalysis.licenseScan over the same planted headers:
+    // SPDX tag extraction first, marker-phrase fallback second
+    "t_license_scan" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 11
+        |       WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+        |       WHEN 1 THEN '/* SPDX-License-Identifier: Apache-2.0 */' || chr(10)
+        |       WHEN 2 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+        |       WHEN 3 THEN '// MIT License' || chr(10)
+        |       WHEN 4 THEN '// under the GNU General Public License v3' || chr(10)
+        |       WHEN 5 THEN '// SPDX-License-Identifier: BSD-3-Clause' || chr(10)
+        |       WHEN 6 THEN '/* Mozilla Public License 2.0 */' || chr(10)
+        |       WHEN 7 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+        |       WHEN 8 THEN '// SPDX-License-Identifier: Zlib' || chr(10)
+        |       ELSE '' END) || text AS content
+        |  FROM documents),
+        |h AS (SELECT doc_id, substr(content, 1, 2048) AS head FROM src),
+        |e AS (SELECT doc_id, head,
+        |        regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS spdx_id
+        |      FROM h),
+        |f AS (SELECT doc_id, spdx_id,
+        |  CASE
+        |    WHEN lower(spdx_id) LIKE 'mit%' THEN 'mit'
+        |    WHEN lower(spdx_id) LIKE 'apache%' THEN 'apache'
+        |    WHEN lower(spdx_id) LIKE 'gpl%' OR lower(spdx_id) LIKE 'agpl%'
+        |      OR lower(spdx_id) LIKE 'lgpl%' THEN 'gpl'
+        |    WHEN lower(spdx_id) LIKE 'bsd%' THEN 'bsd'
+        |    WHEN lower(spdx_id) LIKE 'mpl%' THEN 'mpl'
+        |    WHEN spdx_id <> '' THEN 'other'
+        |    WHEN contains(head, 'Apache License') THEN 'apache'
+        |    WHEN contains(head, 'MIT License')
+        |      OR contains(head, 'Permission is hereby granted, free of charge') THEN 'mit'
+        |    WHEN contains(head, 'GNU General Public License')
+        |      OR contains(head, 'GNU Lesser General Public License')
+        |      OR contains(head, 'GNU Affero General Public License') THEN 'gpl'
+        |    WHEN regexp_matches(head, 'BSD [23]-Clause|Redistribution and use in source and binary forms') THEN 'bsd'
+        |    WHEN contains(head, 'Mozilla Public License') THEN 'mpl'
+        |    ELSE 'none' END AS license_family
+        |  FROM e)
+        |SELECT doc_id, spdx_id, license_family, license_family <> 'none' AS has_license
+        |FROM f""".stripMargin,
 
     // the checkpointed stage's output is the v_doc_violations set
     // (deterministic), grouped by keyword

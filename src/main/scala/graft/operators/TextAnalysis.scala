@@ -476,4 +476,83 @@ object TextAnalysis {
       sha2(colExact(textCol), 256).as("content_hash"),
       array_join(slice(array_sort(transform(array_distinct(Dedup.shingles(colExact(textCol), shingleN)),
         sh => md5(sh))), 1, k), ",").as("bottom_k"))
+
+  // ---- Source-code payload signals -------------------------------------
+
+  /** Per-document line-structure quality signals for SOURCE-CODE
+    * payloads (the north rule's content column): line count, longest /
+    * mean line length, comment-line and blank-line fractions, and the
+    * alphanumeric character fraction — the standard minified/generated/
+    * binary-blob filters a code-corpus curation pass runs before
+    * training (a 40k-char single-line file is minified or data, not
+    * code; near-zero alnum fraction is an embedded blob). Same
+    * conventions as the rest of the family: NULL ≡ empty text, doubles
+    * rounded to 6 decimals for bit-exact cross-engine replay, pure
+    * per-row higher-order expressions — zero shuffle, one scan.
+    *
+    * Line split keeps trailing empties (`split(_, "\n", -1)`) so
+    * `n_lines` = newline count + 1 exactly, matching DuckDB's
+    * `string_split`; a comment line is `^\s*(//|#|--|/\*|\*)` — the
+    * C-family / script / SQL markers plus block-comment continuation —
+    * deliberately a heuristic (a language-exact comment parser needs a
+    * lexer per lang), exact enough for corpus-level filtering.
+    */
+  def codeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    df.select(
+      colExact(idCol),
+      Dedup.let(split(t, "\n", -1)) { lines =>
+        Dedup.let(size(lines).cast("double")) { n =>
+          struct(
+            size(lines).cast("long").as("n_lines"),
+            array_max(transform(lines, l => length(l))).cast("long").as("max_line_len"),
+            round(aggregate(lines, lit(0L), (acc, l) => acc + length(l)).cast("double") / n, 6)
+              .as("avg_line_len"),
+            round(size(filter(lines, l => l.rlike("^\\s*(//|#|--|/\\*|\\*)"))).cast("double") / n, 6)
+              .as("comment_line_frac"),
+            round(size(filter(lines, l => l.rlike("^\\s*$"))).cast("double") / n, 6)
+              .as("blank_line_frac"))
+        }
+      }.as("ls"),
+      round(length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0)), 6).as("frac_alnum"))
+      .select(colExact(idCol), col("ls.*"), col("frac_alnum"))
+  }
+
+  /** SPDX / license-family detection over the head of each document —
+    * the provenance-compliance scan a source-code training corpus runs
+    * before inclusion (copyleft families are typically excluded).
+    * `spdx_id` is the machine-readable `SPDX-License-Identifier:` tag
+    * (empty string when absent — the cross-engine no-match convention
+    * shared with DuckDB's regexp_extract); `license_family` is a
+    * marker-phrase heuristic over the first `headChars` characters
+    * (license headers lead the file), first match wins in a fixed
+    * order so the verdict is deterministic. Pure per-row regex work,
+    * zero shuffle; the head cap bounds regex cost on 100 MB blobs.
+    */
+  def licenseScan(df: DataFrame, idCol: String, textCol: String,
+                  headChars: Int = 2048): DataFrame = {
+    require(headChars >= 1, s"headChars = $headChars must be >= 1")
+    val head = substring(coalesce(colExact(textCol), lit("")), 1, headChars)
+    val spdx = regexp_extract(head, "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    val family =
+      when(lower(spdx).startsWith("mit"), "mit")
+        .when(lower(spdx).startsWith("apache"), "apache")
+        .when(lower(spdx).startsWith("gpl") || lower(spdx).startsWith("agpl") ||
+          lower(spdx).startsWith("lgpl"), "gpl")
+        .when(lower(spdx).startsWith("bsd"), "bsd")
+        .when(lower(spdx).startsWith("mpl"), "mpl")
+        .when(spdx =!= "", "other")
+        .when(head.contains("Apache License"), "apache")
+        .when(head.contains("MIT License") ||
+          head.contains("Permission is hereby granted, free of charge"), "mit")
+        .when(head.contains("GNU General Public License") ||
+          head.contains("GNU Lesser General Public License") ||
+          head.contains("GNU Affero General Public License"), "gpl")
+        .when(head.rlike("BSD [23]-Clause|Redistribution and use in source and binary forms"), "bsd")
+        .when(head.contains("Mozilla Public License"), "mpl")
+        .otherwise("none")
+    df.select(colExact(idCol), spdx.as("spdx_id"), family.as("license_family"),
+      (family =!= "none").as("has_license"))
+  }
 }

@@ -936,6 +936,84 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // ---- source-code payload signals -------------------------------------
+
+  test("codeStats counts lines, comments and blanks the way a replay engine would") {
+    val code = Seq(
+      (1L, "// header\n\nfn main() {\n  # not scala but a comment marker\n  return 42;\n}\n"),
+      (2L, "single line no newline"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "content")
+    val r = TextAnalysis.codeStats(code, "id", "content").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // trailing \n ⇒ a trailing empty line is COUNTED (newline count + 1)
+    assert(r(1L).getAs[Long]("n_lines") == 7L)
+    assert(r(1L).getAs[Double]("comment_line_frac") == math.rint(2.0 / 7.0 * 1e6) / 1e6 ||
+      math.abs(r(1L).getAs[Double]("comment_line_frac") - 2.0 / 7.0) < 1e-6)
+    assert(r(1L).getAs[Double]("blank_line_frac") > 0.0) // the "" mid-line + trailing ""
+    assert(r(1L).getAs[Long]("max_line_len") == "  # not scala but a comment marker".length.toLong)
+    assert(r(2L).getAs[Long]("n_lines") == 1L)
+    assert(r(2L).getAs[Double]("comment_line_frac") == 0.0)
+    // empty and NULL text behave identically: one empty line, zero fracs
+    for (id <- Seq(3L, 4L)) {
+      assert(r(id).getAs[Long]("n_lines") == 1L)
+      assert(r(id).getAs[Long]("max_line_len") == 0L)
+      assert(r(id).getAs[Double]("frac_alnum") == 0.0)
+    }
+  }
+
+  test("codeStats flags the minified/blob shapes a code-curation pass filters on") {
+    val code = Seq(
+      (1L, Array.fill(40)("function(a,b){return a+b}").mkString(";")), // minified: 1 long line
+      (2L, (1 to 30).map(i => s"val x$i = $i").mkString("\n")))        // normal code
+      .toDF("id", "content")
+    val r = TextAnalysis.codeStats(code, "id", "content").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_lines") == 1L && r(1L).getAs[Long]("max_line_len") > 500L)
+    assert(r(2L).getAs[Long]("n_lines") == 30L && r(2L).getAs[Long]("max_line_len") < 20L)
+  }
+
+  test("licenseScan extracts SPDX tags and falls back to marker phrases") {
+    val code = Seq(
+      (1L, "// SPDX-License-Identifier: Apache-2.0\npackage x"),
+      (2L, "/* SPDX-License-Identifier: GPL-3.0-or-later */\nint main;"),
+      (3L, "Licensed under the Apache License, Version 2.0 (the \"License\")\ncode"),
+      (4L, "Permission is hereby granted, free of charge, to any person\ncode"),
+      (5L, "plain code, no license at all"),
+      (6L, "// SPDX-License-Identifier: Zlib\ncode"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "content")
+    val r = TextAnalysis.licenseScan(code, "id", "content").collect()
+      .map(x => (x.getLong(0), (x.getString(1), x.getString(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == (("Apache-2.0", "apache", true)))
+    assert(r(2L) == (("GPL-3.0-or-later", "gpl", true)))
+    assert(r(3L) == (("", "apache", true)))
+    assert(r(4L) == (("", "mit", true)))
+    assert(r(5L) == (("", "none", false)))
+    assert(r(6L) == (("Zlib", "other", true)))
+    assert(r(7L) == (("", "none", false)))
+  }
+
+  test("licenseScan only reads the head: a tag past headChars is invisible") {
+    val far = ("x" * 3000) + "\n// SPDX-License-Identifier: MIT"
+    val r = TextAnalysis.licenseScan(Seq((1L, far)).toDF("id", "content"),
+      "id", "content").head()
+    assert(r.getString(1) == "" && r.getString(2) == "none")
+    val near = TextAnalysis.licenseScan(Seq((1L, far)).toDF("id", "content"),
+      "id", "content", headChars = 4000).head()
+    assert(near.getString(1) == "MIT" && near.getString(2) == "mit")
+  }
+
+  test("code-signal scans stay per-row: no shuffle in either plan") {
+    val code = Seq((1L, "// c\nx")).toDF("id", "content")
+    for (df <- Seq(TextAnalysis.codeStats(code, "id", "content"),
+                   TextAnalysis.licenseScan(code, "id", "content"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
   test("an all-zero embedding cannot kill the near-dup job (ANSI 0/0 guard)") {
     val zero = Array.fill(8)(0f)
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
