@@ -4,27 +4,53 @@
 Runs AFTER `graft.Verify` has dumped <out>/<query>/ parquet dirs plus
 oracle_sql.json: registers the sf parquet tables in DuckDB, executes each
 oracle SQL, and compares to the Spark dump — row count, column-name set,
-and values with columns sorted by name (floats at 1e-9 rel tol).
+and values with columns sorted by name. Floats compare with
+math.isclose(rel_tol=1e-9, abs_tol=1e-9) after both sides are sorted by
+a coarse (3-decimal) key, so a value that straddles a rounding boundary
+cannot false-fail the gate the way round-as-tolerance did; a coarse-key
+order flip would need two genuinely distinct rows within 1e-3 of each
+other AND disagreeing row order across engines, and then still fails
+loudly rather than passing wrong values.
 Driver-side-only tooling (duckdb/pyarrow are not library deps)."""
 import sys, json, glob, math, os
+import decimal
 import duckdb
 
-def norm(v):
+def _f(v):
+    return float(v) if isinstance(v, decimal.Decimal) else v
+
+def sort_norm(v):
+    """Coarse, engine-stable sort key: floats rounded to 3 decimals."""
+    v = _f(v)
     if v is None: return ("\x00none",)
-    import decimal
-    if isinstance(v, decimal.Decimal): v = float(v)
     if isinstance(v, bool): return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v): return ("nan",)
-        return ("f", round(v, 9) if abs(v) < 1e15 else v)
+        return ("f", round(v, 3) if abs(v) < 1e15 else v)
     if isinstance(v, bytes): return ("b", v.hex())
-    if isinstance(v, list): return ("l", tuple(norm(x) for x in v))
-    if isinstance(v, dict): return ("d", tuple(sorted((k, norm(x)) for k, x in v.items())))
-    return v
+    if isinstance(v, list): return ("l", tuple(sort_norm(x) for x in v))
+    if isinstance(v, dict): return ("d", tuple(sorted((k, sort_norm(x)) for k, x in v.items())))
+    return (type(v).__name__, v)
 
-def rows_key(cols, rows):
+def values_equal(a, b):
+    a, b = _f(a), _f(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b): return math.isnan(a) and math.isnan(b)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return sorted(a) == sorted(b) and all(values_equal(a[k], b[k]) for k in a)
+    return type(a) is type(b) and a == b
+
+def sorted_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted((tuple(norm(r[i]) for i in order) for r in rows), key=repr)
+    projected = [tuple(r[i] for i in order) for r in rows]
+    return sorted(projected, key=lambda r: repr(tuple(sort_norm(v) for v in r)))
+
+def rows_equal(scols, srows, ocols, orows):
+    sr, orr = sorted_rows(scols, srows), sorted_rows(ocols, orows)
+    return all(values_equal(a, b) for ra, rb in zip(sr, orr) for a, b in zip(ra, rb))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -48,7 +74,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}"); bad += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}"); bad += 1; continue
-        if rows_key(scols, srows) != rows_key(ocols, orows):
+        if not rows_equal(scols, srows, ocols, orows):
             print(f"FAIL {name}: value mismatch ({len(srows)} rows)"); bad += 1; continue
         ok += 1
     print(f"{ok} ok / {bad} fail / {len(oracle)} total")

@@ -571,20 +571,41 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val sampleN = 2000
       val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8,
-        sampleN = sampleN)
-      // The oracle asserts EXACT top-10 recall vs brute force. At
-      // nprobe=3/8 that only provably holds while the k-means sample
-      // covers the WHOLE table (the shipped SFs — everything is
-      // deterministic then). On a larger/regenerated table the
-      // quantizer truly samples, boundaries move, and partial-probe
-      // recall is no longer guaranteed — so the probe widens to every
-      // cluster (exact by construction, still the IVF dataflow) rather
-      // than publishing a red row that looks like an engine regression.
-      val nprobe = if (e.count() <= sampleN) 3 else cents.length
-      graft.operators.Similarity.ivfTopK(e, "embedding", "vec_id", q, 10, cents, nprobe)
+        sampleN = 2000)
+      // The oracle asserts EXACT top-10 recall vs brute force, so this
+      // row runs the exhaustive regime (nprobe = every cluster — exact
+      // by construction, still the full IVF dataflow). Partial-probe
+      // recall is data-dependent even when the k-means sample covers
+      // the whole table (a true neighbor can live just across a probed
+      // cluster's boundary — measured 7/10 at sf0.001 with nprobe=3),
+      // so the narrow probe is gated separately as a measured recall
+      // floor (s_ivf_probe_recall), mirroring the LSH tiers.
+      graft.operators.Similarity.ivfTopK(e, "embedding", "vec_id", q, 10, cents,
+          nprobe = cents.length)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
+    }),
+
+    // the NARROW-probe IVF tier — where IVF actually prunes (3 of 8
+    // clusters read) — gated as a measured recall@10 floor against
+    // brute force, exactly like s_ann_probe_recall for the LSH layout:
+    // the probe's hit set is boundary-specific, but "finds ≥ floor of
+    // the true top-10 while reading ~3/8 of the corpus" is the
+    // operator's actual contract, and a quantizer/probe regression
+    // collapses it
+    "s_ivf_probe_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8,
+        sampleN = 2000)
+      val truth = graft.operators.Similarity.cosineTopK(e, "embedding", "vec_id", q, 10)
+        .select("vec_id")
+      val probed = graft.operators.Similarity.ivfTopK(e, "embedding", "vec_id", q, 10,
+        cents, nprobe = 3)
+      graft.operators.Recall.measure(truth, probed, Seq("vec_id"), totalCol = "n_topk")
+        .select(col("n_topk"),
+          when(col("recall") >= ivfProbeRecallFloor, 1).otherwise(0).as("recall_ok"))
     }),
 
     // SRP-LSH ANN over the MATERIALIZED signature layout (corpus
@@ -824,7 +845,7 @@ object SparkEntry {
           concat(
             when(pmod(col("doc_id"), lit(3)) === 0, lit("// c\n")).otherwise(lit("")),
             when(pmod(col("doc_id"), lit(7)) === 0, lit("\n")).otherwise(lit("")),
-            regexp_replace(col("text"), " ", "\n")).as("content")),
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n")).as("content")),
         "doc_id", "content")),
 
     // SPDX / license-family scan: deterministic license headers planted
@@ -845,7 +866,7 @@ object SparkEntry {
               .when(pmod(col("doc_id"), lit(11)) === 7, lit("// SPDX-License-Identifier: GPL-3.0-only\n"))
               .when(pmod(col("doc_id"), lit(11)) === 8, lit("// SPDX-License-Identifier: Zlib\n"))
               .otherwise(lit("")),
-            col("text")).as("content")),
+            coalesce(col("text"), lit(""))).as("content")),
         "doc_id", "content")),
 
     // PII redaction: deterministic synthetic PII (email/ip/phone derived
@@ -1034,6 +1055,7 @@ object SparkEntry {
   private val minhashRecallFloor = 0.8 // measured 1.00 at sf0.01
   private val srpRecallFloor = 0.15 // measured 0.24 at sf0.01 (theory ≈ (1−θ/π)³ ≈ 0.23 at the threshold)
   private val annProbeRecallFloor = 0.3 // measured 0.40 at sf0.01 reading 37/256 buckets
+  private val ivfProbeRecallFloor = 0.5 // measured 0.70 at sf0.001, 1.0 at sf0.01, nprobe 3/8
 
   /** DuckDB replay of [[graft.operators.Similarity.exactNearDupPairs]]
     * on the bounded vec_id < 300 slice — shared by `d_embed_exact` and
@@ -1572,7 +1594,7 @@ object SparkEntry {
     "d_winnow_pairs" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -1770,15 +1792,11 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS cos_sim
         |WHERE 1 = 0""".stripMargin,
 
-    // IVF is asserted to achieve EXACT recall: the oracle is the same
-    // brute-force top-10 the baseline query carries. Everything in the
-    // IVF path is deterministic (hash-ordered sample, seeded k-means,
-    // id tiebreak), and the QUERY gates its probe width on sample
-    // coverage — nprobe=3 while the k-means sample covers the whole
-    // table (the shipped SFs), every cluster otherwise (exact by
-    // construction) — so this row cannot go red from a dataset/sampleN
-    // coupling. (s_ann_lsh stays rows-only: its multi-probe radius is
-    // deliberately tuned for partial recall.)
+    // IVF runs the exhaustive regime (nprobe = every cluster), where
+    // the result provably equals brute force — partial-probe recall is
+    // data-dependent even with a full-coverage k-means sample (a true
+    // neighbor can sit just across a probed cluster's boundary), so
+    // the narrow probe is gated separately below as a recall floor.
     "s_ann_ivf" -> bruteForceTopKSql,
 
     // both LSH tiers run in the exhaustive-probe regime (ball = the
@@ -1797,6 +1815,14 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |  LIMIT 10)""".stripMargin,
 
+    // same floor-verdict shape for the narrow IVF probe
+    "s_ivf_probe_recall" ->
+      """SELECT count(*) AS n_topk, 1 AS recall_ok FROM (
+        |  SELECT vec_id FROM embeddings
+        |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |  LIMIT 10)""".stripMargin,
+
     // per-query brute-force top-10 for the 3-query batch — ONE copy
     // shared by the LSH and IVF batched probes (both run the
     // exhaustive regime, so both provably equal this replay)
@@ -1806,8 +1832,8 @@ object SparkEntry {
     "t_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_subwords
         |FROM documents""".stripMargin,
 
     "t_quality" ->
@@ -1990,11 +2016,11 @@ object SparkEntry {
     "d_contam_exact" ->
       """WITH t AS (
         |  SELECT doc_id AS train_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
         |  FROM documents),
         |e AS (
         |  SELECT doc_id AS eval_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
         |  FROM documents WHERE doc_id % 41 = 0)
         |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
 
@@ -2038,7 +2064,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens,
         |    CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard
         |  FROM documents)
         |SELECT doc_id, n_tokens, shard,
@@ -2057,7 +2083,7 @@ object SparkEntry {
     "t_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, toks, len(toks) AS n,
@@ -2116,15 +2142,15 @@ object SparkEntry {
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 0 THEN '// c' || chr(10) ELSE '' END)
         |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END)
-        |    || replace(text, ' ', chr(10)) AS content
+        |    || replace(coalesce(text, ''), ' ', chr(10)) AS content
         |  FROM documents),
         |l AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls FROM src)
         |SELECT doc_id,
         |  CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
         |  round(CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE) / len(ls), 6) AS avg_line_len,
-        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*(//|#|--|/\*|\*)'))) AS DOUBLE) / len(ls), 6) AS comment_line_frac,
-        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*$'))) AS DOUBLE) / len(ls), 6) AS blank_line_frac,
+        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^[ \t\n\x0b\f\r]*(//|#|--|/\*|\*)'))) AS DOUBLE) / len(ls), 6) AS comment_line_frac,
+        |  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^[ \t\n\x0b\f\r]*$'))) AS DOUBLE) / len(ls), 6) AS blank_line_frac,
         |  round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
         |    / greatest(CAST(length(content) AS DOUBLE), 1.0), 6) AS frac_alnum
         |FROM l""".stripMargin,
@@ -2144,11 +2170,11 @@ object SparkEntry {
         |       WHEN 6 THEN '/* Mozilla Public License 2.0 */' || chr(10)
         |       WHEN 7 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
         |       WHEN 8 THEN '// SPDX-License-Identifier: Zlib' || chr(10)
-        |       ELSE '' END) || text AS content
+        |       ELSE '' END) || coalesce(text, '') AS content
         |  FROM documents),
         |h AS (SELECT doc_id, substr(content, 1, 2048) AS head FROM src),
         |e AS (SELECT doc_id, head,
-        |        regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS spdx_id
+        |        regexp_extract(head, 'SPDX-License-Identifier:[ \t\n\x0b\f\r]*([A-Za-z0-9.+-]+)', 1) AS spdx_id
         |      FROM h),
         |f AS (SELECT doc_id, spdx_id,
         |  CASE

@@ -18,7 +18,9 @@ import graft.operators.{Components, Dedup}
   *
   * Exactly-once across replays is inherited, not re-derived: a batch
   * replayed after its commit is skipped by the ledger before any
-  * write; a batch replayed after a crash mid-append recomputes against
+  * computation ([[StreamingSink.isCommitted]] up front — also keeping
+  * the batch's own committed survivors out of its anchor set); a batch
+  * replayed after a crash mid-append recomputes against
   * the same committed-survivor set (the crashed dir is not in the
   * ledger, so [[StreamingSink.readCommitted]] never saw it) and
   * overwrites deterministically. Batches arrive serialized per
@@ -41,6 +43,12 @@ object StreamingDedup {
                    minJaccard: Double, sink: String, batchId: Long,
                    partCol: String): Unit = {
     val spark = batch.sparkSession
+    // a replayed already-committed batch must skip BEFORE the pairing
+    // jobs run: appendBatch's own ledger check fires too late to save
+    // the computation, and the batch's prior survivors would already
+    // sit in readCommitted, breaking exactJaccardPairsIncremental's
+    // ids-unique-across-frames contract
+    if (StreamingSink.isCommitted(spark, sink, batchId)) return
     // survivors already committed by THIS sink join the anchor set; a
     // never-appended sink has no ledger yet (readCommitted would
     // refuse it loudly), so the first batch anchors on the corpus alone

@@ -92,6 +92,19 @@ object StreamingSink {
       .exists(new Path(rootP, Batches))
   }
 
+  /** Whether `batchId` is already committed in `root`'s ledger — the
+    * short-circuit a foreachBatch body that does REAL work before its
+    * [[appendBatch]] (e.g. [[StreamingDedup.processBatch]]'s pairing
+    * jobs) must check first, so an at-least-once replay of a committed
+    * batch costs one ledger read instead of the whole computation.
+    * False for a never-appended sink (no ledger yet).
+    */
+  def isCommitted(spark: SparkSession, root: String, batchId: Long): Boolean = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(rootP, Batches)) && readLedger(fs, rootP).committed(batchId)
+  }
+
   /** Idempotent, atomically-published write of one micro-batch.
     * Safe to hand to `foreachBatch` directly. `partCol` is the sink's
     * partition column — "keyword" for violation sinks (default), any

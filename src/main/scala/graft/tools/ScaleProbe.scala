@@ -68,8 +68,12 @@ object ScaleProbe {
     // against a different sfDir/K must restage, not silently time the
     // previous run's corpus
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val baseDir = s"target/scale_${tag}_base"
-    val kDir = s"target/scale_${tag}_${k}x"
+    // v2 = the repartition(32) staging layout; the version suffix keys
+    // the _SUCCESS cache to the LAYOUT too, so a staging written before
+    // the partitioning fix can't be silently reused with its single-file
+    // scan asymmetry
+    val baseDir = s"target/scale_v2_${tag}_base"
+    val kDir = s"target/scale_v2_${tag}_${k}x"
     // staged OUTSIDE timing, once per (sfDir, K) key
     // repartition BOTH stagings identically: a single-file staging would
     // scan in ONE task and inflate that level's wall for scan-dominated

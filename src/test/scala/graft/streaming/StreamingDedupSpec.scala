@@ -64,5 +64,23 @@ class StreamingDedupSpec extends AnyFunSuite {
     // compaction over the non-default partition column preserves rows
     StreamingSink.compact(spark, sink, partCol = "grp")
     assert(keptIds(sink) == Set(2L, 5L))
+
+    // the committed-replay skip fires BEFORE any computation: a batch
+    // whose evaluation would raise never runs a job when its id is
+    // already in the ledger (the at-least-once replay must cost one
+    // ledger read, and the batch's own survivors must not re-enter its
+    // anchor set)
+    assert(StreamingSink.isCommitted(spark, sink, 0L))
+    assert(StreamingSink.isCommitted(spark, sink, 1L))
+    assert(!StreamingSink.isCommitted(spark, sink, 2L))
+    val poisoned = Seq(NewDoc(9L, base, "a")).toDF()
+      .withColumn("text", org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.lit("replayed batch must not be computed")))
+    StreamingDedup.processBatch(corpus, poisoned, "id", "text", 0.5, sink, 1L, partCol = "grp")
+    assert(keptIds(sink) == Set(2L, 5L))
+  }
+
+  test("isCommitted is false for a never-appended sink") {
+    assert(!StreamingSink.isCommitted(spark, tmpDir("graft-nosink") + "/x", 0L))
   }
 }
