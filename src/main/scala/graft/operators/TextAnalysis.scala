@@ -555,4 +555,84 @@ object TextAnalysis {
     df.select(colExact(idCol), spdx.as("spdx_id"), family.as("license_family"),
       (family =!= "none").as("has_license"))
   }
+
+  /** Credential-detection rules — (label, regex), RE2-safe (no
+    * backreferences or lookaround, explicit whitespace classes) so an
+    * external engine replays them verbatim. The token formats are the
+    * published ones (AWS access-key ids, GitHub fine/classic tokens,
+    * Slack bot/user tokens, PEM private-key headers); `cred_assign` is
+    * the generic quoted-assignment heuristic every code-corpus secrets
+    * pass carries for the long tail.
+    */
+  val secretRules: Seq[(String, String)] = Seq(
+    ("aws_key", "AKIA[0-9A-Z]{16}"),
+    ("gh_token", "gh[pousr]_[A-Za-z0-9]{36}"),
+    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,48}"),
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("cred_assign",
+      "(?i)(api_key|apikey|api_secret|secret_key|auth_token|passwd|password)" +
+        "[ \\t]*[:=][ \\t]*[\"'][^\"'\\n]{8,}[\"']"))
+
+  /** Leaked-credential scan — the compliance pass a source-code
+    * training corpus runs before inclusion (a checked-in AWS key must
+    * drop the file, not ship in model weights). Per-rule match counts
+    * plus the total and a drop verdict; NULL ≡ empty text as across
+    * the text family. Pure per-row regex work, zero shuffle,
+    * whole-stage codegen — at 100 TB this fuses into the same scan as
+    * the other per-row signals (the Columns are exposed for that via
+    * the default-rules overload pattern used by qualityColumn).
+    * Output: (id, n_<label>…, n_secret_hits, has_secret).
+    */
+  def secretScan(df: DataFrame, idCol: String, textCol: String,
+                 rules: Seq[(String, String)] = secretRules): DataFrame = {
+    require(rules.nonEmpty, "secretScan needs at least one rule")
+    val t = coalesce(colExact(textCol), lit(""))
+    val counts = rules.map { case (label, re) =>
+      regexp_count(t, lit(re)).cast("long").as(s"n_$label")
+    }
+    val total = rules.map { case (_, re) => regexp_count(t, lit(re)).cast("long") }
+      .reduce(_ + _)
+    df.select(colExact(idCol) +: counts :+ total.as("n_secret_hits")
+      :+ (total > 0L).as("has_secret"): _*)
+  }
+
+  /** Generated / minified source detection — the exclusion heuristic a
+    * code corpus applies before training (machine-written output is
+    * boilerplate that poisons dedup statistics and carries no new
+    * signal). Two independent tiers, both replayable externally:
+    * marker tier — the conventional generated-file phrases within the
+    * first `headChars` chars (generators put them at the top); layout
+    * tier — minified structure (any line longer than `maxLineLen`, or
+    * mean line length above `avgLineLen`: human-written code wraps).
+    * NULL ≡ empty text. Per-row split + contains, zero shuffle.
+    * Output: (id, max_line_len, is_marked_generated, is_minified,
+    * is_generated).
+    */
+  def generatedScan(df: DataFrame, idCol: String, textCol: String,
+                    headChars: Int = 2048, maxLineLen: Int = 1000,
+                    avgLineLen: Int = 300): DataFrame = {
+    require(headChars >= 1, s"headChars = $headChars must be >= 1")
+    require(maxLineLen >= 1 && avgLineLen >= 1, "line-length thresholds must be >= 1")
+    val t = coalesce(colExact(textCol), lit(""))
+    val head = substring(t, 1, headChars)
+    val marked = head.contains("DO NOT EDIT") || head.contains("@generated") ||
+      head.contains("Code generated by") || head.contains("Autogenerated") ||
+      head.contains("auto-generated")
+    df.select(
+      colExact(idCol),
+      Dedup.let(split(t, "\n", -1)) { lines =>
+        Dedup.let(array_max(transform(lines, l => length(l))).cast("long")) { maxLen =>
+          Dedup.let(maxLen > maxLineLen ||
+            aggregate(lines, lit(0L), (acc, l) => acc + length(l)).cast("double") /
+              size(lines).cast("double") > avgLineLen) { minified =>
+            struct(
+              maxLen.as("max_line_len"),
+              marked.as("is_marked_generated"),
+              minified.as("is_minified"),
+              (marked || minified).as("is_generated"))
+          }
+        }
+      }.as("g"))
+      .select(colExact(idCol), col("g.*"))
+  }
 }
