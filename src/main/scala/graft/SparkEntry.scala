@@ -15,6 +15,33 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared code-shaped derivation for the import-extraction queries:
+    * a language drawn by doc_id % 4 plus that language's import lines
+    * (module ids varied by coprime moduli) planted ahead of the raw
+    * text — replayed verbatim in the t_imports / c_top_imports oracles.
+    */
+  private def codeImportDerivation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("py"), lit("go"), lit("js"), lit("c")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+      concat(
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("import mod"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("\nfrom pkg"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(" import thing\n")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("import \"github.com/org"), pmod(col("doc_id"), lit(6)).cast("string"),
+              lit("/lib\"\n")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("import x from 'lib"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit("'\nconst y = require('util"), pmod(col("doc_id"), lit(3)).cast("string"),
+              lit("')\n")))
+          .otherwise(
+            concat(lit("#include <hdr"), pmod(col("doc_id"), lit(7)).cast("string"),
+              lit(".h>\n#include \"local"), pmod(col("doc_id"), lit(3)).cast("string"),
+              lit(".h\"\n"))),
+        coalesce(col("text"), lit(""))).as("content"))
+
   /** Recursive delete of a session-scoped temp dir at JVM exit — the
     * per-applicationId jsonl staging copies must not accumulate one
     * table-sized directory per session under /tmp.
@@ -915,6 +942,81 @@ object SparkEntry {
             regexp_replace(coalesce(col("text"), lit("")), " ", "\n")).as("content")),
         "doc_id", "content")),
 
+    // import/dependency extraction: deterministic per-language import
+    // lines (py/go/js/c forms drawn by doc_id % 4) planted ahead of the
+    // raw text, identically constructed in the oracle — checks the
+    // per-language regex dispatch AND that noise text is handled
+    // symmetrically across engines
+    "t_imports" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.importScan(
+        codeImportDerivation(table(s, dir, "documents")),
+        "doc_id", "code_lang", "content")),
+
+    // corpus-level dependency profile: top-5 imported modules per
+    // language by document count over the same derivation — one scan,
+    // bounded explode, salted two-stage top-k (deterministic total
+    // order: n_docs desc, module asc)
+    "c_top_imports" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.topImports(
+        codeImportDerivation(table(s, dir, "documents")),
+        "code_lang", "content", k = 5)),
+
+    // indentation profile: tab / 2-space / 4-space / mixed / flat
+    // shapes planted by doc_id % 5 (space → newline+indent on the raw
+    // text; the mixed bucket is a fixed 1-tab + 1-space two-liner so
+    // the tie rule is exercised), identically constructed in the oracle
+    "t_indent" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.indentStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n\t"))
+            .when(pmod(col("doc_id"), lit(5)) === 1,
+              regexp_replace(coalesce(col("text"), lit("")), " ", "\n  "))
+            .when(pmod(col("doc_id"), lit(5)) === 2,
+              regexp_replace(coalesce(col("text"), lit("")), " ", "\n    "))
+            .when(pmod(col("doc_id"), lit(5)) === 3, lit("\ta\n  b"))
+            .otherwise(regexp_replace(coalesce(col("text"), lit("")), " ", "\n"))
+            .as("content")),
+        "doc_id", "content")),
+
+    // path taxonomy: synthetic directory trees (vendor/test/docs/
+    // build/node_modules/src/third_party) × filename conventions
+    // (_test.go, README.md, .pb.go) drawn from doc_id, identically
+    // constructed in the oracle — combinations exercise the fixed
+    // precedence (vendor > generated > test > docs > source)
+    "t_path_class" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.pathStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(8)) === 0, lit("vendor/lib/"))
+              .when(pmod(col("doc_id"), lit(8)) === 1, lit("test/unit/"))
+              .when(pmod(col("doc_id"), lit(8)) === 2, lit("docs/"))
+              .when(pmod(col("doc_id"), lit(8)) === 3, lit("build/gen/"))
+              .when(pmod(col("doc_id"), lit(8)) === 4, lit("node_modules/pkg/"))
+              .when(pmod(col("doc_id"), lit(8)) === 5, lit("src/main/"))
+              .when(pmod(col("doc_id"), lit(8)) === 6, lit("third_party/zlib/"))
+              .otherwise(lit("lib/core/")),
+            when(pmod(col("doc_id"), lit(9)) === 0, lit("foo_test.go"))
+              .when(pmod(col("doc_id"), lit(10)) === 0, lit("README.md"))
+              .when(pmod(col("doc_id"), lit(12)) === 0, lit("api.pb.go"))
+              .otherwise(concat(lit("file"), pmod(col("doc_id"), lit(10)).cast("string"),
+                lit(".py")))).as("path")),
+        "doc_id", "path")),
+
+    // cross-source content provenance: every 41st doc's content is
+    // replaced by one of 7 shared boilerplate strings (so identical
+    // content recurs across the source dimension), identically
+    // constructed in the oracle — spanning groups, exact copy counts,
+    // sorted capped source lists
+    "d_cross_source" -> ((s, dir) =>
+      graft.operators.Dedup.crossSourceGroups(
+        table(s, dir, "documents").select(
+          when(pmod(col("doc_id"), lit(41)) === 0,
+            concat(lit("boilerplate-"), pmod(col("doc_id"), lit(7)).cast("string")))
+            .otherwise(coalesce(col("text"), lit(""))).as("content"),
+          col("source")),
+        "content", "source")),
+
     // PII redaction: deterministic synthetic PII (email/ip/phone derived
     // from doc_id) appended to each document, scrubbed by the RE2-safe
     // rule set, per-rule match counts from the original text
@@ -1218,6 +1320,25 @@ object SparkEntry {
        | END, 6))""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
+  /** DuckDB form of [[codeImportDerivation]] — the shared FROM clause
+    * of the t_imports / c_top_imports oracles. No continuation line may
+    * START with `||`: this val is interpolated into outer oracle strings
+    * whose own stripMargin would eat the first pipe and corrupt the SQL.
+    */
+  private val codeImportDerivationSql: String =
+    """SELECT doc_id,
+      |  ['py', 'go', 'js', 'c'][CAST(doc_id % 4 AS INT) + 1] AS lang,
+      |  (CASE CAST(doc_id % 4 AS INT)
+      |     WHEN 0 THEN 'import mod' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |                 'from pkg' || CAST(doc_id % 3 AS VARCHAR) || ' import thing' || chr(10)
+      |     WHEN 1 THEN 'import "github.com/org' || CAST(doc_id % 6 AS VARCHAR) || '/lib"' || chr(10)
+      |     WHEN 2 THEN 'import x from ''lib' || CAST(doc_id % 5 AS VARCHAR) || '''' || chr(10) ||
+      |                 'const y = require(''util' || CAST(doc_id % 3 AS VARCHAR) || ''')' || chr(10)
+      |     ELSE '#include <hdr' || CAST(doc_id % 7 AS VARCHAR) || '.h>' || chr(10) ||
+      |          '#include "local' || CAST(doc_id % 3 AS VARCHAR) || '.h"' || chr(10)
+      |   END) || coalesce(text, '') AS content
+      |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_stats_tdigest" -> Seq("l_quantity", "l_extendedprice").map { c =>
       s"""SELECT '$c' AS col_name,
@@ -2304,6 +2425,132 @@ object SparkEntry {
         |SELECT doc_id, max_line_len, is_marked_generated, is_minified,
         |  (is_marked_generated OR is_minified) AS is_generated
         |FROM g""".stripMargin,
+
+    // mirrors CodeAnalysis.importScan over the same planted import
+    // lines — the SAME RE2-safe extraction regexes replayed verbatim,
+    // dispatched on the same doc_id % 4 language draw
+    "t_imports" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(
+        |      CASE lang
+        |        WHEN 'py' THEN flatten([
+        |          regexp_extract_all(content, '(?m)^import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)', 1),
+        |          regexp_extract_all(content, '(?m)^from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import', 1)])
+        |        WHEN 'go' THEN regexp_extract_all(content, '(?m)^[ \\t]*import[ \\t]+"([A-Za-z0-9_./-]+)"', 1)
+        |        WHEN 'js' THEN flatten([
+        |          regexp_extract_all(content, 'require\\(["'']([A-Za-z0-9_@/.-]+)["'']\\)', 1),
+        |          regexp_extract_all(content, '(?m)^import[ \\t][^\\n]*from[ \\t]+["'']([A-Za-z0-9_@/.-]+)["'']', 1)])
+        |        ELSE regexp_extract_all(content, '(?m)^#include[ \\t]*[<"]([A-Za-z0-9_./-]+)[>"]', 1)
+        |      END)) AS imps
+        |  FROM ($codeImportDerivationSql))
+        |SELECT doc_id, lang AS code_lang, array_to_string(imps, ',') AS imports,
+        |  CAST(len(imps) AS BIGINT) AS n_imports
+        |FROM e""".stripMargin,
+
+    // mirrors CodeAnalysis.topImports: same extraction, unnest, group,
+    // rank with the same total order (n_docs desc, module asc)
+    "c_top_imports" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(
+        |      CASE lang
+        |        WHEN 'py' THEN flatten([
+        |          regexp_extract_all(content, '(?m)^import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)', 1),
+        |          regexp_extract_all(content, '(?m)^from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import', 1)])
+        |        WHEN 'go' THEN regexp_extract_all(content, '(?m)^[ \\t]*import[ \\t]+"([A-Za-z0-9_./-]+)"', 1)
+        |        WHEN 'js' THEN flatten([
+        |          regexp_extract_all(content, 'require\\(["'']([A-Za-z0-9_@/.-]+)["'']\\)', 1),
+        |          regexp_extract_all(content, '(?m)^import[ \\t][^\\n]*from[ \\t]+["'']([A-Za-z0-9_@/.-]+)["'']', 1)])
+        |        ELSE regexp_extract_all(content, '(?m)^#include[ \\t]*[<"]([A-Za-z0-9_./-]+)[>"]', 1)
+        |      END)) AS imps
+        |  FROM ($codeImportDerivationSql)),
+        |x AS (SELECT lang, unnest(imps) AS module FROM e),
+        |g AS (SELECT lang, module, CAST(count(*) AS BIGINT) AS n_docs FROM x GROUP BY 1, 2),
+        |r AS (SELECT lang, module, n_docs,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, module ASC) AS BIGINT) AS rank
+        |      FROM g)
+        |SELECT lang AS code_lang, module, n_docs, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // mirrors CodeAnalysis.indentStats over the same planted
+    // indentation shapes
+    "t_indent" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 5 AS INT)
+        |       WHEN 0 THEN replace(coalesce(text, ''), ' ', chr(10) || chr(9))
+        |       WHEN 1 THEN replace(coalesce(text, ''), ' ', chr(10) || '  ')
+        |       WHEN 2 THEN replace(coalesce(text, ''), ' ', chr(10) || '    ')
+        |       WHEN 3 THEN chr(9) || 'a' || chr(10) || '  b'
+        |       ELSE replace(coalesce(text, ''), ' ', chr(10)) END) AS content
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(content, chr(10)) AS ls FROM src),
+        |c AS (SELECT doc_id,
+        |        CAST(len(list_filter(ls, x -> regexp_matches(x, '^\t'))) AS BIGINT) AS n_tab_lines,
+        |        list_filter(ls, x -> regexp_matches(x, '^ +[^ ]')) AS sl
+        |      FROM l),
+        |d AS (SELECT doc_id, n_tab_lines,
+        |        CAST(len(sl) AS BIGINT) AS n_space_lines,
+        |        CAST(coalesce(list_min(list_transform(sl,
+        |          x -> length(regexp_extract(x, '^( +)', 1)))), 0) AS BIGINT) AS indent_unit
+        |      FROM c)
+        |SELECT doc_id, n_tab_lines, n_space_lines, indent_unit,
+        |  CASE WHEN n_tab_lines = 0 AND n_space_lines = 0 THEN 'none'
+        |       WHEN n_tab_lines > n_space_lines THEN 'tabs'
+        |       WHEN n_space_lines > n_tab_lines THEN 'spaces'
+        |       ELSE 'mixed' END AS indent_style
+        |FROM d""".stripMargin,
+
+    // mirrors CodeAnalysis.pathStats over the same synthetic paths and
+    // the same fixed precedence
+    "t_path_class" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 8 AS INT)
+        |       WHEN 0 THEN 'vendor/lib/'
+        |       WHEN 1 THEN 'test/unit/'
+        |       WHEN 2 THEN 'docs/'
+        |       WHEN 3 THEN 'build/gen/'
+        |       WHEN 4 THEN 'node_modules/pkg/'
+        |       WHEN 5 THEN 'src/main/'
+        |       WHEN 6 THEN 'third_party/zlib/'
+        |       ELSE 'lib/core/' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN 'foo_test.go'
+        |             WHEN doc_id % 10 = 0 THEN 'README.md'
+        |             WHEN doc_id % 12 = 0 THEN 'api.pb.go'
+        |             ELSE 'file' || CAST(doc_id % 10 AS VARCHAR) || '.py' END) AS path
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(path, '(^|/)(vendor|third_party|node_modules|external|extern)/') THEN 'vendor'
+        |    WHEN regexp_matches(path, '(^|/)(gen|generated|build|dist|target|out)/')
+        |      OR regexp_matches(path, '(\.pb\.(go|cc|h)|_pb2\.py|\.min\.(js|css))$') THEN 'generated'
+        |    WHEN regexp_matches(path, '(^|/)(test|tests|spec|testdata)/')
+        |      OR regexp_matches(path, '(_test\.(go|py|rb)|Test\.(java|scala|kt)|\.test\.(js|ts)|_spec\.rb)$') THEN 'test'
+        |    WHEN regexp_matches(path, '(^|/)(doc|docs|example|examples)/')
+        |      OR regexp_matches(path, '\.(md|rst|txt)$') THEN 'docs'
+        |    ELSE 'source' END AS path_class
+        |  FROM src)
+        |SELECT doc_id, path_class, path_class = 'source' AS is_trainable FROM c""".stripMargin,
+
+    // mirrors Dedup.crossSourceGroups over the same planted boilerplate
+    // (md5 group key replayed verbatim)
+    "d_cross_source" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 41 = 0
+        |         THEN 'boilerplate-' || CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE coalesce(text, '') END AS content
+        |  FROM documents),
+        |g1 AS (SELECT md5(content) AS content_md5, source, count(*) AS n
+        |       FROM src GROUP BY 1, 2),
+        |g2 AS (SELECT content_md5, CAST(sum(n) AS BIGINT) AS n_copies,
+        |         CAST(count(*) AS BIGINT) AS n_sources,
+        |         array_to_string(list_sort(list(source))[1:64], ',') AS sources
+        |       FROM g1 GROUP BY 1)
+        |SELECT content_md5, n_copies, n_sources, sources,
+        |  n_sources > 64 AS sources_truncated
+        |FROM g2 WHERE n_sources >= 2""".stripMargin,
 
     // the checkpointed stage's output is the v_doc_violations set
     // (deterministic), grouped by keyword

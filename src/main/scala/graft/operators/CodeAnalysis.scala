@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.spark.ColumnCompiler.colExact
+
+/** Source-code structural signals beyond line statistics
+  * (TextAnalysis.codeStats): import/dependency extraction, indentation
+  * profiling, and path taxonomy.
+  *
+  * Everything here is per-row `Column` work — one scan, zero shuffle,
+  * whole-stage codegen — so at 100 TB each signal fuses into the same
+  * pass as the keyword validators and the other curation signals. All
+  * regexes are RE2-safe (no backreferences/lookaround, explicit
+  * whitespace classes) so an external engine replays them verbatim;
+  * the driver oracle does exactly that in DuckDB.
+  */
+object CodeAnalysis {
+
+  /** Import/dependency extraction rules per language: (lang →
+    * extraction regexes whose capture group 1 is the imported module).
+    * Line-anchored (`(?m)^`) where the language's import syntax is
+    * line-structured, so prose mentioning "import" does not match.
+    * Deliberately heuristic — an exact extractor needs a parser per
+    * language — but exact enough for corpus-level dependency profiles,
+    * and the misses are symmetric across engines (the oracle replays
+    * the same rules). Go factored import blocks (`import ( … )`) are a
+    * documented miss: matching their interior lines would need block
+    * context a single regex cannot carry without matching every quoted
+    * string in the file.
+    */
+  val importRules: Map[String, Seq[String]] = Map(
+    "py" -> Seq(
+      "(?m)^import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)",
+      "(?m)^from[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)[ \\t]+import"),
+    "go" -> Seq(
+      "(?m)^[ \\t]*import[ \\t]+\"([A-Za-z0-9_./-]+)\""),
+    "java" -> Seq(
+      "(?m)^import[ \\t]+(?:static[ \\t]+)?([A-Za-z_][A-Za-z0-9_.]*)"),
+    "scala" -> Seq(
+      "(?m)^import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)"),
+    "js" -> Seq(
+      "require\\(['\"]([A-Za-z0-9_@/.-]+)['\"]\\)",
+      "(?m)^import[ \\t][^\\n]*from[ \\t]+['\"]([A-Za-z0-9_@/.-]+)['\"]"),
+    "rs" -> Seq(
+      "(?m)^use[ \\t]+([A-Za-z_][A-Za-z0-9_:]*)"),
+    "c" -> Seq(
+      "(?m)^#include[ \\t]*[<\"]([A-Za-z0-9_./-]+)[>\"]"))
+
+  /** Fallback when `lang` has no rule set: the Java/Scala-style
+    * line-anchored `import X` — the most common cross-language shape.
+    */
+  val genericImportRule: Seq[String] =
+    Seq("(?m)^import[ \\t]+([A-Za-z_][A-Za-z0-9_.]*)")
+
+  /** Sorted-distinct imported modules for one document as an array
+    * Column, dispatching the rule set on `lang` in one `when` chain —
+    * per-row regex work only, so N languages stay ONE scan (a
+    * per-language filter+union plan would scan the corpus once per
+    * language).
+    */
+  def importsColumn(text: Column, lang: Column): Column = {
+    val t = coalesce(text, lit(""))
+    def extract(rules: Seq[String]): Column =
+      array_sort(array_distinct(flatten(array(
+        rules.map(re => regexp_extract_all(t, lit(re), lit(1))): _*))))
+    importRules.toSeq.sortBy(_._1).foldLeft(null: Column) { case (acc, (l, rules)) =>
+      if (acc == null) when(lang === l, extract(rules))
+      else acc.when(lang === l, extract(rules))
+    }.otherwise(extract(genericImportRule))
+  }
+
+  /** Per-document dependency extraction: (id, lang, imports —
+    * comma-joined sorted distinct modules, '' when none — n_imports).
+    * The `imports` join keeps the row hashable by an external replay
+    * engine; callers that feed `topImports` use `importsColumn`
+    * directly and never materialize the string form.
+    */
+  def importScan(df: DataFrame, idCol: String, langCol: String,
+                 textCol: String): DataFrame =
+    df.select(
+      colExact(idCol),
+      colExact(langCol),
+      Dedup.let(importsColumn(colExact(textCol), colExact(langCol))) { imps =>
+        struct(
+          array_join(imps, ",").as("imports"),
+          size(imps).cast("long").as("n_imports"))
+      }.as("i"))
+      .select(colExact(idCol), colExact(langCol), col("i.*"))
+
+  /** Corpus-level dependency profile: top `k` imported modules per
+    * language by document count (each doc counts a module once — the
+    * per-doc array is already distinct).
+    *
+    * 100 TB shape: ONE scan computing per-doc distinct imports, one
+    * explode (bounded by imports-per-doc, not text size — the content
+    * column is dropped BEFORE the explode so text is never
+    * replicated), a partial-aggregating groupBy on (lang, module), and
+    * the salted two-stage top-k from `Ranking` (a bare global window
+    * per lang would funnel the whole module table through one reducer
+    * per language). Total order via (n_docs desc, module asc) so the
+    * result is deterministic.
+    */
+  def topImports(df: DataFrame, langCol: String, textCol: String,
+                 k: Int = 5): DataFrame = {
+    require(langCol != "module" && langCol != "n_docs",
+      s"langCol = $langCol collides with a topImports output column")
+    val exploded = df
+      .select(colExact(langCol),
+        explode(importsColumn(colExact(textCol), colExact(langCol))).as("module"))
+      .groupBy(colExact(langCol), col("module"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    Ranking.topKPerGroup(exploded, Seq(langCol),
+      Seq(col("n_docs").desc, col("module").asc), k)
+  }
+
+  /** Indentation profile: (id, n_tab_lines, n_space_lines,
+    * indent_unit, indent_style).
+    *
+    *  - `n_tab_lines`: lines whose first character is a tab;
+    *  - `n_space_lines`: lines opening with a space run followed by a
+    *    non-space character (pure-whitespace lines are layout, not
+    *    indentation);
+    *  - `indent_unit`: the MINIMUM positive leading-space run over
+    *    space-indented lines (the smallest indent step — a
+    *    deterministic stand-in for the modal width, whose tie-break is
+    *    engine-specific), 0 when no space-indented lines;
+    *  - `indent_style`: tabs | spaces | mixed | none by count
+    *    comparison (ties with both nonzero → mixed).
+    *
+    * One split + three HOF passes per row, zero shuffle. NULL ≡ empty
+    * text as across the text family.
+    */
+  def indentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    df.select(
+      colExact(idCol),
+      Dedup.let(split(t, "\n", -1)) { lines =>
+        Dedup.let(size(filter(lines, l => l.rlike("^\\t"))).cast("long")) { tabs =>
+          Dedup.let(filter(lines, l => l.rlike("^ +[^ ]"))) { spaceLines =>
+            Dedup.let(size(spaceLines).cast("long")) { spaces =>
+              struct(
+                tabs.as("n_tab_lines"),
+                spaces.as("n_space_lines"),
+                coalesce(
+                  array_min(transform(spaceLines,
+                    l => length(regexp_extract(l, "^( +)", 1)))).cast("long"),
+                  lit(0L)).as("indent_unit"),
+                when(tabs === 0L && spaces === 0L, "none")
+                  .when(tabs > spaces, "tabs")
+                  .when(spaces > tabs, "spaces")
+                  .otherwise("mixed").as("indent_style"))
+            }
+          }
+        }
+      }.as("s"))
+      .select(colExact(idCol), col("s.*"))
+  }
+
+  /** Path taxonomy for training-data curation: which tree a file lives
+    * in decides whether it is first-party trainable source. Priority
+    * is fixed (vendor > generated > test > docs > source) so a path
+    * matching several rules classifies deterministically — vendored
+    * trees win because license provenance dominates every other
+    * exclusion, and generated wins over test because generated test
+    * code is still generated. Directory-segment rules are anchored on
+    * separators (`(^|/)name/`) so `contest/` does not match `test/`;
+    * filename rules key on the conventional suffixes.
+    */
+  def pathClass(path: Column): Column = {
+    val p = coalesce(path, lit(""))
+    when(p.rlike("(^|/)(vendor|third_party|node_modules|external|extern)/"), "vendor")
+      .when(p.rlike("(^|/)(gen|generated|build|dist|target|out)/") ||
+        p.rlike("(\\.pb\\.(go|cc|h)|_pb2\\.py|\\.min\\.(js|css))$"), "generated")
+      .when(p.rlike("(^|/)(test|tests|spec|testdata)/") ||
+        p.rlike("(_test\\.(go|py|rb)|Test\\.(java|scala|kt)|\\.test\\.(js|ts)|_spec\\.rb)$"), "test")
+      .when(p.rlike("(^|/)(doc|docs|example|examples)/") ||
+        p.rlike("\\.(md|rst|txt)$"), "docs")
+      .otherwise("source")
+  }
+
+  /** (id, path_class, is_trainable) — pure projection, zero shuffle;
+    * at 100 TB this is the cheapest pre-filter in the curation pass
+    * (it reads only the path column, so with column pruning the scan
+    * never touches content).
+    */
+  def pathStats(df: DataFrame, idCol: String, pathCol: String): DataFrame =
+    df.select(
+      colExact(idCol),
+      Dedup.let(pathClass(colExact(pathCol))) { c =>
+        struct(c.as("path_class"), (c === "source").as("is_trainable"))
+      }.as("p"))
+      .select(colExact(idCol), col("p.*"))
+}

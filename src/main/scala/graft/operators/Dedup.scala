@@ -93,6 +93,44 @@ object Dedup {
         (col("n_rows") > maxIdsPerGroup).as("ids_truncated"))
   }
 
+  /** Cross-source content provenance: duplicate-content groups that
+    * SPAN sources — the "same file checked into many repos" signal a
+    * source-code corpus uses for vendored-copy detection and for
+    * weighting boilerplate down before training. Output per spanning
+    * group: (content_md5, n_copies, n_sources, sources — sorted
+    * distinct, capped at `maxSources`, comma-joined — sources_truncated).
+    *
+    * md5 (not xxhash64) so an external engine replays the group key
+    * verbatim; at production scale the already-present sha-256 column
+    * is the natural key and the shape is identical.
+    *
+    * 100 TB shape: the content column is hashed in the initial
+    * projection, so only (md5, source) ever shuffles — two narrow
+    * columns, never text. Two hash aggregates: the first collapses to
+    * (md5, source) with exact per-source counts (map-side combine
+    * absorbs the duplicate mass — exactly the rows this operator
+    * targets — before the exchange), the second folds the per-source
+    * rows per group, where `n_sources` is a plain count (the
+    * single-agg `countDistinct` formulation would Expand-replicate the
+    * input) and the source list is bounded by the source dimension's
+    * cardinality, then capped.
+    */
+  def crossSourceGroups(df: DataFrame, textCol: String,
+                        sourceCol: String, maxSources: Int = 64): DataFrame = {
+    require(maxSources >= 1, s"maxSources = $maxSources must be >= 1")
+    df.select(md5(coalesce(colExact(textCol), lit(""))).as("content_md5"),
+        colExact(sourceCol).cast("string").as("__src"))
+      .groupBy("content_md5", "__src")
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .groupBy("content_md5")
+      .agg(sum(col("__n")).cast("long").as("n_copies"),
+        count(lit(1)).cast("long").as("n_sources"),
+        array_join(slice(sort_array(collect_list(col("__src"))), 1, maxSources), ",")
+          .as("sources"))
+      .where(col("n_sources") >= 2)
+      .withColumn("sources_truncated", col("n_sources") > maxSources)
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** k-permutation MinHash signature (array<long>, length k) over word

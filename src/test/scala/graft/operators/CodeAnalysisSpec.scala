@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-code structural signals: import extraction, corpus-level
+  * dependency profile, indentation profiling, path taxonomy, and
+  * cross-source content provenance.
+  */
+class CodeAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- importScan ------------------------------------------------------
+
+  test("importScan extracts per-language module names, sorted and distinct") {
+    val rows = Seq(
+      (1L, "py", "import os\nfrom collections import OrderedDict\nimport os\nx = 1"),
+      (2L, "go", "package main\nimport \"fmt\"\nimport \"github.com/x/y\"\nfunc main() {}"),
+      (3L, "java", "import java.util.List;\nimport static org.junit.Assert.fail;\nclass A {}"),
+      (4L, "scala", "import org.apache.spark.sql.DataFrame\nobject B"),
+      (5L, "js", "import x from 'react'\nconst y = require('lodash')\nconsole.log(1)"),
+      (6L, "rs", "use std::collections::HashMap;\nfn main() {}"),
+      (7L, "c", "#include <stdio.h>\n#include \"local.h\"\nint main() {}"))
+      .toDF("id", "lang", "content")
+    val r = CodeAnalysis.importScan(rows, "id", "lang", "content")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(1L) == "collections,os") // distinct + sorted
+    assert(r(2L) == "fmt,github.com/x/y")
+    assert(r(3L) == "java.util.List,org.junit.Assert.fail") // static form
+    assert(r(4L) == "org.apache.spark.sql.DataFrame")
+    assert(r(5L) == "lodash,react")
+    assert(r(6L) == "std::collections::HashMap")
+    assert(r(7L) == "local.h,stdio.h")
+  }
+
+  test("importScan is line-anchored (prose 'import' does not match), null-safe, and falls back for unknown langs") {
+    val rows = Seq(
+      (1L, "py", "the import of goods\n  import indented"), // neither matches ^import
+      (2L, "py", null: String),
+      (3L, "klingon", "import weapons.disruptor\nfire()"))
+      .toDF("id", "lang", "content")
+    val r = CodeAnalysis.importScan(rows, "id", "lang", "content")
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getLong(3))).toList.sortBy(_._1)
+    assert(r(0) == ((1L, "", 0L)))
+    assert(r(1) == ((2L, "", 0L)))
+    assert(r(2) == ((3L, "weapons.disruptor", 1L))) // generic fallback
+  }
+
+  // ---- topImports ------------------------------------------------------
+
+  test("topImports ranks modules per language by doc count with a deterministic tie-break") {
+    val rows = Seq(
+      (1L, "py", "import b\nimport a"),
+      (2L, "py", "import a"),
+      (3L, "py", "import c\nimport c"), // per-doc distinct: c counts once
+      (4L, "go", "import \"fmt\""))
+      .toDF("id", "lang", "content")
+    val r = CodeAnalysis.topImports(rows, "lang", "content", k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    // py: a=2 docs; b=1, c=1 tie → module asc puts b at rank 2
+    assert(r == Set(("py", "a", 2L, 1L), ("py", "b", 1L, 2L), ("go", "fmt", 1L, 1L)))
+  }
+
+  // ---- indentStats -----------------------------------------------------
+
+  test("indentStats profiles tab, space, mixed and flat documents") {
+    val rows = Seq(
+      (1L, "def f():\n\tx = 1\n\treturn x"),                // tabs
+      (2L, "def f():\n    x = 1\n  return x"),              // 4- and 2-space → unit 2
+      (3L, "a\n\tb\n  c"),                                  // 1 tab + 1 space → mixed
+      (4L, "no indentation here\nat all"),                  // none
+      (5L, null: String),                                   // null ≡ empty
+      (6L, "   \n\tx"))                                     // blank space-only line is NOT space-indented
+      .toDF("id", "content")
+    val r = CodeAnalysis.indentStats(rows, "id", "content")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) == ((2L, 0L, 0L, "tabs")))
+    assert(r(2L) == ((0L, 2L, 2L, "spaces")))
+    assert(r(3L) == ((1L, 1L, 2L, "mixed")))
+    assert(r(4L) == ((0L, 0L, 0L, "none")))
+    assert(r(5L) == ((0L, 0L, 0L, "none")))
+    assert(r(6L) == ((1L, 0L, 0L, "tabs")))
+  }
+
+  // ---- pathStats -------------------------------------------------------
+
+  test("pathClass applies the fixed precedence vendor > generated > test > docs > source") {
+    val rows = Seq(
+      (1L, "vendor/zlib/api.pb.go"),      // vendor beats generated
+      (2L, "build/gen/foo_test.go"),      // generated beats test
+      (3L, "test/unit/README.md"),        // test beats docs
+      (4L, "src/main/foo_test.go"),       // filename test rule
+      (5L, "docs/guide.rst"),
+      (6L, "src/main/app.py"),
+      (7L, "contest/file.py"),            // 'contest/' must NOT match test/
+      (8L, "lib/util.min.js"),            // minified filename → generated
+      (9L, null: String))
+      .toDF("id", "path")
+    val r = CodeAnalysis.pathStats(rows, "id", "path")
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == (("vendor", false)))
+    assert(r(2L) == (("generated", false)))
+    assert(r(3L) == (("test", false)))
+    assert(r(4L) == (("test", false)))
+    assert(r(5L) == (("docs", false)))
+    assert(r(6L) == (("source", true)))
+    assert(r(7L) == (("source", true)))
+    assert(r(8L) == (("generated", false)))
+    assert(r(9L) == (("source", true)))
+  }
+
+  // ---- crossSourceGroups -----------------------------------------------
+
+  test("crossSourceGroups finds content spanning sources with exact counts and sorted capped lists") {
+    val rows = Seq(
+      (1L, "shared boilerplate", "srcB"),
+      (2L, "shared boilerplate", "srcA"),
+      (3L, "shared boilerplate", "srcA"), // same source twice → n_copies 3, n_sources 2
+      (4L, "unique content", "srcA"),
+      (5L, "same-source dup", "srcC"),
+      (6L, "same-source dup", "srcC"))    // spans only one source → excluded
+      .toDF("id", "text", "source")
+    val r = Dedup.crossSourceGroups(rows, "text", "source").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_copies") == 3L)
+    assert(r(0).getAs[Long]("n_sources") == 2L)
+    assert(r(0).getAs[String]("sources") == "srcA,srcB")
+    assert(!r(0).getAs[Boolean]("sources_truncated"))
+    // md5 group key is the engine-portable form
+    assert(r(0).getAs[String]("content_md5") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("shared boilerplate".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+
+    val capped = Dedup.crossSourceGroups(rows, "text", "source", maxSources = 1).collect()
+    assert(capped(0).getAs[String]("sources") == "srcA")
+    assert(capped(0).getAs[Boolean]("sources_truncated"))
+    assert(capped(0).getAs[Long]("n_sources") == 2L) // count stays exact under the cap
+  }
+}
