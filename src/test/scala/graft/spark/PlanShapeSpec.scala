@@ -429,6 +429,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(done == 4, s"all 4 partitions must be marked done, got $done")
   }
 
+  test("code-structure scans are zero-shuffle single-scan; provenance plans two hash aggs, no Expand") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the per-row signal family: one parquet scan, no Exchange, no
+    // interpreted fallback — these must fuse into a 100 TB curation pass
+    for ((name, df) <- Seq(
+      "importScan" -> CodeAnalysis.importScan(
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"),
+      "indentStats" -> CodeAnalysis.indentStats(docs, "doc_id", "text"),
+      "pathStats" -> CodeAnalysis.pathStats(
+        docs.select(col("doc_id"), col("source").as("path")), "doc_id", "path"))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      assert(!p.contains("MapPartitions"), s"$name left codegen:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$name scans more than once:\n$p")
+    }
+    // crossSourceGroups: content hashed in the initial projection (only
+    // (md5, source) shuffles — the text column must not survive past the
+    // first aggregate), two groupBys -> >= 4 partial+final HashAggregates,
+    // and NO Expand (the single-agg countDistinct formulation would
+    // replicate the input)
+    val p = plan(Dedup.crossSourceGroups(
+      docs.select(col("text").as("content"), col("source")), "content", "source"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.size == 2, p)
+    assert(exchanges.forall(!_.contains("content#")),
+      s"raw content shuffles instead of its md5:\n$p")
+  }
+
+  test("topImports drops the content column before the explode and rides the salted top-k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(CodeAnalysis.topImports(docs, "lang", "text", k = 3))
+    // the text column may appear INSIDE the generator expression (the
+    // extraction is fused into the Generate and consumed there) but must
+    // not be in the Generate's required child output — the columns
+    // carried alongside each exploded row; a Generate still CARRYING
+    // text replicates each doc's content once per imported module
+    val gen = "Generate explode.*, (\\[[^\\]]*\\]), (?:false|true), \\[".r
+      .findFirstMatchIn(p.linesIterator.find(_.contains("Generate explode"))
+        .getOrElse(fail(s"no Generate in plan:\n$p")))
+    assert(gen.isDefined, p)
+    assert(!gen.get.group(1).contains("text#"),
+      s"explode carries document text per module:\n$p")
+    assert(p.contains("Window"), p) // Ranking's salted two-stage top-k
+  }
+
   test("container-column validation queries stay on the codegen fast path") {
     // the SparkEntry container queries (array items / map object
     // keywords) must compile to higher-order Catalyst expressions —
