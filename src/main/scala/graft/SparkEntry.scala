@@ -42,6 +42,29 @@ object SparkEntry {
               lit(".h\"\n"))),
         coalesce(col("text"), lit(""))).as("content"))
 
+  /** Code-shaped derivation for the complexity signals: per-language
+    * function/branch blocks planted ahead of the prose (space →
+    * newline, so prose branch words like "if"/"for" contribute
+    * realistic noise counts), an extra definition block on the doc_id
+    * % 3 == 0 bucket so per-doc counts vary. Replayed identically in
+    * the oracle.
+    */
+  private def codeComplexityDerivation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("py"), lit("go"), lit("js"), lit("c")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+      concat(
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("def f():\n    if x:\n        y()\n"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit("func g() {\n\tfor i := 0; i < n; i++ {\n\t}\n}\n"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit("function h() { while (x) { } }\nconst k = () => 1\n"))
+          .otherwise(lit("fn q()\nswitch (v) { case 1: break }\n")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("def extra():\n    pass\n")).otherwise(lit("")),
+        regexp_replace(coalesce(col("text"), lit("")), " ", "\n")).as("content"))
+
   /** Recursive delete of a session-scoped temp dir at JVM exit — the
     * per-applicationId jsonl staging copies must not accumulate one
     * table-sized directory per session under /tmp.
@@ -978,6 +1001,42 @@ object SparkEntry {
             .otherwise(regexp_replace(coalesce(col("text"), lit("")), " ", "\n"))
             .as("content")),
         "doc_id", "content")),
+
+    // structural-complexity proxy: per-language function/branch blocks
+    // planted ahead of the prose (which itself contributes word-bounded
+    // branch-keyword noise — identical on both engines), per-language
+    // n_func dispatch plus the generic fallback exercised via the 'c'
+    // bucket
+    "t_complexity" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.complexityStats(
+        codeComplexityDerivation(table(s, dir, "documents")),
+        "doc_id", "code_lang", "content")),
+
+    // corpus shape profile: one row per (lang, path_class) — doc count,
+    // total chars, mean line count — over the lang × path × code-shaped
+    // content derivation; the mixture-weights table a curation run
+    // reads before sampling
+    "c_code_profile" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.codeProfile(
+        table(s, dir, "documents").select(
+          element_at(array(lit("py"), lit("go"), lit("js"), lit("c")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          concat(
+            when(pmod(col("doc_id"), lit(8)) === 0, lit("vendor/lib/"))
+              .when(pmod(col("doc_id"), lit(8)) === 1, lit("test/unit/"))
+              .when(pmod(col("doc_id"), lit(8)) === 2, lit("docs/"))
+              .when(pmod(col("doc_id"), lit(8)) === 3, lit("build/gen/"))
+              .when(pmod(col("doc_id"), lit(8)) === 4, lit("node_modules/pkg/"))
+              .when(pmod(col("doc_id"), lit(8)) === 5, lit("src/main/"))
+              .when(pmod(col("doc_id"), lit(8)) === 6, lit("third_party/zlib/"))
+              .otherwise(lit("lib/core/")),
+            when(pmod(col("doc_id"), lit(9)) === 0, lit("foo_test.go"))
+              .when(pmod(col("doc_id"), lit(10)) === 0, lit("README.md"))
+              .when(pmod(col("doc_id"), lit(12)) === 0, lit("api.pb.go"))
+              .otherwise(concat(lit("file"), pmod(col("doc_id"), lit(10)).cast("string"),
+                lit(".py")))).as("path"),
+          regexp_replace(coalesce(col("text"), lit("")), " ", "\n").as("content")),
+        "code_lang", "path", "content")),
 
     // path taxonomy: synthetic directory trees (vendor/test/docs/
     // build/node_modules/src/third_party) × filename conventions
@@ -2500,6 +2559,82 @@ object SparkEntry {
         |       WHEN n_space_lines > n_tab_lines THEN 'spaces'
         |       ELSE 'mixed' END AS indent_style
         |FROM d""".stripMargin,
+
+    // mirrors CodeAnalysis.complexityStats over the same planted
+    // function/branch blocks — the SAME word-bounded branch regex and
+    // per-language definition rules replayed verbatim (the prose noise
+    // counts identically on both engines)
+    "t_complexity" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'py' WHEN 1 THEN 'go'
+        |      WHEN 2 THEN 'js' ELSE 'c' END AS code_lang,
+        |    (CASE CAST(doc_id % 4 AS INT)
+        |       WHEN 0 THEN 'def f():' || chr(10) || '    if x:' || chr(10) || '        y()' || chr(10)
+        |       WHEN 1 THEN 'func g() {' || chr(10) || chr(9) || 'for i := 0; i < n; i++ {'
+        |         || chr(10) || chr(9) || '}' || chr(10) || '}' || chr(10)
+        |       WHEN 2 THEN 'function h() { while (x) { } }' || chr(10) || 'const k = () => 1' || chr(10)
+        |       ELSE 'fn q()' || chr(10) || 'switch (v) { case 1: break }' || chr(10) END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'def extra():' || chr(10) || '    pass' || chr(10)
+        |         ELSE '' END)
+        |    || replace(coalesce(text, ''), ' ', chr(10)) AS content
+        |  FROM documents),
+        |c AS (SELECT doc_id, code_lang,
+        |        CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+        |        CAST(len(regexp_extract_all(content,
+        |          '\b(if|elif|else|for|while|switch|case|catch|except|match|when)\b')) AS BIGINT) AS n_branch,
+        |        CAST(CASE code_lang
+        |          WHEN 'py' THEN len(regexp_extract_all(content, '(?m)^[ \t]*def[ \t]+[A-Za-z_]'))
+        |          WHEN 'go' THEN len(regexp_extract_all(content, '(?m)^func[ \t(]'))
+        |          WHEN 'js' THEN len(regexp_extract_all(content, '\bfunction\b'))
+        |            + len(regexp_extract_all(content, '=>'))
+        |          ELSE len(regexp_extract_all(content, '(?m)^[ \t]*(def|func|fn|function)\b'))
+        |          END AS BIGINT) AS n_func
+        |      FROM src)
+        |SELECT doc_id, code_lang, n_lines, n_branch, n_func,
+        |  round(CAST(n_branch AS DOUBLE) / n_lines, 6) AS branch_per_line
+        |FROM c""".stripMargin,
+
+    // mirrors CodeAnalysis.codeProfile over the same lang × path ×
+    // code-shaped content derivation — same taxonomy precedence, same
+    // exact-integer sum/count mean
+    "c_code_profile" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'py' WHEN 1 THEN 'go'
+        |      WHEN 2 THEN 'js' ELSE 'c' END AS code_lang,
+        |    (CASE CAST(doc_id % 8 AS INT)
+        |       WHEN 0 THEN 'vendor/lib/'
+        |       WHEN 1 THEN 'test/unit/'
+        |       WHEN 2 THEN 'docs/'
+        |       WHEN 3 THEN 'build/gen/'
+        |       WHEN 4 THEN 'node_modules/pkg/'
+        |       WHEN 5 THEN 'src/main/'
+        |       WHEN 6 THEN 'third_party/zlib/'
+        |       ELSE 'lib/core/' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN 'foo_test.go'
+        |             WHEN doc_id % 10 = 0 THEN 'README.md'
+        |             WHEN doc_id % 12 = 0 THEN 'api.pb.go'
+        |             ELSE 'file' || CAST(doc_id % 10 AS VARCHAR) || '.py' END) AS path,
+        |    replace(coalesce(text, ''), ' ', chr(10)) AS content
+        |  FROM documents),
+        |c AS (SELECT code_lang,
+        |  CASE
+        |    WHEN regexp_matches(path, '(^|/)(vendor|third_party|node_modules|external|extern)/') THEN 'vendor'
+        |    WHEN regexp_matches(path, '(^|/)(gen|generated|build|dist|target|out)/')
+        |      OR regexp_matches(path, '(\.pb\.(go|cc|h)|_pb2\.py|\.min\.(js|css))$') THEN 'generated'
+        |    WHEN regexp_matches(path, '(^|/)(test|tests|spec|testdata)/')
+        |      OR regexp_matches(path, '(_test\.(go|py|rb)|Test\.(java|scala|kt)|\.test\.(js|ts)|_spec\.rb)$') THEN 'test'
+        |    WHEN regexp_matches(path, '(^|/)(doc|docs|example|examples)/')
+        |      OR regexp_matches(path, '\.(md|rst|txt)$') THEN 'docs'
+        |    ELSE 'source' END AS path_class,
+        |  CAST(length(content) AS BIGINT) AS clen,
+        |  CAST(len(string_split(content, chr(10))) AS BIGINT) AS nl
+        |  FROM src)
+        |SELECT code_lang, path_class, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(clen) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_lines
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // mirrors CodeAnalysis.pathStats over the same synthetic paths and
     // the same fixed precedence

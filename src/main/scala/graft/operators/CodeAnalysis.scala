@@ -61,14 +61,23 @@ object CodeAnalysis {
     */
   def importsColumn(text: Column, lang: Column): Column = {
     val t = coalesce(text, lit(""))
-    def extract(rules: Seq[String]): Column =
+    dispatchByLang(lang, importRules, genericImportRule) { rules =>
       array_sort(array_distinct(flatten(array(
         rules.map(re => regexp_extract_all(t, lit(re), lit(1))): _*))))
-    importRules.toSeq.sortBy(_._1).foldLeft(null: Column) { case (acc, (l, rules)) =>
-      if (acc == null) when(lang === l, extract(rules))
-      else acc.when(lang === l, extract(rules))
-    }.otherwise(extract(genericImportRule))
+    }
   }
+
+  /** One `when` chain dispatching a per-language rule set — the shared
+    * shape that keeps N languages ONE scan for every rule-dispatched
+    * signal (a per-language filter+union plan would scan the corpus
+    * once per language). Languages are folded in sorted order so the
+    * chain — and therefore the plan — is deterministic.
+    */
+  private def dispatchByLang(lang: Column, rules: Map[String, Seq[String]],
+                             generic: Seq[String])(f: Seq[String] => Column): Column =
+    rules.toSeq.sortBy(_._1).foldLeft(null: Column) { case (acc, (l, rs)) =>
+      if (acc == null) when(lang === l, f(rs)) else acc.when(lang === l, f(rs))
+    }.otherwise(f(generic))
 
   /** Per-document dependency extraction: (id, lang, imports —
     * comma-joined sorted distinct modules, '' when none — n_imports).
@@ -155,6 +164,95 @@ object CodeAnalysis {
         }
       }.as("s"))
       .select(colExact(idCol), col("s.*"))
+  }
+
+  /** Function-definition detection rules per language — each regex
+    * counts one definition site. Heuristic like [[importRules]] (an
+    * exact count needs a parser per language), symmetric across
+    * engines. The generic fallback catches the conventional `def` /
+    * `func` / `fn` / `function` line openers.
+    */
+  val funcRules: Map[String, Seq[String]] = Map(
+    "py" -> Seq("(?m)^[ \\t]*def[ \\t]+[A-Za-z_]"),
+    "go" -> Seq("(?m)^func[ \\t(]"),
+    "js" -> Seq("\\bfunction\\b", "=>"),
+    "rs" -> Seq("(?m)^[ \\t]*(pub[ \\t]+)?fn[ \\t]+[A-Za-z_]"),
+    "scala" -> Seq("(?m)^[ \\t]*(override[ \\t]+)?(private[ \\t]+)?def[ \\t]+"),
+    "java" -> Seq("(?m)^[ \\t]+(public|private|protected|static)[ \\t][^=;\\n]*\\([^;\\n]*\\)[ \\t]*\\{"))
+
+  val genericFuncRule: Seq[String] =
+    Seq("(?m)^[ \\t]*(def|func|fn|function)\\b")
+
+  /** Branch-point keywords — the cyclomatic-complexity proxy shared
+    * across languages (word-bounded so identifiers like `iffy` do not
+    * match). One regex, not per-language: the keyword set is the
+    * C-family/script intersection plus `elif`/`except`/`match`, and
+    * symmetric misses (prose containing "if") cost nothing because the
+    * signal is comparative across documents of the same corpus.
+    */
+  val branchKeywordRe: String =
+    "\\b(if|elif|else|for|while|switch|case|catch|except|match|when)\\b"
+
+  /** Structural-complexity proxy per document: (id, lang, n_lines,
+    * n_branch — branch-keyword count — n_func — definition-site count
+    * via the per-language rules — branch_per_line, rounded to 6
+    * decimals for bit-exact cross-engine replay). Pure per-row regex
+    * work in one `when`-dispatched scan, zero shuffle; `n_lines` ≥ 1
+    * always (split keeps trailing empties), so the density divides
+    * safely. NULL ≡ empty text as across the text family.
+    */
+  def complexityStats(df: DataFrame, idCol: String, langCol: String,
+                      textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    def count(rules: Seq[String]): Column =
+      rules.map(re => regexp_count(t, lit(re)).cast("long")).reduce(_ + _)
+    df.select(
+      colExact(idCol),
+      colExact(langCol),
+      Dedup.let(size(split(t, "\n", -1)).cast("long")) { nLines =>
+        Dedup.let(regexp_count(t, lit(branchKeywordRe)).cast("long")) { nBranch =>
+          struct(
+            nLines.as("n_lines"),
+            nBranch.as("n_branch"),
+            dispatchByLang(colExact(langCol), funcRules, genericFuncRule)(count)
+              .as("n_func"),
+            round(nBranch.cast("double") / nLines.cast("double"), 6)
+              .as("branch_per_line"))
+        }
+      }.as("c"))
+      .select(colExact(idCol), colExact(langCol), col("c.*"))
+  }
+
+  /** Corpus shape profile: one row per (lang, path_class) with doc
+    * count, total content bytes (well, UTF-16 code units — `length` —
+    * the same on both engines for the BMP-only fixtures; at production
+    * scale swap in octet_length) and mean line count.
+    *
+    * 100 TB shape: ONE scan projecting three narrow per-row values
+    * (class, length, line count) — content is never shuffled — then a
+    * partial-aggregating groupBy whose output is bounded by
+    * |langs| × 5 classes. This is the table a curation run reads
+    * before deciding mixture weights, so it must cost one pass.
+    */
+  def codeProfile(df: DataFrame, langCol: String, pathCol: String,
+                  textCol: String): DataFrame = {
+    require(!Set("path_class", "n_docs", "total_chars", "avg_lines").contains(langCol),
+      s"langCol = $langCol collides with a codeProfile output column")
+    val t = coalesce(colExact(textCol), lit(""))
+    df.select(
+      colExact(langCol),
+      pathClass(colExact(pathCol)).as("path_class"),
+      length(t).cast("long").as("__len"),
+      size(split(t, "\n", -1)).cast("long").as("__nl"))
+      .groupBy(colExact(langCol), col("path_class"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__len")).cast("long").as("total_chars"),
+        // exact-integer sum/count, divided once — not the engine-native
+        // incremental AVG, whose accumulation order is not replayable
+        // bit-for-bit across engines
+        round(sum(col("__nl")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_lines"))
   }
 
   /** Path taxonomy for training-data curation: which tree a file lives

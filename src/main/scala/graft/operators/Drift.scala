@@ -85,6 +85,11 @@ object Drift {
   /** Population Stability Index Σ(p−q)·ln(p/q) and Kolmogorov–Smirnov
     * max|CDF_p−CDF_q| over the joined histogram. `eps` regularizes
     * empty buckets. Single row out.
+    *
+    * The unpartitioned windows here (the CDF needs one total order)
+    * run over a frame the histogram aggregation already reduced to
+    * ≤ `buckets` rows — the single-partition WindowExec warning is
+    * expected and harmless at any corpus scale.
     */
   def psiKs(hist: DataFrame, eps: Double = 1e-6): DataFrame = {
     val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -590,10 +590,13 @@ object TextAnalysis {
     val counts = rules.map { case (label, re) =>
       regexp_count(t, lit(re)).cast("long").as(s"n_$label")
     }
-    val total = rules.map { case (_, re) => regexp_count(t, lit(re)).cast("long") }
-      .reduce(_ + _)
-    df.select(colExact(idCol) +: counts :+ total.as("n_secret_hits")
-      :+ (total > 0L).as("has_secret"): _*)
+    // Each rule's regexp_count is evaluated once: the total sums the
+    // already-projected count columns instead of repeating the regex
+    // expressions (which would lean on codegen CSE to stay single-pass).
+    val total = rules.map { case (label, _) => col(s"n_$label") }.reduce(_ + _)
+    df.select(colExact(idCol) +: counts: _*)
+      .withColumn("n_secret_hits", total)
+      .withColumn("has_secret", col("n_secret_hits") > 0L)
   }
 
   /** Generated / minified source detection — the exclusion heuristic a

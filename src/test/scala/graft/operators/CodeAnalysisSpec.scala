@@ -113,6 +113,54 @@ class CodeAnalysisSpec extends AnyFunSuite {
     assert(r(9L) == (("source", true)))
   }
 
+  // ---- complexityStats ---------------------------------------------------
+
+  test("complexityStats counts branch keywords and per-language definition sites") {
+    val rows = Seq(
+      (1L, "py", "def f():\n    if x:\n        y()\ndef g(): pass"),
+      (2L, "go", "func main() {\n\tfor i := 0; i < 3; i++ {\n\t\tif i > 1 {\n\t\t}\n\t}\n}"),
+      (3L, "js", "function a() {}\nconst b = (x) => x\nwhile (t) {}"),
+      (4L, "c", "fn q()\nswitch (v) { case 1: break }"), // generic fallback counts fn
+      (5L, "py", null: String),
+      (6L, "py", "iffy formation casework")) // word boundary: none match
+      .toDF("id", "lang", "content")
+    val r = CodeAnalysis.complexityStats(rows, "id", "lang", "content")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r(1L) == ((4L, 1L, 2L, 0.25)))   // 4 lines, if, two defs
+    assert(r(2L) == ((6L, 2L, 1L, round6(2.0 / 6))))
+    assert(r(3L) == ((3L, 1L, 2L, round6(1.0 / 3)))) // function + arrow
+    assert(r(4L) == ((2L, 2L, 1L, 1.0)))    // switch+case branches, fn via fallback
+    assert(r(5L) == ((1L, 0L, 0L, 0.0)))    // NULL ≡ empty: one (empty) line
+    assert(r(6L) == ((1L, 0L, 0L, 0.0)))    // iffy/formation/casework don't match
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- codeProfile -------------------------------------------------------
+
+  test("codeProfile rolls up per (lang, path_class) with exact sums and replayable means") {
+    val rows = Seq(
+      ("py", "src/a.py", "x = 1\ny = 2"),      // source, 2 lines, 10 chars
+      ("py", "lib/b.py", "z"),                 // source, 1 line, 1 char
+      ("py", "test/t.py", "assert x"),         // test
+      ("go", "vendor/v.go", null: String))     // vendor, NULL ≡ empty: 1 line, 0 chars
+      .toDF("lang", "path", "content")
+    val r = CodeAnalysis.codeProfile(rows, "lang", "path", "content")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(("py", "source")) == ((2L, 12L, 1.5)))
+    assert(r(("py", "test")) == ((1L, 8L, 1.0)))
+    assert(r(("go", "vendor")) == ((1L, 0L, 1.0)))
+    assert(r.size == 3)
+    // reserved output names refuse loudly
+    intercept[IllegalArgumentException] {
+      CodeAnalysis.codeProfile(rows.withColumnRenamed("lang", "n_docs"),
+        "n_docs", "path", "content")
+    }
+  }
+
   // ---- crossSourceGroups -----------------------------------------------
 
   test("crossSourceGroups finds content spanning sources with exact counts and sorted capped lists") {

@@ -438,7 +438,9 @@ class PlanShapeSpec extends AnyFunSuite {
         docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"),
       "indentStats" -> CodeAnalysis.indentStats(docs, "doc_id", "text"),
       "pathStats" -> CodeAnalysis.pathStats(
-        docs.select(col("doc_id"), col("source").as("path")), "doc_id", "path"))) {
+        docs.select(col("doc_id"), col("source").as("path")), "doc_id", "path"),
+      "complexityStats" -> CodeAnalysis.complexityStats(
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
       assert(!p.contains("MapPartitions"), s"$name left codegen:\n$p")
@@ -459,6 +461,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 2, p)
     assert(exchanges.forall(!_.contains("content#")),
       s"raw content shuffles instead of its md5:\n$p")
+  }
+
+  test("codeProfile shuffles only the narrow (lang, class) grouping — content never leaves the scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(CodeAnalysis.codeProfile(
+      docs.select(col("lang"), col("source").as("path"), col("text")),
+      "lang", "path", "text"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // partial + final hash aggregate around exactly one narrow exchange
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.size == 1, p)
+    assert(!exchanges.head.contains("text#"),
+      s"document content shuffles instead of its per-row stats:\n$p")
   }
 
   test("topImports drops the content column before the explode and rides the salted top-k") {
