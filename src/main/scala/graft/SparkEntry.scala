@@ -1076,6 +1076,94 @@ object SparkEntry {
           col("source")),
         "content", "source")),
 
+    // encoding/byte-anomaly scan: CRLF conversion on doc_id % 6 == 0,
+    // one appended CRLF line (→ mixed) on % 6 == 1, a U+FFFD
+    // replacement char on % 13, a BEL control char on % 17, a BOM
+    // prefix on % 19, a lone CR on % 23 — identically constructed in
+    // the oracle via chr() literals, so every branch of the
+    // line-ending / clean verdict is exercised on a mixed corpus
+    "t_encoding" -> ((s, dir) =>
+      graft.operators.TextAnalysis.encodingScan(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(19)) === 0, lit("\uFEFF")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              replace(regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+                lit("\n"), lit("\r\n")))
+              .otherwise(regexp_replace(coalesce(col("text"), lit("")), " ", "\n")),
+            when(pmod(col("doc_id"), lit(6)) === 1, lit("\r\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0, lit("\uFFFD")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(17)) === 0, lit("\u0007")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(23)) === 0, lit("\r")).otherwise(lit("")))
+            .as("content")),
+        "doc_id", "content")),
+
+    // delimiter-count balance: an unbalanced open run on doc_id % 5
+    // == 0, a balanced mix on % 5 == 1, an unbalanced close on % 5 ==
+    // 2, over the code-shaped text (whose prose parens are identical
+    // noise on both engines) — exercises positive, zero, and negative
+    // deltas and the counts_balanced verdict
+    "t_brackets" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.delimiterStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("\nf(g(x)\n"))
+              .when(pmod(col("doc_id"), lit(5)) === 1, lit("\n{a: [1, (2)]}\n"))
+              .when(pmod(col("doc_id"), lit(5)) === 2, lit("\n]}\n"))
+              .otherwise(lit(""))).as("content")),
+        "doc_id", "content")),
+
+    // language-claim validation: claimed lang drawn by doc_id % 4,
+    // content carries the marker snippet of the SAME lang — except
+    // every 10th doc carries the NEXT lang's snippet, so the claim is
+    // provably wrong there; prose noise is identical on both engines.
+    // The emitted rows are the violations (predicted ≠ claimed with
+    // ≥ 2 votes strictly out-scoring the claim)
+    "v_lang_claim" -> ((s, dir) => {
+      val snips = array(
+        lit("#include <stdio.h> void f() printf(x) p->q"),
+        lit("package m func f() x := fmt.Sprintf"),
+        lit("const f = (x) => console.log(x) function g()"),
+        lit("def f(x): import os self.v elif x"))
+      graft.operators.CodeAnalysis.langClaimCheck(
+        table(s, dir, "documents").select(col("doc_id"),
+          element_at(array(lit("c"), lit("go"), lit("js"), lit("py")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          concat(
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              element_at(snips, (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")))
+              .otherwise(element_at(snips, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))),
+            lit(" "),
+            coalesce(col("text"), lit(""))).as("content")),
+        "doc_id", "code_lang", "content")
+    }),
+
+    // corpus hygiene profile: license header on doc_id % 3, generated
+    // marker on % 9, a synthetic AKIA credential on % 13, a U+FFFD on
+    // % 19, per-lang (doc_id % 4) over the code-shaped text — all four
+    // compliance fractions from ONE fused scan, replayed per-flag in
+    // the oracle's aggregation
+    "c_hygiene" -> ((s, dir) => {
+      def seedHex(seed: String) = md5(concat(lit(seed), col("doc_id").cast("string")))
+      graft.operators.CodeAnalysis.hygieneProfile(
+        table(s, dir, "documents").select(
+          element_at(array(lit("py"), lit("go"), lit("js"), lit("c")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          concat(
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("// SPDX-License-Identifier: MIT\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit("// Code generated by gen. DO NOT EDIT.\n")).otherwise(lit("")),
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(lit("\nAKIA"), upper(substring(seedHex("a"), 1, 16))))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(19)) === 0, lit("\uFFFD")).otherwise(lit("")))
+            .as("content")),
+        "code_lang", "content")
+    }),
+
     // PII redaction: deterministic synthetic PII (email/ip/phone derived
     // from doc_id) appended to each document, scrubbed by the RE2-safe
     // rule set, per-rule match counts from the original text
@@ -2667,6 +2755,181 @@ object SparkEntry {
         |    ELSE 'source' END AS path_class
         |  FROM src)
         |SELECT doc_id, path_class, path_class = 'source' AS is_trainable FROM c""".stripMargin,
+
+    // mirrors TextAnalysis.encodingScan over the same planted
+    // anomalies — all counts are replace-length deltas (exact on both
+    // engines: length counts code points), the control class is the
+    // same RE2-safe hex class, and the anomaly characters are built
+    // with chr() so the SQL stays ASCII
+    "t_encoding" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 19 = 0 THEN chr(65279) ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0
+        |          THEN replace(replace(coalesce(text, ''), ' ', chr(10)), chr(10), chr(13) || chr(10))
+        |          ELSE replace(coalesce(text, ''), ' ', chr(10)) END)
+        |    || (CASE WHEN doc_id % 6 = 1 THEN chr(13) || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END)
+        |    || (CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END)
+        |    || (CASE WHEN doc_id % 23 = 0 THEN chr(13) ELSE '' END) AS content
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(content) - length(replace(content, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |    CAST(len(regexp_extract_all(content, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_control,
+        |    CAST((length(content) - length(replace(content, chr(13) || chr(10), ''))) // 2 AS BIGINT) AS n_crlf,
+        |    CAST(length(content) - length(replace(content, chr(10), '')) AS BIGINT) AS n_lf,
+        |    CAST(length(content) - length(replace(content, chr(13), '')) AS BIGINT) AS n_cr,
+        |    substr(content, 1, 1) = chr(65279) AS has_bom
+        |  FROM src)
+        |SELECT doc_id, n_replacement, n_control, n_crlf,
+        |  n_lf - n_crlf AS n_lone_lf,
+        |  n_cr - n_crlf AS n_lone_cr,
+        |  CASE WHEN n_crlf = 0 AND n_lf - n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'none'
+        |       WHEN n_lf - n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'crlf'
+        |       WHEN n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'lf'
+        |       ELSE 'mixed' END AS line_ending,
+        |  has_bom,
+        |  (n_replacement = 0 AND n_control = 0 AND NOT has_bom AND n_cr - n_crlf = 0) AS is_clean
+        |FROM m""".stripMargin,
+
+    // mirrors CodeAnalysis.delimiterStats over the same planted
+    // delimiter runs — six replace-length counts and pure arithmetic
+    "t_brackets" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(coalesce(text, ''), ' ', chr(10))
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'f(g(x)' || chr(10)
+        |             WHEN doc_id % 5 = 1 THEN chr(10) || '{a: [1, (2)]}' || chr(10)
+        |             WHEN doc_id % 5 = 2 THEN chr(10) || ']}' || chr(10)
+        |             ELSE '' END) AS content
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(content) - length(replace(content, '(', '')) AS BIGINT) AS n_lparen,
+        |    CAST(length(content) - length(replace(content, ')', '')) AS BIGINT) AS n_rparen,
+        |    CAST(length(content) - length(replace(content, '{', '')) AS BIGINT) AS n_lbrace,
+        |    CAST(length(content) - length(replace(content, '}', '')) AS BIGINT) AS n_rbrace,
+        |    CAST(length(content) - length(replace(content, '[', '')) AS BIGINT) AS n_lbracket,
+        |    CAST(length(content) - length(replace(content, ']', '')) AS BIGINT) AS n_rbracket
+        |  FROM src)
+        |SELECT doc_id, n_lparen, n_rparen, n_lbrace, n_rbrace, n_lbracket, n_rbracket,
+        |  n_lparen - n_rparen AS paren_delta,
+        |  n_lbrace - n_rbrace AS brace_delta,
+        |  n_lbracket - n_rbracket AS bracket_delta,
+        |  (n_lparen = n_rparen AND n_lbrace = n_rbrace AND n_lbracket = n_rbracket) AS counts_balanced
+        |FROM m""".stripMargin,
+
+    // mirrors CodeAnalysis.langClaimCheck over the same snippet
+    // planting: per-lang marker votes via contains, the same
+    // first-in-order argmax chain, the same violation filter
+    "v_lang_claim" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'c' WHEN doc_id % 4 = 1 THEN 'go'
+        |          WHEN doc_id % 4 = 2 THEN 'js' ELSE 'py' END) AS code_lang,
+        |    (CASE WHEN doc_id % 10 = 0 THEN
+        |       (CASE WHEN (doc_id + 1) % 4 = 0 THEN '#include <stdio.h> void f() printf(x) p->q'
+        |             WHEN (doc_id + 1) % 4 = 1 THEN 'package m func f() x := fmt.Sprintf'
+        |             WHEN (doc_id + 1) % 4 = 2 THEN 'const f = (x) => console.log(x) function g()'
+        |             ELSE 'def f(x): import os self.v elif x' END)
+        |     ELSE
+        |       (CASE WHEN doc_id % 4 = 0 THEN '#include <stdio.h> void f() printf(x) p->q'
+        |             WHEN doc_id % 4 = 1 THEN 'package m func f() x := fmt.Sprintf'
+        |             WHEN doc_id % 4 = 2 THEN 'const f = (x) => console.log(x) function g()'
+        |             ELSE 'def f(x): import os self.v elif x' END)
+        |     END) || ' ' || coalesce(text, '') AS content
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, code_lang,
+        |    CAST(CASE WHEN contains(content, '#include') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'printf(') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'void ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, '->') THEN 1 ELSE 0 END AS BIGINT) AS s_c,
+        |    CAST(CASE WHEN contains(content, 'func ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'package ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, ':=') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'fmt.') THEN 1 ELSE 0 END AS BIGINT) AS s_go,
+        |    CAST(CASE WHEN contains(content, 'function ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'const ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, '=>') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'console.') THEN 1 ELSE 0 END AS BIGINT) AS s_js,
+        |    CAST(CASE WHEN contains(content, 'def ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'import ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'self.') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'elif ') THEN 1 ELSE 0 END AS BIGINT) AS s_py
+        |  FROM src),
+        |p AS (
+        |  SELECT doc_id, code_lang,
+        |    CASE WHEN s_c >= s_go AND s_c >= s_js AND s_c >= s_py THEN 'c'
+        |         WHEN s_go >= s_js AND s_go >= s_py THEN 'go'
+        |         WHEN s_js >= s_py THEN 'js'
+        |         ELSE 'py' END AS predicted_lang,
+        |    CAST(CASE code_lang WHEN 'c' THEN s_c WHEN 'go' THEN s_go
+        |         WHEN 'js' THEN s_js WHEN 'py' THEN s_py ELSE 0 END AS BIGINT) AS claimed_score,
+        |    greatest(s_c, s_go, s_js, s_py) AS predicted_score
+        |  FROM s)
+        |SELECT doc_id, code_lang, predicted_lang, claimed_score, predicted_score
+        |FROM p
+        |WHERE predicted_lang <> code_lang AND predicted_score >= 2
+        |  AND predicted_score > claimed_score""".stripMargin,
+
+    // mirrors CodeAnalysis.hygieneProfile: each flag replays its
+    // operator's decision rule (license family ≠ none ⇔ SPDX tag
+    // present or any marker phrase; the 5 secret rules; generated
+    // marker-or-minified; the encoding clean conjunction), aggregated
+    // per lang with exact sum/count division
+    "c_hygiene" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'py' WHEN doc_id % 4 = 1 THEN 'go'
+        |          WHEN doc_id % 4 = 2 THEN 'js' ELSE 'c' END) AS code_lang,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '// Code generated by gen. DO NOT EDIT.' || chr(10) ELSE '' END)
+        |    || replace(coalesce(text, ''), ' ', chr(10))
+        |    || (CASE WHEN doc_id % 13 = 0
+        |          THEN chr(10) || 'AKIA' || upper(substr(md5('a' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |          ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN chr(65533) ELSE '' END) AS content
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, code_lang, content, substr(content, 1, 2048) AS head,
+        |    string_split(content, chr(10)) AS ls
+        |  FROM src),
+        |v AS (
+        |  SELECT code_lang,
+        |    CASE WHEN regexp_extract(head, 'SPDX-License-Identifier:[ \t\n\x0b\f\r]*([A-Za-z0-9.+-]+)', 1) <> ''
+        |      OR contains(head, 'Apache License') OR contains(head, 'MIT License')
+        |      OR contains(head, 'Permission is hereby granted, free of charge')
+        |      OR contains(head, 'GNU General Public License')
+        |      OR contains(head, 'GNU Lesser General Public License')
+        |      OR contains(head, 'GNU Affero General Public License')
+        |      OR regexp_matches(head, 'BSD [23]-Clause|Redistribution and use in source and binary forms')
+        |      OR contains(head, 'Mozilla Public License') THEN 1 ELSE 0 END AS lic,
+        |    CASE WHEN regexp_matches(content, 'AKIA[0-9A-Z]{16}')
+        |      OR regexp_matches(content, 'gh[pousr]_[A-Za-z0-9]{36}')
+        |      OR regexp_matches(content, 'xox[baprs]-[0-9A-Za-z-]{10,48}')
+        |      OR regexp_matches(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----')
+        |      OR regexp_matches(content, '(?i)(api_key|apikey|api_secret|secret_key|auth_token|passwd|password)[ \t]*[:=][ \t]*["''][^"''\n]{8,}["'']') THEN 1 ELSE 0 END AS sec,
+        |    CASE WHEN contains(head, 'DO NOT EDIT') OR contains(head, '@generated')
+        |      OR contains(head, 'Code generated by') OR contains(head, 'Autogenerated')
+        |      OR contains(head, 'auto-generated')
+        |      OR list_max(list_transform(ls, x -> length(x))) > 1000
+        |      OR CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE) / len(ls) > 300
+        |      THEN 1 ELSE 0 END AS gen,
+        |    CASE WHEN length(content) - length(replace(content, chr(65533), '')) = 0
+        |      AND len(regexp_extract_all(content, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) = 0
+        |      AND substr(content, 1, 1) <> chr(65279)
+        |      AND length(content) - length(replace(content, chr(13), ''))
+        |        = (length(content) - length(replace(content, chr(13) || chr(10), ''))) // 2
+        |      THEN 1 ELSE 0 END AS cln
+        |  FROM f)
+        |SELECT code_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(lic) AS DOUBLE) / count(*), 6) AS frac_licensed,
+        |  round(CAST(sum(sec) AS DOUBLE) / count(*), 6) AS frac_secret,
+        |  round(CAST(sum(gen) AS DOUBLE) / count(*), 6) AS frac_generated,
+        |  round(CAST(sum(cln) AS DOUBLE) / count(*), 6) AS frac_clean
+        |FROM v GROUP BY code_lang""".stripMargin,
 
     // mirrors Dedup.crossSourceGroups over the same planted boilerplate
     // (md5 group key replayed verbatim)

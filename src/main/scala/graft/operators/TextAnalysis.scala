@@ -534,9 +534,28 @@ object TextAnalysis {
                   headChars: Int = 2048): DataFrame = {
     require(headChars >= 1, s"headChars = $headChars must be >= 1")
     val head = substring(coalesce(colExact(textCol), lit("")), 1, headChars)
-    val spdx = regexp_extract(head, "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
-    val family =
-      when(lower(spdx).startsWith("mit"), "mit")
+    val spdx = spdxColumn(head)
+    val family = licenseFamilyColumn(head)
+    df.select(colExact(idCol), spdx.as("spdx_id"), family.as("license_family"),
+      (family =!= "none").as("has_license"))
+  }
+
+  /** The machine-readable `SPDX-License-Identifier:` tag from a
+    * document head ('' when absent — the cross-engine no-match
+    * convention shared with DuckDB's regexp_extract).
+    */
+  def spdxColumn(head: Column): Column =
+    regexp_extract(head, "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+
+  /** License-family verdict over a document head — the [[licenseScan]]
+    * decision chain as a composable Column so corpus-level rollups
+    * ([[CodeAnalysis.hygieneProfile]]) fuse it into one scan with the
+    * other compliance signals. SPDX tag first, marker phrases second,
+    * first match wins in a fixed order.
+    */
+  def licenseFamilyColumn(head: Column): Column = {
+    val spdx = spdxColumn(head)
+    when(lower(spdx).startsWith("mit"), "mit")
         .when(lower(spdx).startsWith("apache"), "apache")
         .when(lower(spdx).startsWith("gpl") || lower(spdx).startsWith("agpl") ||
           lower(spdx).startsWith("lgpl"), "gpl")
@@ -552,8 +571,6 @@ object TextAnalysis {
         .when(head.rlike("BSD [23]-Clause|Redistribution and use in source and binary forms"), "bsd")
         .when(head.contains("Mozilla Public License"), "mpl")
         .otherwise("none")
-    df.select(colExact(idCol), spdx.as("spdx_id"), family.as("license_family"),
-      (family =!= "none").as("has_license"))
   }
 
   /** Credential-detection rules — (label, regex), RE2-safe (no
@@ -599,6 +616,14 @@ object TextAnalysis {
       .withColumn("has_secret", col("n_secret_hits") > 0L)
   }
 
+  /** Boolean any-credential verdict as a composable Column — `rlike`
+    * (find, not count) per rule so corpus rollups
+    * ([[CodeAnalysis.hygieneProfile]]) pay the cheapest possible form
+    * of the [[secretScan]] rules inside a fused scan.
+    */
+  def hasSecretColumn(t: Column, rules: Seq[(String, String)] = secretRules): Column =
+    rules.map { case (_, re) => t.rlike(re) }.reduce(_ || _)
+
   /** Generated / minified source detection — the exclusion heuristic a
     * code corpus applies before training (machine-written output is
     * boilerplate that poisons dedup statistics and carries no new
@@ -618,9 +643,7 @@ object TextAnalysis {
     require(maxLineLen >= 1 && avgLineLen >= 1, "line-length thresholds must be >= 1")
     val t = coalesce(colExact(textCol), lit(""))
     val head = substring(t, 1, headChars)
-    val marked = head.contains("DO NOT EDIT") || head.contains("@generated") ||
-      head.contains("Code generated by") || head.contains("Autogenerated") ||
-      head.contains("auto-generated")
+    val marked = markedGeneratedColumn(head)
     df.select(
       colExact(idCol),
       Dedup.let(split(t, "\n", -1)) { lines =>
@@ -638,4 +661,93 @@ object TextAnalysis {
       }.as("g"))
       .select(colExact(idCol), col("g.*"))
   }
+
+  /** The [[generatedScan]] marker tier as a composable Column over a
+    * document head — the conventional generated-file phrases.
+    */
+  def markedGeneratedColumn(head: Column): Column =
+    head.contains("DO NOT EDIT") || head.contains("@generated") ||
+      head.contains("Code generated by") || head.contains("Autogenerated") ||
+      head.contains("auto-generated")
+
+  /** The [[generatedScan]] layout tier as a composable Column over a
+    * pre-split line array: any line longer than `maxLineLen`, or mean
+    * line length above `avgLineLen` (human-written code wraps).
+    */
+  def minifiedColumn(lines: Column, maxLineLen: Int, avgLineLen: Int): Column =
+    array_max(transform(lines, l => length(l))).cast("long") > maxLineLen ||
+      aggregate(lines, lit(0L), (acc, l) => acc + length(l)).cast("double") /
+        size(lines).cast("double") > avgLineLen
+
+  /** Occurrences of a literal substring, counted by length delta —
+    * `replace` + two `length`s beats a regex count and stays exact
+    * because removing k occurrences shortens the string by exactly
+    * k × |needle| code points (both engines count code points).
+    */
+  private[operators] def occurrences(t: Column, needle: String): Column =
+    ((length(t) - length(replace(t, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+
+  /** Byte/encoding-anomaly scan — the ingest-hygiene pass a text or
+    * source-code corpus runs before training: mojibake (U+FFFD
+    * replacement characters left by a lossy transcode), stray control
+    * characters (class excludes \t \n \r — those are legitimate
+    * layout), a leading U+FEFF BOM, and the line-ending profile
+    * (lf | crlf | mixed | none, with lone-CR counted separately —
+    * classic-Mac or truncated-CRLF damage). `is_clean` is the
+    * conservative keep verdict: no replacement chars, no control
+    * chars, no BOM, no lone CR (a pure-CRLF or even mixed LF/CRLF
+    * file is still trainable text; NUL-bearing files fail via the
+    * control class).
+    *
+    * Counting is `replace`-length deltas and ONE control-class regex —
+    * pure per-row codegen work, zero shuffle, one scan; every rule is
+    * replayable verbatim by an external engine (the driver oracle
+    * does, in DuckDB, via chr()-built literals). NULL ≡ empty text as
+    * across the text family.
+    *
+    * Output: (id, n_replacement, n_control, n_crlf, n_lone_lf,
+    * n_lone_cr, line_ending, has_bom, is_clean).
+    */
+  def encodingScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    df.select(
+      colExact(idCol),
+      Dedup.let(occurrences(t, "\r\n")) { crlf =>
+        Dedup.let(occurrences(t, "\n") - crlf) { loneLf =>
+          Dedup.let(occurrences(t, "\r") - crlf) { loneCr =>
+            Dedup.let(occurrences(t, "\uFFFD")) { repl =>
+              Dedup.let(regexp_count(t,
+                lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long")) { ctl =>
+                Dedup.let(substring(t, 1, 1) === "\uFEFF") { bom =>
+                  struct(
+                    repl.as("n_replacement"),
+                    ctl.as("n_control"),
+                    crlf.as("n_crlf"),
+                    loneLf.as("n_lone_lf"),
+                    loneCr.as("n_lone_cr"),
+                    when(crlf === 0L && loneLf === 0L && loneCr === 0L, "none")
+                      .when(loneLf === 0L && loneCr === 0L, "crlf")
+                      .when(crlf === 0L && loneCr === 0L, "lf")
+                      .otherwise("mixed").as("line_ending"),
+                    bom.as("has_bom"),
+                    (repl === 0L && ctl === 0L && !bom && loneCr === 0L)
+                      .as("is_clean"))
+                }
+              }
+            }
+          }
+        }
+      }.as("e"))
+      .select(colExact(idCol), col("e.*"))
+  }
+
+  /** The [[encodingScan]] keep verdict as a composable Column for
+    * fused corpus rollups ([[CodeAnalysis.hygieneProfile]]).
+    */
+  def encodingCleanColumn(t: Column): Column =
+    occurrences(t, "\uFFFD") === 0L &&
+      regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")) === 0 &&
+      substring(t, 1, 1) =!= "\uFEFF" &&
+      occurrences(t, "\r") === occurrences(t, "\r\n")
 }

@@ -188,4 +188,78 @@ class CodeAnalysisSpec extends AnyFunSuite {
     assert(capped(0).getAs[Boolean]("sources_truncated"))
     assert(capped(0).getAs[Long]("n_sources") == 2L) // count stays exact under the cap
   }
+
+  // ---- delimiterStats ----------------------------------------------------
+
+  test("delimiterStats counts each delimiter pair and flags count imbalance") {
+    val rows = Seq(
+      (1L, "f(a, g(b)) { x[0] = y[1]; }"),   // all balanced
+      (2L, "if (x { y["),                    // open-heavy: ( { [ unclosed
+      (3L, "}})]"),                          // close-heavy
+      (4L, ""),                              // empty
+      (5L, null: String))                    // null ≡ empty
+      .toDF("id", "content")
+    val r = CodeAnalysis.delimiterStats(rows, "id", "content")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(7), x.getLong(8), x.getLong(9), x.getBoolean(10)))).toMap
+    assert(r(1L) == ((0L, 0L, 0L, true)))
+    assert(r(2L) == ((1L, 1L, 1L, false)))
+    assert(r(3L) == ((-1L, -2L, -1L, false)))
+    assert(r(4L) == ((0L, 0L, 0L, true)))
+    assert(r(5L) == ((0L, 0L, 0L, true)))
+    val row1 = CodeAnalysis.delimiterStats(rows, "id", "content")
+      .where(col("id") === 1L).collect()(0)
+    assert(row1.getAs[Long]("n_lparen") == 2L && row1.getAs[Long]("n_rparen") == 2L)
+    assert(row1.getAs[Long]("n_lbracket") == 2L && row1.getAs[Long]("n_rbracket") == 2L)
+  }
+
+  // ---- langClaimCheck ----------------------------------------------------
+
+  test("langClaimCheck flags claims the content's marker votes strictly out-score") {
+    val goCode = "package main\nfunc f() {\n\tx := fmt.Sprintf(\"y\")\n}"
+    val pyCode = "def f(x):\n    import os\n    if x:\n        self.v = 1\n    elif x:\n        pass"
+    val rows = Seq(
+      (1L, "py", goCode),            // claimed py, clearly go → flagged
+      (2L, "go", goCode),            // consistent → not flagged
+      (3L, "py", pyCode),            // consistent → not flagged
+      (4L, "js", "plain prose with one const mention"), // 1 vote < minVotes → not flagged
+      (5L, "rb", pyCode),            // unknown claim → skipped, not flagged
+      (6L, "go", null: String))      // null content: zero votes → not flagged
+      .toDF("id", "lang", "content")
+    val r = CodeAnalysis.langClaimCheck(rows, "id", "lang", "content").collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L))
+    assert(r(0).getAs[String]("predicted_lang") == "go")
+    assert(r(0).getAs[Long]("predicted_score") == 4L)
+    assert(r(0).getAs[Long]("claimed_score") == 0L)
+  }
+
+  test("langClaimCheck argmax tie goes to the first lang in fixed order and never flags equal evidence") {
+    // content carries exactly 2 votes each for go and py: predicted = go
+    // (first in order among the tied); a py claim scores equal → stands
+    val both = "func f() package m def g() import x"
+    val rows = Seq((1L, "py", both), (2L, "js", both)).toDF("id", "lang", "content")
+    val r = CodeAnalysis.langClaimCheck(rows, "id", "lang", "content").collect()
+    // py claim: claimed_score 2 = predicted_score 2 → not flagged;
+    // js claim: 0 votes, go wins with 2 → flagged
+    assert(r.map(_.getLong(0)).toSet == Set(2L))
+    assert(r(0).getAs[String]("predicted_lang") == "go")
+  }
+
+  // ---- hygieneProfile ----------------------------------------------------
+
+  test("hygieneProfile aggregates all four compliance flags per language in one scan") {
+    val rows = Seq(
+      ("py", "// SPDX-License-Identifier: MIT\nprint(1)"),            // licensed
+      ("py", "password = \"hunter2hunter2\"\nx = 1"),                 // secret
+      ("py", "ok = 1"),                                               // clean only
+      ("go", "// Code generated by gen. DO NOT EDIT.\npackage m"),    // generated
+      ("go", "\uFFFDbroken"),                                         // not clean
+      ("go", null: String))                                           // clean (empty)
+      .toDF("lang", "content")
+    val r = CodeAnalysis.hygieneProfile(rows, "lang", "content")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("py") == ((3L, 0.333333, 0.333333, 0.0, 1.0)))
+    assert(r("go") == ((3L, 0.0, 0.0, 0.333333, 0.666667)))
+  }
 }

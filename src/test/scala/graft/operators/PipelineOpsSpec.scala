@@ -1060,10 +1060,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     for (df <- Seq(TextAnalysis.codeStats(code, "id", "content"),
                    TextAnalysis.licenseScan(code, "id", "content"),
                    TextAnalysis.secretScan(code, "id", "content"),
-                   TextAnalysis.generatedScan(code, "id", "content"))) {
+                   TextAnalysis.generatedScan(code, "id", "content"),
+                   TextAnalysis.encodingScan(code, "id", "content"),
+                   CodeAnalysis.delimiterStats(code, "id", "content"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
     }
+  }
+
+  test("encodingScan counts mojibake, control chars, BOM and the line-ending profile") {
+    val rows = Seq(
+      (1L, "clean lf text\nsecond line\n"),
+      (2L, "crlf file\r\nsecond\r\n"),
+      (3L, "mixed\r\nendings\n"),
+      (4L, "classic mac\rline"),                   // lone CR
+      (5L, "moji\uFFFDbake and a bell\u0007"),
+      (6L, "\uFEFFbom-prefixed clean"),
+      (7L, "no newline at all"),
+      (8L, null.asInstanceOf[String]))
+      .toDF("id", "content")
+    val r = TextAnalysis.encodingScan(rows, "id", "content").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("line_ending") == "lf" && r(1L).getAs[Boolean]("is_clean"))
+    assert(r(2L).getAs[String]("line_ending") == "crlf" && r(2L).getAs[Boolean]("is_clean"))
+    assert(r(2L).getAs[Long]("n_crlf") == 2L && r(2L).getAs[Long]("n_lone_lf") == 0L)
+    assert(r(3L).getAs[String]("line_ending") == "mixed" && r(3L).getAs[Boolean]("is_clean"))
+    assert(r(4L).getAs[String]("line_ending") == "mixed" && r(4L).getAs[Long]("n_lone_cr") == 1L)
+    assert(!r(4L).getAs[Boolean]("is_clean")) // lone CR is damage
+    assert(r(5L).getAs[Long]("n_replacement") == 1L && r(5L).getAs[Long]("n_control") == 1L)
+    assert(!r(5L).getAs[Boolean]("is_clean"))
+    assert(r(6L).getAs[Boolean]("has_bom") && !r(6L).getAs[Boolean]("is_clean"))
+    assert(r(6L).getAs[Long]("n_replacement") == 0L) // BOM is not a replacement char
+    assert(r(7L).getAs[String]("line_ending") == "none" && r(7L).getAs[Boolean]("is_clean"))
+    assert(r(8L).getAs[String]("line_ending") == "none" && r(8L).getAs[Boolean]("is_clean"))
   }
 
   test("an all-zero embedding cannot kill the near-dup job (ANSI 0/0 guard)") {

@@ -440,6 +440,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "pathStats" -> CodeAnalysis.pathStats(
         docs.select(col("doc_id"), col("source").as("path")), "doc_id", "path"),
       "complexityStats" -> CodeAnalysis.complexityStats(
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"),
+      "encodingScan" -> TextAnalysis.encodingScan(docs, "doc_id", "text"),
+      "delimiterStats" -> CodeAnalysis.delimiterStats(docs, "doc_id", "text"),
+      "langClaimCheck" -> CodeAnalysis.langClaimCheck(
         docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
@@ -476,6 +480,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, p)
     assert(!exchanges.head.contains("text#"),
       s"document content shuffles instead of its per-row stats:\n$p")
+  }
+
+  test("hygieneProfile fuses all four compliance flags into one scan with one narrow exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(CodeAnalysis.hygieneProfile(
+      docs.select(col("lang"), col("text")), "lang", "text"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // partial + final hash aggregate around exactly one narrow exchange:
+    // four separate scans (or per-doc outputs joined back) would show 4
+    // scans / a join — the whole point of the Column-composed flags
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.size == 1, p)
+    assert(!exchanges.head.contains("text#"),
+      s"document content shuffles instead of its per-row flags:\n$p")
   }
 
   test("topImports drops the content column before the explode and rides the salted top-k") {
