@@ -1114,6 +1114,22 @@ object SparkEntry {
               .otherwise(lit(""))).as("content")),
         "doc_id", "content")),
 
+    // brace-nesting prefix scan: a nested-ok block on doc_id % 7 == 0,
+    // the count-balanced-but-sequence-broken '}{' on % 7 == 1 (the
+    // case delimiterStats cannot see), an unbalanced open on % 7 == 2
+    // — prose braces are identical noise on both engines; the oracle
+    // replays the walk as an index-lambda prefix sum
+    "t_nesting" -> ((s, dir) =>
+      graft.operators.CodeAnalysis.nestingStats(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("\n{ {x{y}z} }\n"))
+              .when(pmod(col("doc_id"), lit(7)) === 1, lit("\n}{\n"))
+              .when(pmod(col("doc_id"), lit(7)) === 2, lit("\n{{}\n"))
+              .otherwise(lit(""))).as("content")),
+        "doc_id", "content")),
+
     // language-claim validation: claimed lang drawn by doc_id % 4,
     // content carries the marker snippet of the SAME lang — except
     // every 10th doc carries the NEXT lang's snippet, so the claim is
@@ -2818,6 +2834,33 @@ object SparkEntry {
         |  n_lbrace - n_rbrace AS brace_delta,
         |  n_lbracket - n_rbracket AS bracket_delta,
         |  (n_lparen = n_rparen AND n_lbrace = n_rbrace AND n_lbracket = n_rbracket) AS counts_balanced
+        |FROM m""".stripMargin,
+
+    // mirrors CodeAnalysis.nestingStats: the running depth at brace i
+    // is 2·opens(1..i) − i, so max/min/final replay as index-lambda
+    // prefix sums over the same extracted brace list (clamped through
+    // 0 exactly like the Spark accumulator's zero start)
+    "t_nesting" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(coalesce(text, ''), ' ', chr(10))
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{ {x{y}z} }' || chr(10)
+        |             WHEN doc_id % 7 = 1 THEN chr(10) || '}{' || chr(10)
+        |             WHEN doc_id % 7 = 2 THEN chr(10) || '{{}' || chr(10)
+        |             ELSE '' END) AS content
+        |  FROM documents),
+        |b AS (SELECT doc_id, regexp_extract_all(content, '[{}]') AS bs FROM src),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(bs) AS BIGINT) AS n_braces,
+        |    CAST(greatest(0, coalesce(list_max(list_transform(bs,
+        |      (x, i) -> 2*len(list_filter(bs[1:i], y -> y = '{')) - i)), 0)) AS BIGINT) AS max_brace_depth,
+        |    CAST(least(0, coalesce(list_min(list_transform(bs,
+        |      (x, i) -> 2*len(list_filter(bs[1:i], y -> y = '{')) - i)), 0)) AS BIGINT) AS lo,
+        |    CAST(2*len(list_filter(bs, y -> y = '{')) - len(bs) AS BIGINT) AS final_brace_depth
+        |  FROM b)
+        |SELECT doc_id, n_braces, max_brace_depth, final_brace_depth,
+        |  (lo >= 0 AND final_brace_depth = 0) AS brace_sequence_ok
         |FROM m""".stripMargin,
 
     // mirrors CodeAnalysis.langClaimCheck over the same snippet

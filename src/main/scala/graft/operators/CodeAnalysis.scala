@@ -327,6 +327,48 @@ object CodeAnalysis {
       .select(colExact(idCol), col("d.*"))
   }
 
+  /** Brace-nesting prefix scan — the sequential companion to
+    * [[delimiterStats]]'s count balance: one `aggregate` lambda walks
+    * the document's brace characters tracking (depth, running max,
+    * running min), so `max_brace_depth` is a real structural-depth
+    * signal (deeply nested code reads differently from flat config)
+    * and `brace_sequence_ok` is a TRUE matching check for braces —
+    * `}{` count-balances but dips negative, which no count comparison
+    * can see. For a single delimiter type a non-negative-prefix +
+    * zero-final counter IS stack matching; cross-type interleave
+    * errors (`{[}]`) still need a lexer and stay out of scope, as do
+    * braces inside string literals (symmetric across engines — the
+    * oracle replays the same walk as an index-lambda prefix sum).
+    *
+    * O(braces) per row in one lambda — no explode, no per-row map,
+    * zero shuffle. Running max/min start at 0 (the empty prefix), so
+    * an all-closers document reports max 0, not −1. NULL ≡ empty.
+    * Output: (id, n_braces, max_brace_depth, final_brace_depth,
+    * brace_sequence_ok).
+    */
+  def nestingStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    df.select(
+      colExact(idCol),
+      Dedup.let(filter(split(regexp_replace(t, "[^{}]", ""), ""), c => c =!= "")) { bs =>
+        Dedup.let(aggregate(bs,
+          struct(lit(0).as("d"), lit(0).as("m"), lit(0).as("lo")),
+          (acc, c) =>
+            Dedup.let(acc.getField("d") + when(c === "{", 1).otherwise(-1)) { d2 =>
+              struct(d2.as("d"),
+                greatest(acc.getField("m"), d2).as("m"),
+                least(acc.getField("lo"), d2).as("lo"))
+            })) { r =>
+          struct(
+            size(bs).cast("long").as("n_braces"),
+            r.getField("m").cast("long").as("max_brace_depth"),
+            r.getField("d").cast("long").as("final_brace_depth"),
+            (r.getField("lo") >= 0 && r.getField("d") === 0).as("brace_sequence_ok"))
+        }
+      }.as("n"))
+      .select(colExact(idCol), col("n.*"))
+  }
+
   /** Language-claim evidence markers: per language, substrings whose
     * presence votes for that language (0–4 votes each). Substring
     * `contains`, not regex — the cheapest per-row form, replayable

@@ -213,6 +213,28 @@ class CodeAnalysisSpec extends AnyFunSuite {
     assert(row1.getAs[Long]("n_lbracket") == 2L && row1.getAs[Long]("n_rbracket") == 2L)
   }
 
+  // ---- nestingStats ------------------------------------------------------
+
+  test("nestingStats tracks max depth and catches the sequence break count balance cannot") {
+    val rows = Seq(
+      (1L, "fn f() { if (x) { g({a: 1}) } }"),  // nested ok, depth 3
+      (2L, "}{"),                               // count-balanced, sequence-broken
+      (3L, "{{}"),                              // unclosed
+      (4L, "}}}"),                              // all closers: max stays 0
+      (5L, "no braces at all"),
+      (6L, null: String))
+      .toDF("id", "content")
+    val r = CodeAnalysis.nestingStats(rows, "id", "content")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((6L, 3L, 0L, true)))
+    assert(r(2L) == ((2L, 0L, 0L, false)))  // dips to -1: NOT ok despite final 0
+    assert(r(3L) == ((3L, 2L, 1L, false)))
+    assert(r(4L) == ((3L, 0L, -3L, false)))
+    assert(r(5L) == ((0L, 0L, 0L, true)))
+    assert(r(6L) == ((0L, 0L, 0L, true)))
+  }
+
   // ---- langClaimCheck ----------------------------------------------------
 
   test("langClaimCheck flags claims the content's marker votes strictly out-score") {

@@ -443,6 +443,7 @@ class PlanShapeSpec extends AnyFunSuite {
         docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"),
       "encodingScan" -> TextAnalysis.encodingScan(docs, "doc_id", "text"),
       "delimiterStats" -> CodeAnalysis.delimiterStats(docs, "doc_id", "text"),
+      "nestingStats" -> CodeAnalysis.nestingStats(docs, "doc_id", "text"),
       "langClaimCheck" -> CodeAnalysis.langClaimCheck(
         docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"))) {
       val p = plan(df)
