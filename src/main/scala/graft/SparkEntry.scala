@@ -1155,6 +1155,57 @@ object SparkEntry {
         "doc_id", "code_lang", "content")
     }),
 
+    // the fused code-curation verdict: every per-row gate at once —
+    // path grid (t_path_class's), MIT license on % 3 / GPL on % 11
+    // (MIT-first when both: the SPDX extraction takes the first tag,
+    // replayed identically), generated marker on % 9, lang snippet
+    // with the % 10 mismatch planting, AKIA credential on % 13,
+    // U+FFFD on % 19 — one scan produces keep + fixed-order reasons
+    "x_code_curation" -> ((s, dir) => {
+      def seedHex(seed: String) = md5(concat(lit(seed), col("doc_id").cast("string")))
+      val snips = array(
+        lit("#include <stdio.h> void f() printf(x) p->q"),
+        lit("package m func f() x := fmt.Sprintf"),
+        lit("const f = (x) => console.log(x) function g()"),
+        lit("def f(x): import os self.v elif x"))
+      graft.operators.CodeAnalysis.codeCurationVerdict(
+        table(s, dir, "documents").select(col("doc_id"),
+          element_at(array(lit("c"), lit("go"), lit("js"), lit("py")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          concat(
+            when(pmod(col("doc_id"), lit(8)) === 0, lit("vendor/lib/"))
+              .when(pmod(col("doc_id"), lit(8)) === 1, lit("test/unit/"))
+              .when(pmod(col("doc_id"), lit(8)) === 2, lit("docs/"))
+              .when(pmod(col("doc_id"), lit(8)) === 3, lit("build/gen/"))
+              .when(pmod(col("doc_id"), lit(8)) === 4, lit("node_modules/pkg/"))
+              .when(pmod(col("doc_id"), lit(8)) === 5, lit("src/main/"))
+              .when(pmod(col("doc_id"), lit(8)) === 6, lit("third_party/zlib/"))
+              .otherwise(lit("lib/core/")),
+            when(pmod(col("doc_id"), lit(9)) === 0, lit("foo_test.go"))
+              .when(pmod(col("doc_id"), lit(10)) === 0, lit("README.md"))
+              .when(pmod(col("doc_id"), lit(12)) === 0, lit("api.pb.go"))
+              .otherwise(concat(lit("file"), pmod(col("doc_id"), lit(10)).cast("string"),
+                lit(".py")))).as("path"),
+          concat(
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("// SPDX-License-Identifier: MIT\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("// SPDX-License-Identifier: GPL-3.0-only\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit("// Code generated by gen. DO NOT EDIT.\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              element_at(snips, (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")))
+              .otherwise(element_at(snips, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))),
+            lit(" "),
+            regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(lit("\nAKIA"), upper(substring(seedHex("a"), 1, 16))))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(19)) === 0, lit("\uFFFD")).otherwise(lit("")))
+            .as("content")),
+        "doc_id", "code_lang", "path", "content")
+    }),
+
     // corpus hygiene profile: license header on doc_id % 3, generated
     // marker on % 9, a synthetic AKIA credential on % 13, a U+FFFD on
     // % 19, per-lang (doc_id % 4) over the code-shaped text — all four
@@ -2916,6 +2967,140 @@ object SparkEntry {
         |FROM p
         |WHERE predicted_lang <> code_lang AND predicted_score >= 2
         |  AND predicted_score > claimed_score""".stripMargin,
+
+    // mirrors CodeAnalysis.codeCurationVerdict: every gate's decision
+    // rule replayed (path precedence CASE, the FULL license-family
+    // chain compared to 'gpl', the 5 secret rules, marker-or-minified,
+    // the encoding clean conjunction, the vote argmax) and the reasons
+    // assembled with the same null-skipping concat_ws in fixed order
+    "x_code_curation" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'c' WHEN doc_id % 4 = 1 THEN 'go'
+        |          WHEN doc_id % 4 = 2 THEN 'js' ELSE 'py' END) AS code_lang,
+        |    (CASE CAST(doc_id % 8 AS INT)
+        |       WHEN 0 THEN 'vendor/lib/'
+        |       WHEN 1 THEN 'test/unit/'
+        |       WHEN 2 THEN 'docs/'
+        |       WHEN 3 THEN 'build/gen/'
+        |       WHEN 4 THEN 'node_modules/pkg/'
+        |       WHEN 5 THEN 'src/main/'
+        |       WHEN 6 THEN 'third_party/zlib/'
+        |       ELSE 'lib/core/' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN 'foo_test.go'
+        |             WHEN doc_id % 10 = 0 THEN 'README.md'
+        |             WHEN doc_id % 12 = 0 THEN 'api.pb.go'
+        |             ELSE 'file' || CAST(doc_id % 10 AS VARCHAR) || '.py' END) AS path,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '// Code generated by gen. DO NOT EDIT.' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 10 = 0 THEN
+        |          (CASE WHEN (doc_id + 1) % 4 = 0 THEN '#include <stdio.h> void f() printf(x) p->q'
+        |                WHEN (doc_id + 1) % 4 = 1 THEN 'package m func f() x := fmt.Sprintf'
+        |                WHEN (doc_id + 1) % 4 = 2 THEN 'const f = (x) => console.log(x) function g()'
+        |                ELSE 'def f(x): import os self.v elif x' END)
+        |        ELSE
+        |          (CASE WHEN doc_id % 4 = 0 THEN '#include <stdio.h> void f() printf(x) p->q'
+        |                WHEN doc_id % 4 = 1 THEN 'package m func f() x := fmt.Sprintf'
+        |                WHEN doc_id % 4 = 2 THEN 'const f = (x) => console.log(x) function g()'
+        |                ELSE 'def f(x): import os self.v elif x' END)
+        |        END) || ' '
+        |    || replace(coalesce(text, ''), ' ', chr(10))
+        |    || (CASE WHEN doc_id % 13 = 0
+        |          THEN chr(10) || 'AKIA' || upper(substr(md5('a' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |          ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN chr(65533) ELSE '' END) AS content
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, code_lang, path, content,
+        |    substr(content, 1, 2048) AS head,
+        |    string_split(content, chr(10)) AS ls
+        |  FROM src),
+        |e AS (
+        |  SELECT doc_id, code_lang, path, content, head, ls,
+        |    regexp_extract(head, 'SPDX-License-Identifier:[ \t\n\x0b\f\r]*([A-Za-z0-9.+-]+)', 1) AS spdx_id,
+        |    CAST(CASE WHEN contains(content, '#include') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'printf(') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'void ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, '->') THEN 1 ELSE 0 END AS BIGINT) AS s_c,
+        |    CAST(CASE WHEN contains(content, 'func ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'package ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, ':=') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'fmt.') THEN 1 ELSE 0 END AS BIGINT) AS s_go,
+        |    CAST(CASE WHEN contains(content, 'function ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'const ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, '=>') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'console.') THEN 1 ELSE 0 END AS BIGINT) AS s_js,
+        |    CAST(CASE WHEN contains(content, 'def ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'import ') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'self.') THEN 1 ELSE 0 END
+        |       + CASE WHEN contains(content, 'elif ') THEN 1 ELSE 0 END AS BIGINT) AS s_py
+        |  FROM f),
+        |v AS (
+        |  SELECT doc_id, code_lang,
+        |    CASE
+        |      WHEN regexp_matches(path, '(^|/)(vendor|third_party|node_modules|external|extern)/') THEN 'vendor'
+        |      WHEN regexp_matches(path, '(^|/)(gen|generated|build|dist|target|out)/')
+        |        OR regexp_matches(path, '(\.pb\.(go|cc|h)|_pb2\.py|\.min\.(js|css))$') THEN 'generated'
+        |      WHEN regexp_matches(path, '(^|/)(test|tests|spec|testdata)/')
+        |        OR regexp_matches(path, '(_test\.(go|py|rb)|Test\.(java|scala|kt)|\.test\.(js|ts)|_spec\.rb)$') THEN 'test'
+        |      WHEN regexp_matches(path, '(^|/)(doc|docs|example|examples)/')
+        |        OR regexp_matches(path, '\.(md|rst|txt)$') THEN 'docs'
+        |      ELSE 'source' END AS path_class,
+        |    (CASE
+        |      WHEN lower(spdx_id) LIKE 'mit%' THEN 'mit'
+        |      WHEN lower(spdx_id) LIKE 'apache%' THEN 'apache'
+        |      WHEN lower(spdx_id) LIKE 'gpl%' OR lower(spdx_id) LIKE 'agpl%'
+        |        OR lower(spdx_id) LIKE 'lgpl%' THEN 'gpl'
+        |      WHEN lower(spdx_id) LIKE 'bsd%' THEN 'bsd'
+        |      WHEN lower(spdx_id) LIKE 'mpl%' THEN 'mpl'
+        |      WHEN spdx_id <> '' THEN 'other'
+        |      WHEN contains(head, 'Apache License') THEN 'apache'
+        |      WHEN contains(head, 'MIT License')
+        |        OR contains(head, 'Permission is hereby granted, free of charge') THEN 'mit'
+        |      WHEN contains(head, 'GNU General Public License')
+        |        OR contains(head, 'GNU Lesser General Public License')
+        |        OR contains(head, 'GNU Affero General Public License') THEN 'gpl'
+        |      WHEN regexp_matches(head, 'BSD [23]-Clause|Redistribution and use in source and binary forms') THEN 'bsd'
+        |      WHEN contains(head, 'Mozilla Public License') THEN 'mpl'
+        |      ELSE 'none' END) = 'gpl' AS copyleft,
+        |    (regexp_matches(content, 'AKIA[0-9A-Z]{16}')
+        |      OR regexp_matches(content, 'gh[pousr]_[A-Za-z0-9]{36}')
+        |      OR regexp_matches(content, 'xox[baprs]-[0-9A-Za-z-]{10,48}')
+        |      OR regexp_matches(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----')
+        |      OR regexp_matches(content, '(?i)(api_key|apikey|api_secret|secret_key|auth_token|passwd|password)[ \t]*[:=][ \t]*["''][^"''\n]{8,}["'']')) AS secret,
+        |    (contains(head, 'DO NOT EDIT') OR contains(head, '@generated')
+        |      OR contains(head, 'Code generated by') OR contains(head, 'Autogenerated')
+        |      OR contains(head, 'auto-generated')
+        |      OR list_max(list_transform(ls, x -> length(x))) > 1000
+        |      OR CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE) / len(ls) > 300) AS gen,
+        |    NOT (length(content) - length(replace(content, chr(65533), '')) = 0
+        |      AND len(regexp_extract_all(content, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) = 0
+        |      AND substr(content, 1, 1) <> chr(65279)
+        |      AND length(content) - length(replace(content, chr(13), ''))
+        |        = (length(content) - length(replace(content, chr(13) || chr(10), ''))) // 2) AS unclean,
+        |    (code_lang IN ('c', 'go', 'js', 'py')
+        |      AND (CASE WHEN s_c >= s_go AND s_c >= s_js AND s_c >= s_py THEN 'c'
+        |                WHEN s_go >= s_js AND s_go >= s_py THEN 'go'
+        |                WHEN s_js >= s_py THEN 'js'
+        |                ELSE 'py' END) <> code_lang
+        |      AND greatest(s_c, s_go, s_js, s_py) >= 2
+        |      AND greatest(s_c, s_go, s_js, s_py) >
+        |        (CASE code_lang WHEN 'c' THEN s_c WHEN 'go' THEN s_go
+        |              WHEN 'js' THEN s_js WHEN 'py' THEN s_py ELSE 0 END)) AS mismatch
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, code_lang, path_class,
+        |    concat_ws(',',
+        |      CASE WHEN path_class <> 'source' THEN 'path' END,
+        |      CASE WHEN copyleft THEN 'license' END,
+        |      CASE WHEN secret THEN 'secret' END,
+        |      CASE WHEN gen THEN 'generated' END,
+        |      CASE WHEN unclean THEN 'encoding' END,
+        |      CASE WHEN mismatch THEN 'lang_mismatch' END) AS reasons
+        |  FROM v)
+        |SELECT doc_id, code_lang, path_class, reasons = '' AS keep, reasons
+        |FROM r""".stripMargin,
 
     // mirrors CodeAnalysis.hygieneProfile: each flag replays its
     // operator's decision rule (license family ≠ none ⇔ SPDX tag

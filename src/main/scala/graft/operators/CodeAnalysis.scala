@@ -402,11 +402,12 @@ object CodeAnalysis {
     * Output: (id, lang, predicted_lang, claimed_score,
     * predicted_score) — violations only.
     */
-  def langClaimCheck(df: DataFrame, idCol: String, langCol: String,
-                     textCol: String, minVotes: Int = 2): DataFrame = {
-    require(minVotes >= 1, s"minVotes = $minVotes must be >= 1")
-    val t = coalesce(colExact(textCol), lit(""))
-    val known = langMarkers.map(_._1)
+  /** The [[langClaimCheck]] vote model as composable Columns:
+    * (predicted lang via first-in-order argmax, the claimed lang's own
+    * score, the winning score) — shared with the curation verdict so
+    * the mismatch rule costs no second scan.
+    */
+  def langVoteColumns(t: Column, claimed: Column): (Column, Column, Column) = {
     val scores = langMarkers.map { case (lang, ms) =>
       lang -> ms.map(m => when(t.contains(m), 1L).otherwise(0L)).reduce(_ + _)
     }
@@ -417,10 +418,20 @@ object CodeAnalysis {
         val cond = scores.drop(i + 1).map { case (_, s2) => s >= s2 }.reduce(_ && _)
         if (acc == null) when(cond, lang) else acc.when(cond, lang)
     }.otherwise(scores.last._1)
-    val claimedScore = scores.tail.foldLeft(when(colExact(langCol) === scores.head._1,
-      scores.head._2)) { case (acc, (lang, s)) => acc.when(colExact(langCol) === lang, s) }
+    val claimedScore = scores.tail.foldLeft(when(claimed === scores.head._1,
+      scores.head._2)) { case (acc, (lang, s)) => acc.when(claimed === lang, s) }
       .otherwise(lit(0L))
     val predictedScore = scores.map(_._2).reduce(greatest(_, _))
+    (predicted, claimedScore, predictedScore)
+  }
+
+  def langClaimCheck(df: DataFrame, idCol: String, langCol: String,
+                     textCol: String, minVotes: Int = 2): DataFrame = {
+    require(minVotes >= 1, s"minVotes = $minVotes must be >= 1")
+    val t = coalesce(colExact(textCol), lit(""))
+    val known = langMarkers.map(_._1)
+    val (predicted, claimedScore, predictedScore) =
+      langVoteColumns(t, colExact(langCol))
     df.where(colExact(langCol).isin(known: _*))
       .select(
         colExact(idCol),
@@ -431,6 +442,58 @@ object CodeAnalysis {
       .where(col("predicted_lang") =!= colExact(langCol) &&
         col("predicted_score") >= minVotes &&
         col("predicted_score") > col("claimed_score"))
+  }
+
+  /** The code-corpus keep/drop verdict — every per-row gate a
+    * source-code training pipeline applies, fused into ONE scan: path
+    * taxonomy (only first-party `source` trees train), copyleft
+    * license exclusion (the `gpl` family — provenance policy), leaked
+    * credentials, generated/minified output, encoding damage, and the
+    * language-claim mismatch — each a composable Column from its own
+    * operator, so the corpus is read ONCE for all six rules (six
+    * operator outputs joined back would pay 6× the I/O plus five
+    * joins at 10^12 rows). `reasons` is the fixed-order comma-joined
+    * list of failed gates (`concat_ws` skips the null non-failures —
+    * deterministic, engine-portable); `keep` ⇔ no reason. Violations
+    * stay explainable: a curation run can split, count, or appeal by
+    * reason without re-running any rule.
+    *
+    * Zero shuffle, whole-stage codegen (plan-asserted); thresholds
+    * are the same defaults as the underlying operators so the fused
+    * verdict provably agrees with the standalone scans.
+    * Output: (id, lang, path_class, keep, reasons).
+    */
+  def codeCurationVerdict(df: DataFrame, idCol: String, langCol: String,
+                          pathCol: String, textCol: String,
+                          headChars: Int = 2048, maxLineLen: Int = 1000,
+                          avgLineLen: Int = 300, minVotes: Int = 2): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    val head = substring(t, 1, headChars)
+    val known = langMarkers.map(_._1)
+    val (predicted, claimedScore, predictedScore) =
+      langVoteColumns(t, colExact(langCol))
+    val mismatch = colExact(langCol).isin(known: _*) &&
+      predicted =!= colExact(langCol) &&
+      predictedScore >= minVotes && predictedScore > claimedScore
+    df.select(
+      colExact(idCol),
+      colExact(langCol),
+      Dedup.let(pathClass(colExact(pathCol))) { pc =>
+        Dedup.let(concat_ws(",",
+          when(pc =!= "source", "path"),
+          when(TextAnalysis.licenseFamilyColumn(head) === "gpl", "license"),
+          when(TextAnalysis.hasSecretColumn(t), "secret"),
+          when(TextAnalysis.markedGeneratedColumn(head) ||
+            TextAnalysis.minifiedColumn(split(t, "\n", -1), maxLineLen, avgLineLen),
+            "generated"),
+          when(!TextAnalysis.encodingCleanColumn(t), "encoding"),
+          when(mismatch, "lang_mismatch"))) { reasons =>
+          struct(pc.as("path_class"),
+            (reasons === "").as("keep"),
+            reasons.as("reasons"))
+        }
+      }.as("v"))
+      .select(colExact(idCol), colExact(langCol), col("v.*"))
   }
 
   /** Corpus hygiene profile — the compliance dashboard a code-corpus

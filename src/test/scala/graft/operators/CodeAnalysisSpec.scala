@@ -267,6 +267,38 @@ class CodeAnalysisSpec extends AnyFunSuite {
     assert(r(0).getAs[String]("predicted_lang") == "go")
   }
 
+  // ---- codeCurationVerdict -----------------------------------------------
+
+  test("codeCurationVerdict fuses all six gates with fixed-order reasons") {
+    val goCode = "package main\nfunc f() {\n\tx := fmt.Sprintf(\"y\")\n}"
+    val rows = Seq(
+      (1L, "py", "src/a.py", "def f(x):\n    import os\n    self.v = 1\n    elif x:\n        pass"),
+      (2L, "go", "vendor/lib/x.go", goCode),                        // path only
+      (3L, "py", "src/b.py", goCode),                               // lang mismatch
+      (4L, "go", "src/c.go", "// SPDX-License-Identifier: GPL-3.0-only\n" + goCode),
+      (5L, "go", "src/d.go", "// SPDX-License-Identifier: MIT\n" + goCode), // MIT keeps
+      (6L, "go", "src/e.go", "password = \"hunter2hunter2\"\n" + goCode),
+      (7L, "go", "src/f.go", "// Code generated by gen. DO NOT EDIT.\n" + goCode),
+      (8L, "go", "src/g.go", goCode + "\uFFFD"),
+      (9L, "go", "vendor/x/h.go",
+        "// SPDX-License-Identifier: GPL-3.0-only\npassword = \"hunter2hunter2\"\n\uFFFD"),
+      (10L, "rb", "src/i.rb", goCode))                              // unknown claim: skipped
+      .toDF("id", "lang", "path", "content")
+    val r = CodeAnalysis.codeCurationVerdict(rows, "id", "lang", "path", "content")
+      .collect().map(x => x.getLong(0) -> ((x.getBoolean(3), x.getString(4)))).toMap
+    assert(r(1L) == ((true, "")))
+    assert(r(2L) == ((false, "path")))
+    assert(r(3L) == ((false, "lang_mismatch")))
+    assert(r(4L) == ((false, "license")))
+    assert(r(5L) == ((true, "")))
+    assert(r(6L) == ((false, "secret")))
+    assert(r(7L) == ((false, "generated")))
+    assert(r(8L) == ((false, "encoding")))
+    // multiple failures report in fixed order (deterministic split key)
+    assert(r(9L) == ((false, "path,license,secret,encoding")))
+    assert(r(10L) == ((true, "")))  // no evidence model for rb → claim stands
+  }
+
   // ---- hygieneProfile ----------------------------------------------------
 
   test("hygieneProfile aggregates all four compliance flags per language in one scan") {

@@ -1093,6 +1093,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(6L).getAs[Long]("n_replacement") == 0L) // BOM is not a replacement char
     assert(r(7L).getAs[String]("line_ending") == "none" && r(7L).getAs[Boolean]("is_clean"))
     assert(r(8L).getAs[String]("line_ending") == "none" && r(8L).getAs[Boolean]("is_clean"))
+    // the composable Column form (what hygieneProfile aggregates) must
+    // agree with the scan's verdict on every row — two formulations of
+    // one rule, pinned against divergence
+    val viaColumn = rows.select(col("id"),
+      TextAnalysis.encodingCleanColumn(coalesce(col("content"), lit(""))).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    for ((id, row) <- r)
+      assert(viaColumn(id) == row.getAs[Boolean]("is_clean"), s"id $id diverges")
   }
 
   test("an all-zero embedding cannot kill the near-dup job (ANSI 0/0 guard)") {

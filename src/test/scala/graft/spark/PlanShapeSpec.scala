@@ -445,7 +445,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "delimiterStats" -> CodeAnalysis.delimiterStats(docs, "doc_id", "text"),
       "nestingStats" -> CodeAnalysis.nestingStats(docs, "doc_id", "text"),
       "langClaimCheck" -> CodeAnalysis.langClaimCheck(
-        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"))) {
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id", "lang", "text"),
+      "codeCurationVerdict" -> CodeAnalysis.codeCurationVerdict(
+        docs.select(col("doc_id"), col("lang"), col("source").as("path"), col("text")),
+        "doc_id", "lang", "path", "text"))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
       assert(!p.contains("MapPartitions"), s"$name left codegen:\n$p")
