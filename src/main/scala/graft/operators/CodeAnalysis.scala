@@ -523,24 +523,29 @@ object CodeAnalysis {
     val t = coalesce(colExact(textCol), lit(""))
     val head = substring(t, 1, headChars)
     def flag(c: Column) = when(c, 1L).otherwise(0L)
+    // internal flag names derived to be absent from df (freshName) so a
+    // corpus that already has a __lic column cannot make the projection
+    // ambiguous — the convention the dedup/text helpers share
+    val Seq(lic, sec, gen, cln) = Seq("__lic", "__sec", "__gen", "__cln")
+      .map(graft.spark.ColumnCompiler.freshName(df, _))
     val projected = df.select(
       colExact(langCol),
-      flag(TextAnalysis.licenseFamilyColumn(head) =!= "none").as("__lic"),
-      flag(TextAnalysis.hasSecretColumn(t)).as("__sec"),
+      flag(TextAnalysis.licenseFamilyColumn(head) =!= "none").as(lic),
+      flag(TextAnalysis.hasSecretColumn(t)).as(sec),
       flag(TextAnalysis.markedGeneratedColumn(head) ||
         TextAnalysis.minifiedColumn(split(t, "\n", -1), maxLineLen, avgLineLen))
-        .as("__gen"),
-      flag(TextAnalysis.encodingCleanColumn(t)).as("__cln"))
+        .as(gen),
+      flag(TextAnalysis.encodingCleanColumn(t)).as(cln))
     def frac(c: Column, n: Column) = round(c.cast("double") / n.cast("double"), 6)
     projected.groupBy(colExact(langCol))
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
-        sum(col("__lic")).as("__l"), sum(col("__sec")).as("__s"),
-        sum(col("__gen")).as("__g"), sum(col("__cln")).as("__c"))
+        sum(col(lic)).as(lic), sum(col(sec)).as(sec),
+        sum(col(gen)).as(gen), sum(col(cln)).as(cln))
       .select(colExact(langCol), col("n_docs"),
-        frac(col("__l"), col("n_docs")).as("frac_licensed"),
-        frac(col("__s"), col("n_docs")).as("frac_secret"),
-        frac(col("__g"), col("n_docs")).as("frac_generated"),
-        frac(col("__c"), col("n_docs")).as("frac_clean"))
+        frac(col(lic), col("n_docs")).as("frac_licensed"),
+        frac(col(sec), col("n_docs")).as("frac_secret"),
+        frac(col(gen), col("n_docs")).as("frac_generated"),
+        frac(col(cln), col("n_docs")).as("frac_clean"))
   }
 }
