@@ -1,7 +1,7 @@
 package graft
 
 import graft.spark.{ColumnCompiler, Validate}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,6 +14,39 @@ object SparkEntry {
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic doc_id-derived hex for planting synthetic secrets —
+    * ONE definition so the t_secret_scan / c_hygiene / x_code_curation
+    * plantings (and their SQL oracles) can never desynchronize.
+    */
+  private def seedHex(seed: String): Column =
+    md5(concat(lit(seed), col("doc_id").cast("string")))
+
+  /** The claimed-language universe for the lang-claim queries, drawn
+    * by doc_id % 4 — index-aligned with [[langSnips]].
+    */
+  private def claimedLang: Column =
+    element_at(array(lit("c"), lit("go"), lit("js"), lit("py")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+
+  /** One marker snippet per language (all four of that language's
+    * [[graft.operators.CodeAnalysis.langMarkers]] votes), shared by
+    * v_lang_claim and x_code_curation and replayed verbatim in both
+    * oracles.
+    */
+  private val langSnips: Column = array(
+    lit("#include <stdio.h> void f() printf(x) p->q"),
+    lit("package m func f() x := fmt.Sprintf"),
+    lit("const f = (x) => console.log(x) function g()"),
+    lit("def f(x): import os self.v elif x"))
+
+  /** Snippet planting with the mismatch twist: every 10th doc carries
+    * the NEXT language's snippet, so the claim is provably wrong there.
+    */
+  private def plantedSnip: Column =
+    when(pmod(col("doc_id"), lit(10)) === 0,
+      element_at(langSnips, (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")))
+      .otherwise(element_at(langSnips, (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
 
   /** Shared code-shaped derivation for the import-extraction queries:
     * a language drawn by doc_id % 4 plus that language's import lines
@@ -927,7 +960,6 @@ object SparkEntry {
     // checked, not a constant column. All "secrets" are md5 strings of
     // the doc_id, not real credentials.
     "t_secret_scan" -> ((s, dir) => {
-      def seedHex(seed: String) = md5(concat(lit(seed), col("doc_id").cast("string")))
       graft.operators.TextAnalysis.secretScan(
         table(s, dir, "documents").select(col("doc_id"),
           concat(
@@ -1137,19 +1169,11 @@ object SparkEntry {
     // The emitted rows are the violations (predicted ≠ claimed with
     // ≥ 2 votes strictly out-scoring the claim)
     "v_lang_claim" -> ((s, dir) => {
-      val snips = array(
-        lit("#include <stdio.h> void f() printf(x) p->q"),
-        lit("package m func f() x := fmt.Sprintf"),
-        lit("const f = (x) => console.log(x) function g()"),
-        lit("def f(x): import os self.v elif x"))
       graft.operators.CodeAnalysis.langClaimCheck(
         table(s, dir, "documents").select(col("doc_id"),
-          element_at(array(lit("c"), lit("go"), lit("js"), lit("py")),
-            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          claimedLang.as("code_lang"),
           concat(
-            when(pmod(col("doc_id"), lit(10)) === 0,
-              element_at(snips, (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")))
-              .otherwise(element_at(snips, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))),
+            plantedSnip,
             lit(" "),
             coalesce(col("text"), lit(""))).as("content")),
         "doc_id", "code_lang", "content")
@@ -1162,16 +1186,9 @@ object SparkEntry {
     // with the % 10 mismatch planting, AKIA credential on % 13,
     // U+FFFD on % 19 — one scan produces keep + fixed-order reasons
     "x_code_curation" -> ((s, dir) => {
-      def seedHex(seed: String) = md5(concat(lit(seed), col("doc_id").cast("string")))
-      val snips = array(
-        lit("#include <stdio.h> void f() printf(x) p->q"),
-        lit("package m func f() x := fmt.Sprintf"),
-        lit("const f = (x) => console.log(x) function g()"),
-        lit("def f(x): import os self.v elif x"))
       graft.operators.CodeAnalysis.codeCurationVerdict(
         table(s, dir, "documents").select(col("doc_id"),
-          element_at(array(lit("c"), lit("go"), lit("js"), lit("py")),
-            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("code_lang"),
+          claimedLang.as("code_lang"),
           concat(
             when(pmod(col("doc_id"), lit(8)) === 0, lit("vendor/lib/"))
               .when(pmod(col("doc_id"), lit(8)) === 1, lit("test/unit/"))
@@ -1193,9 +1210,7 @@ object SparkEntry {
               lit("// SPDX-License-Identifier: GPL-3.0-only\n")).otherwise(lit("")),
             when(pmod(col("doc_id"), lit(9)) === 0,
               lit("// Code generated by gen. DO NOT EDIT.\n")).otherwise(lit("")),
-            when(pmod(col("doc_id"), lit(10)) === 0,
-              element_at(snips, (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")))
-              .otherwise(element_at(snips, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))),
+            plantedSnip,
             lit(" "),
             regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
             when(pmod(col("doc_id"), lit(13)) === 0,
@@ -1212,7 +1227,6 @@ object SparkEntry {
     // compliance fractions from ONE fused scan, replayed per-flag in
     // the oracle's aggregation
     "c_hygiene" -> ((s, dir) => {
-      def seedHex(seed: String) = md5(concat(lit(seed), col("doc_id").cast("string")))
       graft.operators.CodeAnalysis.hygieneProfile(
         table(s, dir, "documents").select(
           element_at(array(lit("py"), lit("go"), lit("js"), lit("c")),
@@ -2855,6 +2869,7 @@ object SparkEntry {
         |  CASE WHEN n_crlf = 0 AND n_lf - n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'none'
         |       WHEN n_lf - n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'crlf'
         |       WHEN n_crlf = 0 AND n_cr - n_crlf = 0 THEN 'lf'
+        |       WHEN n_crlf = 0 AND n_lf - n_crlf = 0 THEN 'cr'
         |       ELSE 'mixed' END AS line_ending,
         |  has_bom,
         |  (n_replacement = 0 AND n_control = 0 AND NOT has_bom AND n_cr - n_crlf = 0) AS is_clean

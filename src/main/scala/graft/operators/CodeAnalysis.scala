@@ -382,6 +382,49 @@ object CodeAnalysis {
     "js" -> Seq("function ", "const ", "=>", "console."),
     "py" -> Seq("def ", "import ", "self.", "elif "))
 
+  /** Per-language vote scores for one document — each language's
+    * marker hits summed (0–4). The expressions scan the full content,
+    * so callers that consume them from several derived columns should
+    * bind them once (a `struct` under [[Dedup.let]], as the curation
+    * verdict does) — HOF lambda bodies get no subexpression
+    * elimination.
+    */
+  def langVoteScores(t: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => when(t.contains(m), 1L).otherwise(0L)).reduce(_ + _)
+    }
+
+  /** The vote verdict from already-bound scores: (predicted lang via
+    * first-in-order argmax, the claimed lang's own score, the winning
+    * score). `score` should be a cheap reference (a struct field), not
+    * a content scan — the argmax chain reads each score several times.
+    */
+  def langVoteFromScores(score: String => Column, claimed: Column):
+      (Column, Column, Column) = {
+    val langs = langMarkers.map(_._1)
+    // first-in-order argmax: lang wins when its score >= every LATER
+    // lang's score (earlier langs already lost their own comparison)
+    val predicted = langs.zipWithIndex.init.foldLeft(null: Column) {
+      case (acc, (lang, i)) =>
+        val cond = langs.drop(i + 1).map(l2 => score(lang) >= score(l2)).reduce(_ && _)
+        if (acc == null) when(cond, lang) else acc.when(cond, lang)
+    }.otherwise(langs.last)
+    val claimedScore = langs.tail.foldLeft(when(claimed === langs.head,
+      score(langs.head))) { case (acc, lang) => acc.when(claimed === lang, score(lang)) }
+      .otherwise(lit(0L))
+    val predictedScore = langs.map(score).reduce(greatest(_, _))
+    (predicted, claimedScore, predictedScore)
+  }
+
+  /** The [[langClaimCheck]] vote model as composable Columns over raw
+    * text — for top-level projections, where Catalyst's subexpression
+    * elimination shares the content scans across the three outputs.
+    */
+  def langVoteColumns(t: Column, claimed: Column): (Column, Column, Column) = {
+    val scores = langVoteScores(t).toMap
+    langVoteFromScores(scores, claimed)
+  }
+
   /** Language-claim validation — the referential-style check on the
     * corpus's `lang` column (input_hint schema): does the CONTENT look
     * like the language the metadata claims? Each language's markers
@@ -402,29 +445,6 @@ object CodeAnalysis {
     * Output: (id, lang, predicted_lang, claimed_score,
     * predicted_score) — violations only.
     */
-  /** The [[langClaimCheck]] vote model as composable Columns:
-    * (predicted lang via first-in-order argmax, the claimed lang's own
-    * score, the winning score) — shared with the curation verdict so
-    * the mismatch rule costs no second scan.
-    */
-  def langVoteColumns(t: Column, claimed: Column): (Column, Column, Column) = {
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => when(t.contains(m), 1L).otherwise(0L)).reduce(_ + _)
-    }
-    // first-in-order argmax: lang wins when its score >= every LATER
-    // lang's score (earlier langs already lost their own comparison)
-    val predicted = scores.zipWithIndex.init.foldLeft(null: Column) {
-      case (acc, ((lang, s), i)) =>
-        val cond = scores.drop(i + 1).map { case (_, s2) => s >= s2 }.reduce(_ && _)
-        if (acc == null) when(cond, lang) else acc.when(cond, lang)
-    }.otherwise(scores.last._1)
-    val claimedScore = scores.tail.foldLeft(when(claimed === scores.head._1,
-      scores.head._2)) { case (acc, (lang, s)) => acc.when(claimed === lang, s) }
-      .otherwise(lit(0L))
-    val predictedScore = scores.map(_._2).reduce(greatest(_, _))
-    (predicted, claimedScore, predictedScore)
-  }
-
   def langClaimCheck(df: DataFrame, idCol: String, langCol: String,
                      textCol: String, minVotes: Int = 2): DataFrame = {
     require(minVotes >= 1, s"minVotes = $minVotes must be >= 1")
@@ -467,30 +487,46 @@ object CodeAnalysis {
                           pathCol: String, textCol: String,
                           headChars: Int = 2048, maxLineLen: Int = 1000,
                           avgLineLen: Int = 300, minVotes: Int = 2): DataFrame = {
+    // same guards as the standalone operators — the fused verdict must
+    // agree with them, and headChars = 0 would silently disarm the
+    // license and generated-marker gates instead of throwing
+    require(headChars >= 1, s"headChars = $headChars must be >= 1")
+    require(maxLineLen >= 1 && avgLineLen >= 1, "line-length thresholds must be >= 1")
+    require(minVotes >= 1, s"minVotes = $minVotes must be >= 1")
     val t = coalesce(colExact(textCol), lit(""))
-    val head = substring(t, 1, headChars)
     val known = langMarkers.map(_._1)
-    val (predicted, claimedScore, predictedScore) =
-      langVoteColumns(t, colExact(langCol))
-    val mismatch = colExact(langCol).isin(known: _*) &&
-      predicted =!= colExact(langCol) &&
-      predictedScore >= minVotes && predictedScore > claimedScore
     df.select(
       colExact(idCol),
       colExact(langCol),
-      Dedup.let(pathClass(colExact(pathCol))) { pc =>
-        Dedup.let(concat_ws(",",
-          when(pc =!= "source", "path"),
-          when(TextAnalysis.licenseFamilyColumn(head) === "gpl", "license"),
-          when(TextAnalysis.hasSecretColumn(t), "secret"),
-          when(TextAnalysis.markedGeneratedColumn(head) ||
-            TextAnalysis.minifiedColumn(split(t, "\n", -1), maxLineLen, avgLineLen),
-            "generated"),
-          when(!TextAnalysis.encodingCleanColumn(t), "encoding"),
-          when(mismatch, "lang_mismatch"))) { reasons =>
-          struct(pc.as("path_class"),
-            (reasons === "").as("keep"),
-            reasons.as("reasons"))
+      // everything below lives inside let lambdas, where Catalyst does
+      // NO subexpression elimination — so the 16 marker scans bind once
+      // as a score struct, and head / the line split bind once each,
+      // instead of re-scanning the content per reference
+      Dedup.let(struct(langVoteScores(t).map { case (lang, s) =>
+        s.as(s"s_$lang") }: _*)) { sc =>
+        val (predicted, claimedScore, predictedScore) =
+          langVoteFromScores(l => sc.getField(s"s_$l"), colExact(langCol))
+        val mismatch = colExact(langCol).isin(known: _*) &&
+          predicted =!= colExact(langCol) &&
+          predictedScore >= minVotes && predictedScore > claimedScore
+        Dedup.let(substring(t, 1, headChars)) { head =>
+          Dedup.let(split(t, "\n", -1)) { lines =>
+            Dedup.let(pathClass(colExact(pathCol))) { pc =>
+              Dedup.let(concat_ws(",",
+                when(pc =!= "source", "path"),
+                when(TextAnalysis.licenseFamilyColumn(head) === "gpl", "license"),
+                when(TextAnalysis.hasSecretColumn(t), "secret"),
+                when(TextAnalysis.markedGeneratedColumn(head) ||
+                  TextAnalysis.minifiedColumn(lines, maxLineLen, avgLineLen),
+                  "generated"),
+                when(!TextAnalysis.encodingCleanColumn(t), "encoding"),
+                when(mismatch, "lang_mismatch"))) { reasons =>
+                struct(pc.as("path_class"),
+                  (reasons === "").as("keep"),
+                  reasons.as("reasons"))
+              }
+            }
+          }
         }
       }.as("v"))
       .select(colExact(idCol), colExact(langCol), col("v.*"))
@@ -520,6 +556,8 @@ object CodeAnalysis {
     require(!Set("n_docs", "frac_licensed", "frac_secret", "frac_generated",
       "frac_clean").contains(langCol),
       s"langCol = $langCol collides with a hygieneProfile output column")
+    require(headChars >= 1, s"headChars = $headChars must be >= 1")
+    require(maxLineLen >= 1 && avgLineLen >= 1, "line-length thresholds must be >= 1")
     val t = coalesce(colExact(textCol), lit(""))
     val head = substring(t, 1, headChars)
     def flag(c: Column) = when(c, 1L).otherwise(0L)

@@ -551,10 +551,17 @@ object TextAnalysis {
     * decision chain as a composable Column so corpus-level rollups
     * ([[CodeAnalysis.hygieneProfile]]) fuse it into one scan with the
     * other compliance signals. SPDX tag first, marker phrases second,
-    * first match wins in a fixed order.
+    * first match wins in a fixed order. The SPDX extraction is
+    * let-bound: the chain reads it nine times, and inside a HOF
+    * lambda (the curation verdict) each read would otherwise re-run
+    * the regex over the head.
     */
-  def licenseFamilyColumn(head: Column): Column = {
-    val spdx = spdxColumn(head)
+  def licenseFamilyColumn(head: Column): Column =
+    Dedup.let(spdxColumn(head)) { spdx =>
+      licenseFamilyFromSpdx(spdx, head)
+    }
+
+  private def licenseFamilyFromSpdx(spdx: Column, head: Column): Column = {
     when(lower(spdx).startsWith("mit"), "mit")
         .when(lower(spdx).startsWith("apache"), "apache")
         .when(lower(spdx).startsWith("gpl") || lower(spdx).startsWith("agpl") ||
@@ -693,8 +700,9 @@ object TextAnalysis {
     * replacement characters left by a lossy transcode), stray control
     * characters (class excludes \t \n \r — those are legitimate
     * layout), a leading U+FEFF BOM, and the line-ending profile
-    * (lf | crlf | mixed | none, with lone-CR counted separately —
-    * classic-Mac or truncated-CRLF damage). `is_clean` is the
+    * (lf | crlf | cr | mixed | none — `cr` is the classic-Mac
+    * single-style case, and lone CRs are also counted separately as
+    * truncated-CRLF damage). `is_clean` is the
     * conservative keep verdict: no replacement chars, no control
     * chars, no BOM, no lone CR (a pure-CRLF or even mixed LF/CRLF
     * file is still trainable text; NUL-bearing files fail via the
@@ -729,6 +737,7 @@ object TextAnalysis {
                     when(crlf === 0L && loneLf === 0L && loneCr === 0L, "none")
                       .when(loneLf === 0L && loneCr === 0L, "crlf")
                       .when(crlf === 0L && loneCr === 0L, "lf")
+                      .when(crlf === 0L && loneLf === 0L, "cr")
                       .otherwise("mixed").as("line_ending"),
                     bom.as("has_bom"),
                     (repl === 0L && ctl === 0L && !bom && loneCr === 0L)

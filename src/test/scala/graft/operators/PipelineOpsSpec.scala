@@ -1085,7 +1085,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(2L).getAs[String]("line_ending") == "crlf" && r(2L).getAs[Boolean]("is_clean"))
     assert(r(2L).getAs[Long]("n_crlf") == 2L && r(2L).getAs[Long]("n_lone_lf") == 0L)
     assert(r(3L).getAs[String]("line_ending") == "mixed" && r(3L).getAs[Boolean]("is_clean"))
-    assert(r(4L).getAs[String]("line_ending") == "mixed" && r(4L).getAs[Long]("n_lone_cr") == 1L)
+    assert(r(4L).getAs[String]("line_ending") == "cr" && r(4L).getAs[Long]("n_lone_cr") == 1L)
     assert(!r(4L).getAs[Boolean]("is_clean")) // lone CR is damage
     assert(r(5L).getAs[Long]("n_replacement") == 1L && r(5L).getAs[Long]("n_control") == 1L)
     assert(!r(5L).getAs[Boolean]("is_clean"))
