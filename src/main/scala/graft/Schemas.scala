@@ -48,6 +48,28 @@ object Schemas {
       |  }
       |}""".stripMargin
 
+  /** Content-only revision of [[document]] for the incremental-
+    * validation ledger: the same rules minus the doc_id keywords —
+    * cached verdicts must be functions of the digested content columns
+    * alone (IncrementalValidate refuses schemas that read outside the
+    * digest).
+    */
+  val documentContent: String =
+    """{
+      |  "id": "http://graft.local/document-content",
+      |  "type": "object",
+      |  "required": ["text", "lang", "source"],
+      |  "properties": {
+      |    "text":    {"type": "string", "minLength": 50, "maxLength": 520},
+      |    "lang":    {"enum": ["en", "de", "fr", "es"]},
+      |    "source":  {"$ref": "#/definitions/shortSource"},
+      |    "n_chars": {"type": "integer", "maximum": 500}
+      |  },
+      |  "definitions": {
+      |    "shortSource": {"type": "string", "pattern": "^src[0-9]$"}
+      |  }
+      |}""".stripMargin
+
   /** Tightened revision of [[document]] — used by the verdict-diff set
     * operation (docs passing the current schema but failing the
     * proposed one). Fast-path expressible by construction.

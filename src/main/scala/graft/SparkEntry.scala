@@ -160,6 +160,7 @@ object SparkEntry {
   private lazy val docTagsSchema = Validate.compileSchema(Schemas.docTags)
   private lazy val documentStrictSchema = Validate.compileSchema(Schemas.documentStrict)
   private lazy val eventPropsSchema = Validate.compileSchema(Schemas.eventProps)
+  private lazy val documentContentSchema = Validate.compileSchema(Schemas.documentContent)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -473,6 +474,25 @@ object SparkEntry {
       require(second.isEmpty, "resume run must process zero pending partitions")
       graft.operators.Checkpoint.readStageOutput(s, ckpt, "validate")
         .groupBy("keyword").agg(count(lit(1)).as("n"))
+    }),
+
+    // content-addressed INCREMENTAL validation: a prior run's verdict
+    // ledger (built over the even-doc_id half, staged once per session
+    // as the durable artifact it is) lets the full-corpus run validate
+    // only digests it has never seen; the oracle replays a FULL
+    // revalidation — equality is the whole contract (cached verdicts
+    // are functions of content alone)
+    "x_incr_validate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val contentCols = Seq("text", "lang", "source", "n_chars")
+      val ledgerPath = sessionScratch(s, dir, "incrval") + "/ledger"
+      if (!new java.io.File(s"$ledgerPath/_SUCCESS").exists())
+        graft.spark.IncrementalValidate.buildLedger(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), contentCols, documentContentSchema)
+          .write.mode("overwrite").parquet(ledgerPath)
+      graft.spark.IncrementalValidate.incrementalViolations(
+        docs, contentCols, Seq("doc_id"), documentContentSchema,
+        s.read.parquet(ledgerPath))._1
     }),
 
     // --- training-data pipeline ops (dedup / similarity / text) ------
@@ -1298,6 +1318,19 @@ object SparkEntry {
           round(col("overlap"), 6).as("overlap"))
     }),
 
+    // Bloom-prefiltered exact-tier decontamination: same fixture and
+    // SAME ORACLE as d_contam_exact — the bloom prefilter has no false
+    // negatives and the exact verify join removes the false positives,
+    // so the beyond-broadcast tier must reproduce the broadcast tier
+    // row for row (the driver gate proves it, not just the spec)
+    "d_contam_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val eval = docs.where(pmod(col("doc_id"), lit(41)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      graft.operators.Decontamination.bloomContamination(
+        docs, "doc_id", "text", eval, "eval_id", "text", fpp = 0.01)
+    }),
+
     // corpus-level top-20 3-grams via the mergeable Misra-Gries
     // summary — capacity 65536 exceeds the corpus's distinct-3-gram
     // count at every shipped SF (16k at sf0.01, 27k at sf0.1), so no
@@ -1923,6 +1956,27 @@ object SparkEntry {
         |  SELECT 'maximum' FROM documents WHERE n_chars > 500
         |) GROUP BY keyword""".stripMargin,
 
+    // mirrors IncrementalValidate: the oracle is a FULL revalidation
+    // of the whole corpus under the content-only schema — the
+    // incremental path (cached even-half ledger + fresh odd-half
+    // verdicts) must be indistinguishable from it
+    "x_incr_validate" ->
+      """SELECT doc_id, 'enum' AS keyword, '/lang' AS json_pointer,
+        |       'Enum error. The data must be equal to one of the allowed values.' AS message
+        |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL
+        |SELECT doc_id, 'minLength', '/text', 'String length must be at least 50 characters.'
+        |  FROM documents WHERE length(text) < 50
+        |UNION ALL
+        |SELECT doc_id, 'maxLength', '/text', 'String length must be at most 520 characters.'
+        |  FROM documents WHERE length(text) > 520
+        |UNION ALL
+        |SELECT doc_id, 'pattern', '/source', 'String must match the pattern: "^src[0-9]$".'
+        |  FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |UNION ALL
+        |SELECT doc_id, 'maximum', '/n_chars', 'Value must be at most 500.'
+        |  FROM documents WHERE n_chars > 500""".stripMargin,
+
     "c_stats_rollup" ->
       """SELECT lang, source, count(*) AS n_rows,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -2409,6 +2463,21 @@ object SparkEntry {
     // xxhash64 of the normalized text, the oracle on the normalized
     // STRING — identical pairs barring 64-bit collisions
     "d_contam_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id AS train_id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id AS eval_id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
+        |  FROM documents WHERE doc_id % 41 = 0)
+        |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
+
+    // mirrors Decontamination.bloomContamination, whose contract is
+    // row-for-row equality with the exact tier: the oracle IS
+    // d_contam_exact's (bloom false positives must all die in the
+    // verify join)
+    "d_contam_bloom" ->
       """WITH t AS (
         |  SELECT doc_id AS train_id,
         |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Driver-built Bloom filter → codegen'd probe Column.
+  *
+  * Wraps Spark's own `BloomFilterMightContain` expression (the one its
+  * runtime row-level-filtering injects) around a serialized
+  * `org.apache.spark.util.sketch.BloomFilter`, so a filter built once
+  * on the driver (e.g. over an eval corpus's content keys) becomes a
+  * WholeStageCodegen predicate on a 64-bit key column — the
+  * beyond-broadcast membership prefilter: ~`-n·ln(fpp)/ln(2)²` bits
+  * total (≈ 10 bits/key at fpp 1%) versus the ~10+ bytes/key a
+  * broadcast hash relation costs, with no join in the plan at all.
+  *
+  * No reference counterpart (/root/reference validates one JSON value
+  * at a time); this is engine-scale infrastructure for the two-table
+  * operators. Probe semantics: NULL key → NULL (rows with no key fail
+  * a WHERE on the probe, matching the equi-join they replace); no
+  * false negatives, `fpp` false positives — callers compose an exact
+  * verify on the surviving sliver.
+  */
+object BloomProbe {
+
+  /** Serialize a sketch BloomFilter to the wire form
+    * `BloomFilterMightContain` deserializes.
+    */
+  def serialize(bloom: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `might_contain(<bloom literal>, key)` — key must be LongType. */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    toColumn(BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
+      toExpression(key)))
+}

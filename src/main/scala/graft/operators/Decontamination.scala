@@ -91,6 +91,45 @@ object Decontamination {
   private def hashedShingleSet(text: Column, shingleN: Int): Column =
     array_distinct(transform(Dedup.shingles(text, shingleN), s => xxhash64(s)))
 
+  /** Exact-tier contamination behind a Bloom prefilter — the
+    * beyond-broadcast scale path. [[exactContamination]] broadcasts the
+    * eval key FRAME (hash relation: ~tens of bytes per key); once the
+    * eval suite grows past comfortable broadcast size, this tier ships
+    * only a Bloom filter over the same keys (≈10 bits/key at fpp 1% —
+    * one to two orders of magnitude smaller) and probes it INSIDE the
+    * training scan via Spark's own codegen'd `might_contain`
+    * expression, so clean rows exit with no join in their plan at all.
+    * The surviving sliver (true matches + `fpp` false positives) then
+    * takes the exact key equi-join, which removes every false positive
+    * — Bloom filters have no false negatives, so the result provably
+    * equals [[exactContamination]] row for row. The verify join is NOT
+    * broadcast-hinted: its build side is the eval keys again, and at
+    * the scale where this tier matters AQE should choose (the fixture
+    * scale picks broadcast on its own).
+    *
+    * The filter itself is built DISTRIBUTED (`stat.bloomFilter`
+    * aggregates per-partition filters and ORs them on the driver); the
+    * one driver-side `count()` sizes it. Deterministic: the bit array
+    * depends only on the key set.
+    */
+  def bloomContamination(train: DataFrame, trainId: String, trainText: String,
+                         eval: DataFrame, evalId: String, evalText: String,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp = $fpp outside (0, 1)")
+    val e = eval.select(colExact(evalId).as("eval_id"),
+      contentKey(colExact(evalText)).as("__k"))
+      .where(col("__k").isNotNull)
+    val keys = e.select("__k").distinct()
+    val n = math.max(1L, keys.count())
+    val bloomBytes = graft.functions.BloomProbe.serialize(
+      keys.stat.bloomFilter("__k", n, fpp))
+    val t = train.select(colExact(trainId).as("train_id"),
+      contentKey(colExact(trainText)).as("__k"))
+    t.where(graft.functions.BloomProbe.mightContain(bloomBytes, col("__k")))
+      .join(e, "__k")
+      .select("train_id", "eval_id")
+  }
+
   def ngramContamination(train: DataFrame, trainId: String, trainText: String,
                          eval: DataFrame, evalId: String, evalText: String,
                          minOverlap: Double = 0.5, shingleN: Int = 3): DataFrame = {

@@ -913,6 +913,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (3L, 10L), (4L, 10L)))
   }
 
+  test("bloom-tier contamination ≡ exact tier, with the probe inside the scan") {
+    val train = Seq((1L, "Hello  World "), (2L, "other text"), (3L, "hello world"),
+      (4L, "\thello world\n"), (5L, null.asInstanceOf[String])) ++
+      (100L to 160L).map(i => (i, s"filler document number $i with unique content"))
+    val eval = Seq((10L, "hello world"), (11L, "filler document number 120 with unique content"),
+      (12L, null.asInstanceOf[String]))
+    val trainDf = train.toDF("id", "text")
+    val evalDf = eval.toDF("eid", "etext")
+    val bloom = Decontamination.bloomContamination(trainDf, "id", "text", evalDf, "eid", "etext")
+    val exact = Decontamination.exactContamination(trainDf, "id", "text", evalDf, "eid", "etext")
+    assert(bloom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the Bloom probe must sit in the plan as Spark's codegen'd
+    // might_contain predicate — a filter, not a join, for clean rows.
+    // (Asserted on the analyzed plan: over a local fixture the
+    // optimizer constant-folds the whole filter into the
+    // LocalTableScan, which is itself proof the predicate evaluates;
+    // PlanShapeSpec pins the Filter shape over a parquet scan.)
+    val plan = bloom.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan)
+    intercept[IllegalArgumentException] {
+      Decontamination.bloomContamination(trainDf, "id", "text", evalDf, "eid", "etext", fpp = 0.0)
+    }
+  }
+
+  test("bloom probe: no false negatives at tight fpp, NULL keys never match") {
+    import graft.functions.BloomProbe
+    val keys = (1L to 500L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(keys.size.toLong, 0.01)
+    keys.foreach(bloom.putLong)
+    val bytes = BloomProbe.serialize(bloom)
+    val df = (keys ++ Seq(123456789L)).map(Some(_)).:+(None: Option[Long]).toDF("k")
+    val hit = df.where(BloomProbe.mightContain(bytes, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.toSet.subsetOf(hit), "bloom filter produced a false negative")
+    assert(!hit.contains(-1L))
+    // NULL key row filtered out (probe yields NULL, WHERE drops it)
+    assert(df.where(BloomProbe.mightContain(bytes, col("k")).isNull).count() == 1)
+  }
+
   test("n-gram contamination: full containment of a quoted eval phrase, clean docs exit") {
     // phrase inside loremA AND loremB (the edit is outside it); 8
     // tokens → 6 distinct 3-shingles, all contained → overlap 1.0

@@ -1,0 +1,113 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-addressed incremental validation: the ledger caches one
+  * verdict per distinct content digest; a run validates only digests
+  * it has never seen and must be indistinguishable from a full
+  * revalidation.
+  */
+class IncrementalValidateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = Validate.compileSchema(
+    """{"properties":{
+      |  "text":{"minLength":5,"maxLength":20},
+      |  "lang":{"enum":["en","de"]}
+      |}}""".stripMargin)
+  private val contentCols = Seq("text", "lang")
+
+  // ids 1..6; 5 duplicates 1's content exactly, 6 is NULL text
+  private def corpus = Seq(
+    (1L, "hello world", "en"),
+    (2L, "x", "en"),                         // minLength
+    (3L, "a string that is far too long to pass", "en"), // maxLength
+    (4L, "valid text", "fr"),                // enum
+    (5L, "hello world", "en"),
+    (6L, null.asInstanceOf[String], "de"))
+    .toDF("doc_id", "text", "lang")
+
+  private def violSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("incremental result equals full revalidation, across ledger splits") {
+    val full = violSet(Validate.violations(corpus, schema, Seq("doc_id")))
+    assert(full.map(_._1) == Set(2L, 3L, 4L))
+    for (mod <- Seq(0L, 1L)) {
+      val prior = corpus.where(pmod(col("doc_id"), lit(2)) === mod)
+      val ledger = IncrementalValidate.buildLedger(prior, contentCols, schema)
+      val (viols, updated) = IncrementalValidate.incrementalViolations(
+        corpus, contentCols, Seq("doc_id"), schema, ledger)
+      assert(violSet(viols) == full, s"split mod=$mod")
+      // updated ledger covers every distinct digest exactly once
+      val nDistinct = corpus.select(IncrementalValidate.contentDigest(contentCols)).distinct().count()
+      assert(updated.count() == nDistinct)
+      assert(updated.select("ck").distinct().count() == nDistinct)
+    }
+  }
+
+  test("cached verdicts are REUSED, not recomputed (a poisoned ledger entry replays)") {
+    // poison the ledger: doc 1/5's content marked with a fake violation
+    val ck1 = corpus.where(col("doc_id") === 1)
+      .select(IncrementalValidate.contentDigest(contentCols)).head().getString(0)
+    val real = IncrementalValidate.buildLedger(corpus, contentCols, schema)
+    val poisoned = real.withColumn("viols",
+      when(col("ck") === ck1,
+        array(struct(lit("poison").as("keyword"), lit("/x").as("json_pointer"),
+          lit("cached").as("message"))))
+        .otherwise(col("viols")))
+    val (viols, _) = IncrementalValidate.incrementalViolations(
+      corpus, contentCols, Seq("doc_id"), schema, poisoned)
+    val got = violSet(viols)
+    // BOTH rows sharing the digest replay the cached (poisoned) verdict
+    assert(got.contains((1L, "poison", "/x", "cached")))
+    assert(got.contains((5L, "poison", "/x", "cached")))
+  }
+
+  test("incremental pass is idempotent: feeding the updated ledger back changes nothing") {
+    val ledger = IncrementalValidate.buildLedger(
+      corpus.where(col("doc_id") <= 3), contentCols, schema)
+    val (v1, l1) = IncrementalValidate.incrementalViolations(
+      corpus, contentCols, Seq("doc_id"), schema, ledger)
+    val (v2, l2) = IncrementalValidate.incrementalViolations(
+      corpus, contentCols, Seq("doc_id"), schema, l1)
+    assert(violSet(v1) == violSet(v2))
+    assert(l1.count() == l2.count())
+    assert(l2.join(l1, Seq("ck"), "left_anti").count() == 0)
+  }
+
+  test("schemas reaching outside the digest are refused, not silently skipped") {
+    val wide = Validate.compileSchema(
+      """{"properties":{"text":{"minLength":5},"doc_id":{"minimum":0}}}""")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalValidate.buildLedger(corpus, contentCols, wide)
+    }
+    assert(e.getMessage.contains("doc_id"))
+    // ...including through combinators and required
+    val viaAllOf = Validate.compileSchema(
+      """{"allOf":[{"required":["extra_col"]}]}""")
+    intercept[IllegalArgumentException] {
+      IncrementalValidate.buildLedger(corpus, contentCols, viaAllOf)
+    }
+    // dynamic property sets can never be digest-covered
+    for (dyn <- Seq(
+      """{"patternProperties":{"^t":{"minLength":1}}}""",
+      """{"additionalProperties":false}""",
+      """{"maxProperties":10}""")) {
+      intercept[IllegalArgumentException] {
+        IncrementalValidate.buildLedger(corpus, contentCols, Validate.compileSchema(dyn))
+      }
+    }
+  }
+
+  test("reserved ledger column names are refused loudly") {
+    val clash = corpus.withColumn("viols", lit(1))
+    intercept[IllegalArgumentException] {
+      IncrementalValidate.incrementalViolations(clash, contentCols, Seq("doc_id"), schema,
+        IncrementalValidate.buildLedger(corpus, contentCols, schema))
+    }
+  }
+}

@@ -35,6 +35,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("bloom decontamination probes might_contain in a Filter before any join") {
+    val eval = src.select(col("commit").as("eval_commit"), col("content")).limit(30)
+    val p = Decontamination.bloomContamination(
+      src, "commit", "content", eval, "eval_commit", "content")
+      .queryExecution.executedPlan.toString
+    // the Bloom membership test is a per-row predicate in the TRAIN
+    // scan's Filter — clean rows die before the verify join ever sees
+    // them (the beyond-broadcast prefilter shape)
+    assert(p.contains("might_contain"), p)
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"probe filter must sit under the verify join, not above it\n$p")
+  }
+
   test("bucketed referential join plans with NO exchange and NO sort on either side") {
     val fact = src.select("repo", "path", "commit")
     val dim = SourceTable.knownCommits(src)
