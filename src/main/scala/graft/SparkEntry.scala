@@ -832,6 +832,35 @@ object SparkEntry {
       StreamingDedup.survivors(s, sink).select("doc_id", "lang", "batch_id")
     }),
 
+    // STREAMING drift monitor under the batch oracle: two micro-batch
+    // shares of per-window×bucket histograms land exactly-once through
+    // the ledger sink (batch 0 re-delivered — must skip), compact, then
+    // per-window PSI/KS vs the static baseline histogram. Planted
+    // drift: docs in the later event-time window get n_chars + 300 —
+    // window 2's PSI must read high while window 1's stays near zero,
+    // and the oracle replays the whole pipeline (windowing, clamped
+    // buckets, eps-regularized PSI/KS over the full grid) in SQL
+    "x_stream_drift" -> ((s, dir) => {
+      import graft.streaming.{StreamingDrift, StreamingSink}
+      val docs = table(s, dir, "documents")
+        .withColumn("v",
+          when(pmod(col("doc_id"), lit(8)) >= 4 && pmod(col("doc_id"), lit(3)) === 0,
+            col("n_chars") + 300).otherwise(col("n_chars")))
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(8)) * 60))
+      val sink = sessionScratch(s, dir, "sdrift") + "/hists"
+      def land(m: Int, id: Long): Unit = StreamingDrift.processBatch(
+        docs.where(pmod(col("doc_id"), lit(2)) === m), "ts", "v",
+        lo = 0.0, hi = 600.0, buckets = 12, windowDur = "240 seconds", sink, id)
+      land(0, 0L); land(1, 1L); land(0, 0L) // at-least-once replay — no-op
+      StreamingSink.compact(s, sink, partCol = "window_start")
+      StreamingDrift.driftScores(s,
+        StreamingDrift.committedHistograms(s, sink),
+        graft.operators.Drift.histogram(
+          table(s, dir, "documents"), "n_chars", 0.0, 600.0, 12),
+        buckets = 12)
+    }),
+
     // sink round-trip: the violation set written through the manifest-
     // committed, keyword-partitioned sink, read back for ONE keyword
     // (partition pruning on the keyword directory) — exercises the
@@ -1277,6 +1306,22 @@ object SparkEntry {
             pmod(col("doc_id"), lit(89)), lit("00")).as("text")),
         "doc_id", "text")),
 
+    // maintenance-marker scan: planted TODO/FIXME/HACK/XXX comment
+    // tails (lowercase "todo" in prose deliberately planted too — the
+    // uppercase-convention regexes must not count it); per-doc counts
+    // + per-100-lines density
+    "t_todo_scan" -> ((s, dir) =>
+      graft.operators.TextAnalysis.maintenanceScan(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit("\n// TODO fix this later")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("\n# FIXME broken edge case\n// HACK")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              lit(" XXX todo lowercase must not count")).otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
     // Gopher-style repetition metrics: dup-line and dup-n-gram char
     // fractions. The sf documents are single-line, so each doc gets a
     // deterministic injected tail (same move as t_redact's PII): two
@@ -1351,6 +1396,27 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "shard", "bin")
     }),
 
+    // robust per-lang length outliers: modified z-score on median/MAD
+    // (exact-percentile verification tier; the approx sketch tier is
+    // spec-pinned against it). Planted extremes: every 97th doc's
+    // n_chars ×25 — the gate must find them without the robust center
+    // moving
+    "c_robust_outliers" -> ((s, dir) =>
+      graft.operators.Stats.robustOutliers(
+        table(s, dir, "documents").withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(97)) === 0, col("n_chars") * 25)
+            .otherwise(col("n_chars"))),
+        Seq("lang"), "n_chars", Seq("doc_id"))),
+
+    // order-independent cross-engine corpus digest: per-bucket count +
+    // sum + xor over a 56-bit sha-256 slice of the canonical row
+    // rendering — the oracle computes the SAME digest in DuckDB, so a
+    // pass proves both engines hold the identical row multiset (the
+    // north rule's sha-256 row invariant lifted to corpus level)
+    "c_corpus_digest" -> ((s, dir) =>
+      graft.operators.Stats.corpusDigest(
+        table(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // schema-inference profile: one-scan per-column nulls/distinct/
     // bounds/lengths (the exact-distinct oracle-checkable table;
     // inferSchema's approx-gated path is the 100 TB variant, and its
@@ -1409,6 +1475,16 @@ object SparkEntry {
       graft.operators.Sampling.sampleByGroup(
         table(s, dir, "documents").select("doc_id", "lang"),
         Seq("lang"), Seq("doc_id"), target = 70L)
+        .select("doc_id", "lang")),
+
+    // temperature-scaled mixture: per-lang targets ∝ count^0.5
+    // normalized to 200 rows total (tail langs upweighted, head
+    // downsampled), kept by the same deterministic md5 buckets —
+    // target computation AND membership replay exactly
+    "x_corpus_temp" -> ((s, dir) =>
+      graft.operators.Sampling.sampleByTemperature(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), Seq("doc_id"), totalTarget = 200L, tau = 0.5)
         .select("doc_id", "lang")),
 
     // multimodal: binary columns + batched stub decode + frame sampling
@@ -1692,6 +1768,21 @@ object SparkEntry {
         |WHERE c.cnt <= 70 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
         |  lower(lpad(hex(greatest(CAST(floor(70.0 * 4294967296 / c.cnt) AS BIGINT), 1)), 8, '0'))""".stripMargin,
 
+    // mirrors Sampling.sampleByTemperature: count^τ normalization,
+    // [1, count] clamp, then x_corpus_mix's md5-bucket membership —
+    // pow() on both sides (not sqrt) so the one floating-point step is
+    // the same library call shape
+    "x_corpus_temp" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT lang, cnt,
+        |    least(cnt, greatest(1, CAST(floor(200.0 * pow(CAST(cnt AS DOUBLE), 0.5) /
+        |      (SELECT sum(pow(CAST(cnt AS DOUBLE), 0.5)) FROM c)) AS BIGINT))) AS tgt
+        |  FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
+        |WHERE t.tgt >= t.cnt OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |  lower(lpad(hex(greatest(CAST(floor(t.tgt * 4294967296.0 / t.cnt) AS BIGINT), 1)), 8, '0'))""".stripMargin,
+
     "x_sink_roundtrip" ->
       """SELECT doc_id, 'minLength' AS keyword, '/text' AS json_pointer,
         |       'String length must be at least 50 characters.' AS message
@@ -1955,6 +2046,80 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'maximum' FROM documents WHERE n_chars > 500
         |) GROUP BY keyword""".stripMargin,
+
+    // mirrors StreamingDrift end to end: same planted drift and
+    // synthesized event times, tumbling windows as epoch floor-div,
+    // the same clamped equi-width buckets, and psiKsBy's exact
+    // eps-regularized PSI/KS over the full window×bucket grid — the
+    // sink's exactly-once ledger is what makes the counts match (a
+    // double-landed batch would inflate n_curr)
+    "x_stream_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 >= 4 AND doc_id % 3 = 0 THEN n_chars + 300 ELSE n_chars END AS v,
+        |    1700000000 + (doc_id % 8) * 60 AS ts
+        |  FROM documents),
+        |cur AS (
+        |  SELECT (ts // 240) * 240 AS window_start,
+        |    CAST(least(greatest(floor(v / 50.0), 0), 11) AS BIGINT) AS bucket,
+        |    count(*) AS n_curr
+        |  FROM d WHERE v IS NOT NULL GROUP BY 1, 2),
+        |base AS (
+        |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 11) AS BIGINT) AS bucket,
+        |    count(*) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |grid AS (
+        |  SELECT w.window_start, g.range AS bucket
+        |  FROM (SELECT DISTINCT window_start FROM cur) w CROSS JOIN range(12) g),
+        |j AS (
+        |  SELECT grid.window_start, grid.bucket,
+        |    coalesce(base.n, 0) AS n_base, coalesce(cur.n_curr, 0) AS n_curr
+        |  FROM grid LEFT JOIN base USING (bucket) LEFT JOIN cur USING (window_start, bucket)),
+        |pq AS (
+        |  SELECT window_start, bucket,
+        |    (n_base + 1e-6) / (sum(n_base) OVER (PARTITION BY window_start) + 1e-6) AS p,
+        |    (n_curr + 1e-6) / (sum(n_curr) OVER (PARTITION BY window_start) + 1e-6) AS q
+        |  FROM j),
+        |c AS (
+        |  SELECT *, sum(p) OVER (PARTITION BY window_start ORDER BY bucket) AS cdf_p,
+        |    sum(q) OVER (PARTITION BY window_start ORDER BY bucket) AS cdf_q FROM pq)
+        |SELECT CAST(window_start AS BIGINT) AS window_start,
+        |  sum((p - q) * ln(p / q)) AS psi, max(abs(cdf_p - cdf_q)) AS ks
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // mirrors Stats.robustOutliers: DuckDB's median()/mad() ARE the
+    // exact tier's percentile-of-values / percentile-of-abs-deviations
+    // (both engines interpolate even counts); same 0.6745 modified-z
+    // constant, threshold, zero-MAD arm, and 6dp rounding
+    "c_robust_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 25 ELSE n_chars END AS v
+        |  FROM documents),
+        |s AS (SELECT lang, median(v) AS med, mad(v) AS mad FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.lang, CAST(d.v AS DOUBLE) AS val, s.med, s.mad,
+        |  CASE WHEN s.mad > 0 THEN round(0.6745*(d.v - s.med)/s.mad, 6) END AS modified_z
+        |FROM d JOIN s USING (lang)
+        |WHERE (s.mad > 0 AND abs(0.6745*(d.v - s.med)/s.mad) > 3.5)
+        |   OR (s.mad = 0 AND d.v <> s.med)""".stripMargin,
+
+    // mirrors Stats.corpusDigest byte for byte: same U+0001 joins,
+    // U+0000 null sentinel, sha-256 prefix, 56-bit hex parse, bucket
+    // mod, and the sum rendered as a string so no engine's sum type or
+    // float comparator can blur it
+    "c_corpus_digest" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substring(sha256(concat_ws(chr(1),
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+        |    coalesce(text, chr(0)),
+        |    coalesce(lang, chr(0)),
+        |    coalesce(source, chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 14)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT hv % 32 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(hv) AS VARCHAR) AS digest_sum,
+        |  bit_xor(hv) AS digest_xor
+        |FROM h GROUP BY 1""".stripMargin,
 
     // mirrors IncrementalValidate: the oracle is a FULL revalidation
     // of the whole corpus under the content-only schema — the
@@ -2665,6 +2830,31 @@ object SparkEntry {
     // mirrors TextAnalysis.secretScan over the same planted tokens —
     // the SAME RE2-safe rule regexes replayed verbatim (doubled quotes
     // are SQL escaping for the cred_assign quote class)
+    // mirrors TextAnalysis.maintenanceScan: same planted tails, same
+    // word-boundary uppercase marker regexes (RE2 \b ≡ Java \b here),
+    // newline-count + 1 lines, 6dp density
+    "t_todo_scan" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '// TODO fix this later' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |          THEN chr(10) || '# FIXME broken edge case' || chr(10) || '// HACK' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ' XXX todo lowercase must not count' ELSE '' END)
+        |      AS content
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(content, '\bTODO\b')) AS BIGINT) AS n_todo,
+        |    CAST(len(regexp_extract_all(content, '\bFIXME\b')) AS BIGINT) AS n_fixme,
+        |    CAST(len(regexp_extract_all(content, '\bHACK\b')) AS BIGINT) AS n_hack,
+        |    CAST(len(regexp_extract_all(content, '\bXXX\b')) AS BIGINT) AS n_xxx,
+        |    CAST(len(regexp_extract_all(content, chr(10))) + 1 AS BIGINT) AS n_lines
+        |  FROM src)
+        |SELECT doc_id, n_todo, n_fixme, n_hack, n_xxx, n_lines,
+        |  n_todo + n_fixme + n_hack + n_xxx AS n_markers,
+        |  round((n_todo + n_fixme + n_hack + n_xxx) * 100.0 / n_lines, 6) AS markers_per_100_lines
+        |FROM c""".stripMargin,
+
     "t_secret_scan" ->
       """WITH src AS (
         |  SELECT doc_id, coalesce(text, '')

@@ -35,7 +35,7 @@ object Drift {
     * greatest in Spark's ordering), reporting corruption as "drift
     * toward high values" instead of excluding it.
     */
-  private def cleanValue(df: DataFrame, valueCol: String): Column = {
+  private[graft] def cleanValue(df: DataFrame, valueCol: String): Column = {
     // numeric view via Stats.asDouble: a plain cast("double") would
     // THROW under Spark 4's default ANSI mode on the first non-numeric
     // string — junk degrades to NULL (excluded) instead of killing the
@@ -91,13 +91,26 @@ object Drift {
     * ≤ `buckets` rows — the single-partition WindowExec warning is
     * expected and harmless at any corpus scale.
     */
-  def psiKs(hist: DataFrame, eps: Double = 1e-6): DataFrame = {
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("p", (col("n_base") + lit(eps)) / (sum("n_base").over(Window.partitionBy()) + lit(eps)))
-      .withColumn("q", (col("n_curr") + lit(eps)) / (sum("n_curr").over(Window.partitionBy()) + lit(eps)))
+  def psiKs(hist: DataFrame, eps: Double = 1e-6): DataFrame =
+    psiKsBy(hist, Seq.empty, eps)
+
+  /** [[psiKs]] per key group (e.g. one PSI/KS row per streaming
+    * window): identical formula with every window/aggregation
+    * partitioned by `keys`. With keys the CDF windows are
+    * key-partitioned, so the single-partition caveat above applies per
+    * key group (each still ≤ `buckets` rows).
+    */
+  def psiKsBy(hist: DataFrame, keys: Seq[String], eps: Double = 1e-6): DataFrame = {
+    val kcols = keys.map(graft.spark.ColumnCompiler.colExact)
+    val tot = Window.partitionBy(kcols: _*)
+    val w = Window.partitionBy(kcols: _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hist
+      .withColumn("p", (col("n_base") + lit(eps)) / (sum("n_base").over(tot) + lit(eps)))
+      .withColumn("q", (col("n_curr") + lit(eps)) / (sum("n_curr").over(tot) + lit(eps)))
       .withColumn("cdf_p", sum("p").over(w))
       .withColumn("cdf_q", sum("q").over(w))
+    scored.groupBy(kcols: _*)
       .agg(
         sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
         max(abs(col("cdf_p") - col("cdf_q"))).as("ks"))

@@ -154,4 +154,51 @@ object Sampling {
       hashBucket(keyCols.map(colExact)) +: keyCols.map(colExact), target)
       .drop("rank")
   }
+
+  /** Temperature-scaled mixture sampling — the standard training-
+    * mixture rebalancing move: per-group targets proportional to
+    * `count^tau`, normalized to `totalTarget` rows overall.
+    * `tau = 1` keeps the corpus's natural proportions (a uniform
+    * downsample), `tau = 0` asks for equal rows per group, and the
+    * usual `tau ∈ (0.3, 0.7)` band upweights tail groups (rare
+    * languages / sources) without letting the head drown them.
+    *
+    * Every group's target is clamped into `[1, count]`: sampling is
+    * without replacement (a group cannot yield more rows than it has —
+    * under-full groups keep everything and the realized total falls
+    * short of `totalTarget` honestly rather than over-drawing
+    * elsewhere), and no group silently vanishes. Rows are then kept by
+    * the same deterministic md5-bucket threshold as [[sampleByGroup]]
+    * (expected-value rate, engine-replayable); group targets depend on
+    * ALL group counts, so unlike [[sampleByGroup]] a rerun over a
+    * grown corpus re-draws rates — use the fixed-rate variant when
+    * rerun stability matters more than the mixture shape.
+    *
+    * Same 100 TB shape as [[sampleByGroup]]: one groups-sized count
+    * aggregate (the `count^tau` normalization rides it as a window
+    * over the TINY counts frame), broadcast back, corpus never
+    * shuffled.
+    */
+  def sampleByTemperature(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+                          totalTarget: Long, tau: Double): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")
+    require(tau >= 0.0 && tau <= 1.0, s"tau = $tau outside [0, 1]")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val cnt = "__graft_cnt"
+    val tgt = "__graft_tgt"
+    val gs = groupCols.indices.map(i => s"__graft_g$i")
+    val w = pow(col(cnt).cast("double"), tau)
+    val counts = df.groupBy(groupCols.map(colExact): _*).agg(count(lit(1)).as(cnt))
+      .toDF(gs :+ cnt: _*)
+      .withColumn(tgt, least(col(cnt), greatest(lit(1L),
+        floor(lit(totalTarget.toDouble) * w /
+          sum(w).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .cast("long"))))
+    val cond = groupCols.zip(gs).map { case (g, r) => colExact(g) <=> col(r) }.reduce(_ && _)
+    val thr = lower(lpad(hex(greatest(
+      floor(col(tgt).cast("double") * 4294967296.0 / col(cnt)), lit(1L))), 8, "0"))
+    df.join(broadcast(counts), cond)
+      .where(col(tgt) >= col(cnt) || hashBucket(keyCols.map(colExact)) < thr)
+      .drop(gs :+ cnt :+ tgt: _*)
+  }
 }

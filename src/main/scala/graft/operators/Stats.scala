@@ -32,7 +32,7 @@ object Stats {
     * `try_cast` (junk → NULL), everything else reports NULL numeric
     * stats while the type-agnostic counters still run.
     */
-  private[operators] def asDouble(df: DataFrame, c: String): Column =
+  private[graft] def asDouble(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case _: org.apache.spark.sql.types.NumericType |
            org.apache.spark.sql.types.BooleanType => colExact(c).cast("double")
@@ -192,5 +192,89 @@ object Stats {
       }: _*)
     }: _*)
     one.select(explode(rows).as("s")).select("s.*")
+  }
+
+  /** Robust per-group outlier detection: modified z-score
+    * (Iglewicz–Hoaglin) against the group's median and MAD —
+    * `0.6745·(v − median) / mad` — the length/size-anomaly gate that
+    * survives the exact corruption it hunts (mean/stddev move with the
+    * outliers; median/MAD don't). A zero-MAD group (>50% identical
+    * values) degenerates to "any v ≠ median is anomalous", flagged with
+    * NULL z rather than a division blow-up.
+    *
+    * `exact = true` (the verification tier — DuckDB-replayable via
+    * median()/mad()) computes TRUE percentiles, whose per-group state
+    * is the group's value list — fine for per-lang/per-repo-bucket
+    * groups, not for 10^12-row ones. `exact = false` is the 100 TB
+    * path: `percentile_approx` (Greenwald-Khanna, mergeable
+    * constant-size sketches). Same plan shape either way: two grouped
+    * aggs (median, then median of deviations — inherently sequential),
+    * group stats broadcast back, flags decided row-side in one final
+    * scan. NULL group keys never join back out (both engines drop
+    * them); NULL values are never flagged.
+    */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     keyCols: Seq[String], nSigma: Double = 3.5,
+                     exact: Boolean = true): DataFrame = {
+    require(nSigma > 0, s"nSigma = $nSigma must be positive")
+    val v = colExact(valueCol).cast("double")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5)) else percentile_approx(c, lit(0.5), lit(10000))
+    val gks = groupCols.map(colExact)
+    val g1 = df.groupBy(gks: _*).agg(med(v).as("med"))
+    val withMed = df.join(broadcast(g1), groupCols)
+    val g2 = withMed.groupBy(gks: _*).agg(med(abs(v - col("med"))).as("mad"))
+    val stats = g1.join(g2, groupCols)
+    val z = lit(0.6745) * (v - col("med")) / col("mad")
+    df.join(broadcast(stats), groupCols)
+      .where((col("mad") > 0 && abs(z) > nSigma) ||
+             (col("mad") === 0 && v =!= col("med")))
+      .select(keyCols.map(colExact) ++ groupCols.map(colExact) ++ Seq(
+        v.as("val"), col("med"), col("mad"),
+        when(col("mad") > 0, round(z, 6)).as("modified_z")): _*)
+  }
+
+  /** Order-independent, engine-portable corpus digest: per-bucket
+    * (n_rows, digest_sum, digest_xor) over a 56-bit slice of
+    * sha-256(canonical row rendering). The migration/replication
+    * check the north rule's per-row sha-256 invariant implies at
+    * corpus level — two engines (or two snapshots of one table) hold
+    * identical row MULTISETS iff every bucket row matches, provable in
+    * ONE scan + one tiny agg on each side, no row ever shipped.
+    *
+    * Canonical rendering: columns joined by U+0001 with U+0000 for
+    * NULL (control bytes that cannot appear in parquet text columns) — byte-identical in any engine for string and integral
+    * columns (floating-point columns are refused: engines disagree on
+    * decimal rendering). The digest pair is deliberately redundant:
+    * SUM is multiplicity-sensitive but could in principle be fooled by
+    * crafted cancellation, XOR catches that but self-cancels even
+    * multiplicities — together with the count a mismatch in any single
+    * row flips at least one of them. Bucketing by the hash gives the
+    * comparison resolution (a mismatch localizes to 1/`buckets` of the
+    * corpus) and bounds per-group agg state; `digest_sum` is rendered
+    * as a STRING so a 10^12-row bucket cannot overflow either engine's
+    * sum type or lose float precision in a comparator.
+    */
+  def corpusDigest(df: DataFrame, cols: Seq[String], buckets: Int = 32): DataFrame = {
+    require(buckets > 0, s"buckets = $buckets must be positive")
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          throw new IllegalArgumentException(
+            s"corpusDigest: column '$c' is floating-point — decimal renderings differ " +
+              "across engines; digest a fixed-point or string form instead")
+        case _ => ()
+      }
+    }
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(colExact(c).cast("string"), lit("\u0000"))): _*)
+    val hex = substring(sha2(canon, 256), 1, 14)
+    val hvLong = conv(hex, 16, 10).cast("long")
+    val hvDec = conv(hex, 16, 10).cast("decimal(20,0)")
+    df.select(hvLong.as("__hv"), hvDec.as("__hd"))
+      .groupBy(pmod(col("__hv"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__hd")).cast("string").as("digest_sum"),
+        bit_xor(col("__hv")).as("digest_xor"))
   }
 }

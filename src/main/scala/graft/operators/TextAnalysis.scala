@@ -623,6 +623,38 @@ object TextAnalysis {
       .withColumn("has_secret", col("n_secret_hits") > 0L)
   }
 
+  /** Maintenance-marker conventions, uppercase by construction —
+    * lowercase "todo" in prose must NOT count, so no (?i).
+    */
+  val maintenanceMarkers: Seq[(String, String)] = Seq(
+    "todo" -> "\\bTODO\\b",
+    "fixme" -> "\\bFIXME\\b",
+    "hack" -> "\\bHACK\\b",
+    "xxx" -> "\\bXXX\\b")
+
+  /** Maintenance-marker scan (TODO/FIXME/HACK/XXX): per-row marker
+    * counts plus density per 100 lines — a standard code-quality
+    * curation signal (heavily-flagged files skew toward abandoned or
+    * vendored code). Same zero-shuffle `regexp_count` shape as
+    * [[secretScan]]; n_lines counts newline-separated lines the way
+    * [[codeStats]] does (trailing newline ⇒ trailing empty line).
+    * NULL ≡ empty text.
+    */
+  def maintenanceScan(df: DataFrame, idCol: String, textCol: String,
+                      markers: Seq[(String, String)] = maintenanceMarkers): DataFrame = {
+    require(markers.nonEmpty, "maintenanceScan needs at least one marker")
+    val t = coalesce(colExact(textCol), lit(""))
+    val counts = markers.map { case (label, re) =>
+      regexp_count(t, lit(re)).cast("long").as(s"n_$label")
+    }
+    val total = markers.map { case (label, _) => col(s"n_$label") }.reduce(_ + _)
+    df.select(colExact(idCol) +: (counts :+
+        (regexp_count(t, lit("\n")) + 1L).cast("long").as("n_lines")): _*)
+      .withColumn("n_markers", total)
+      .withColumn("markers_per_100_lines",
+        round(col("n_markers") * 100.0 / col("n_lines"), 6))
+  }
+
   /** Boolean any-credential verdict as a composable Column — `rlike`
     * (find, not count) per rule so corpus rollups
     * ([[CodeAnalysis.hygieneProfile]]) pay the cheapest possible form

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.operators.Drift
+import graft.spark.ColumnCompiler.colExact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift monitoring: per-event-time-window
+  * equi-width histograms landed exactly-once, scored as PSI/KS against
+  * a checkpointed static baseline.
+  *
+  * The north rule's drift check ("distribution drift via PSI/KS on
+  * equi-width histograms compared against a checkpointed baseline")
+  * continuously, for an ingestion stream: no reference counterpart
+  * (/root/reference is batch-less single-instance validation); this is
+  * the [[graft.operators.Drift]] dataflow under Structured Streaming
+  * discipline.
+  *
+  * Split the way streaming aggregation limits demand (one aggregation
+  * per stream):
+  *
+  *  1. [[windowedHistogram]] — THE streaming aggregation: watermarked
+  *     tumbling-window × bucket counts, append-mode-finalizable (the
+  *     real `readStream` surface, spec-driven with MemoryStream).
+  *  2. [[processBatch]] — the `foreachBatch` landing body: a batch's
+  *     share of window×bucket counts appended through the
+  *     [[StreamingSink]] ledger (idempotent under at-least-once
+  *     replay), PARTITIONED BY window_start so a monitor reading
+  *     recent windows prunes old directories.
+  *  3. [[committedHistograms]] — read-back + per-(window, bucket) SUM
+  *     of the committed batch shares.
+  *  4. [[driftScores]] — tiny batch rollup: one PSI/KS row per window
+  *     against the static baseline histogram, over the full bucket
+  *     grid (windows × `spark.range(buckets)`) so empty buckets
+  *     regularize via eps exactly like the batch [[Drift.psiKs]].
+  *
+  * 100 TB shape: the stream pays ONE watermark-bounded aggregation
+  * whose state is (windows in flight × buckets) rows; the sink holds
+  * per-window histograms (KBs per window, not rows); scoring reads
+  * only histograms — the corpus is never re-scanned. PSI spikes in a
+  * landed window are the trigger to quarantine that window's raw
+  * partition, which is exactly the partition key the sink layout
+  * exposes.
+  */
+object StreamingDrift {
+
+  /** Watermarked tumbling-window histogram — works on a streaming OR
+    * batch frame (batch: window() degenerates to a plain group key;
+    * the watermark is a streaming-only no-op). Emits
+    * (window_start timestamp, bucket, n).
+    */
+  def windowedHistogram(stream: DataFrame, tsCol: String, valueCol: String,
+                        lo: Double, hi: Double, buckets: Int,
+                        windowDur: String, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val marked =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermarkDelay) else stream
+    marked.where(Drift.cleanValue(stream, valueCol))
+      .groupBy(window(colExact(tsCol), windowDur),
+        Drift.bucketCol(graft.operators.Stats.asDouble(stream, valueCol), lo, hi, buckets)
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("n"))
+  }
+
+  /** foreachBatch body: land this micro-batch's window×bucket counts
+    * exactly-once (ledger skips replayed batchIds), partitioned by
+    * window_start.
+    */
+  def processBatch(batch: DataFrame, tsCol: String, valueCol: String,
+                   lo: Double, hi: Double, buckets: Int, windowDur: String,
+                   sink: String, batchId: Long): Unit =
+    StreamingSink.appendBatch(
+      windowedHistogram(batch, tsCol, valueCol, lo, hi, buckets, windowDur),
+      sink, batchId, partCol = "window_start")
+
+  /** Committed per-(window, bucket) totals: batch shares summed,
+    * replayed batches excluded by the ledger.
+    */
+  def committedHistograms(spark: SparkSession, sink: String): DataFrame =
+    StreamingSink.readCommitted(spark, sink)
+      .groupBy(col("window_start"), col("bucket"))
+      .agg(sum(col("n")).as("n_curr"))
+
+  /** One (window_start, psi, ks) row per landed window vs the static
+    * baseline histogram (bucket, n) — [[Drift.psiKsBy]] over the full
+    * bucket grid, `window_start` carried as epoch seconds (engine-
+    * portable integers; timestamp rendering is not).
+    */
+  def driftScores(spark: SparkSession, windowHists: DataFrame, baseline: DataFrame,
+                  buckets: Int, eps: Double = 1e-6): DataFrame = {
+    val hists = windowHists.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("bucket"), col("n_curr"))
+    val grid = hists.select("window_start").distinct()
+      .crossJoin(spark.range(buckets).select(col("id").as("bucket")))
+    val joined = grid
+      .join(baseline.select(col("bucket"), col("n").as("n_base")), Seq("bucket"), "left")
+      .join(hists, Seq("window_start", "bucket"), "left")
+      .select(col("window_start"), col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    Drift.psiKsBy(joined, Seq("window_start"), eps)
+  }
+}

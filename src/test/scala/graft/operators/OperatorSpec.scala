@@ -76,6 +76,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(st("s").getLong(1) == 2) // count still runs for the string column
   }
 
+  test("robustOutliers: modified z on median/MAD, zero-MAD arm, approx tier agrees") {
+    import spark.implicits._
+    // group g: 9 values clustered at 100±2 plus one wild 500 — the
+    // robust center must NOT move (mean/stddev would); group h is
+    // constant except one deviant (MAD = 0 arm)
+    val rows = Seq.tabulate(9)(i => ("g", i.toLong, 98L + (i % 5))) ++ Seq(("g", 9L, 500L)) ++
+      Seq.tabulate(6)(i => ("h", 100L + i, 7L)) :+ (("h", 106L, 8L)) :+
+      (null.asInstanceOf[String], 200L, 999L) // NULL group never outputs
+    val df = rows.toDF("grp", "id", "v")
+    val got = Stats.robustOutliers(df, Seq("grp"), "v", Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got.map(t => (t._1, t._2)) == Set((9L, "g"), (106L, "h")))
+    // zero-MAD group reports NULL z
+    val hRow = Stats.robustOutliers(df, Seq("grp"), "v", Seq("id"))
+      .where(col("grp") === "h").head()
+    assert(hRow.getAs[Double]("mad") == 0.0 && hRow.isNullAt(hRow.fieldIndex("modified_z")))
+    // the sketch tier finds the same outliers on this fixture
+    val approx = Stats.robustOutliers(df, Seq("grp"), "v", Seq("id"), exact = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(approx == Set((9L, "g"), (106L, "h")))
+  }
+
+  test("corpusDigest: order/partitioning-invariant, multiset-sensitive, refuses floats") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha", null.asInstanceOf[String]), (2L, "beta", "x"),
+      (3L, "gamma", "y"), (4L, "delta", "z")).toDF("id", "t", "s")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Stats.corpusDigest(df, Seq("id", "t", "s"), buckets = 4)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val d0 = digest(base)
+    // row order and physical partitioning must not matter
+    assert(digest(base.repartition(7, col("t"))) == d0)
+    assert(digest(base.orderBy(col("t").desc)) == d0)
+    // a single changed value flips its bucket
+    assert(digest(base.withColumn("t",
+      when(col("id") === 3, "gamma2").otherwise(col("t")))) != d0)
+    // duplicating one row twice (even multiplicity — xor alone would
+    // self-cancel) still changes count and sum
+    val dup2 = base.union(base.where(col("id") === 2)).union(base.where(col("id") === 2))
+    val dd = digest(dup2)
+    assert(dd != d0 && dd.values.map(_._1).sum == 6)
+    // NULL vs empty string are distinct canonical renderings
+    assert(digest(base.withColumn("s",
+      when(col("id") === 1, "").otherwise(col("s")))) != d0)
+    intercept[IllegalArgumentException] {
+      Stats.corpusDigest(base.withColumn("f", lit(1.5)), Seq("id", "f"))
+    }
+  }
+
   test("simhash pigeonhole chunk count is an explicit recall knob") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

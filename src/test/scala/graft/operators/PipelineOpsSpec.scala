@@ -618,6 +618,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keptNull == Set(9001L, 9002L), s"null group lost: $keptNull")
   }
 
+  test("temperature sampling: τ=0 equalizes, τ=1 stays proportional, clamps honestly") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang")
+    val full = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nGroups = full.size
+    def keptBy(tau: Double, total: Long) =
+      Sampling.sampleByTemperature(d, Seq("lang"), Seq("doc_id"), total, tau)
+        .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // τ=0: every group targets total/nGroups (clamped by its size)
+    val eq = keptBy(0.0, 40L * nGroups)
+    full.foreach { case (lang, cnt) =>
+      val target = math.min(cnt, 40L)
+      assert(math.abs(eq(lang) - target) <= 20,
+        s"$lang kept ${eq(lang)}, τ=0 target $target") // 3σ of the hash draw
+    }
+    // τ=1: proportional — every group's keep rate ≈ the global rate
+    val total = full.values.sum
+    val prop = keptBy(1.0, total / 2)
+    full.foreach { case (lang, cnt) =>
+      assert(math.abs(prop(lang).toDouble / cnt - 0.5) < 0.25,
+        s"$lang rate ${prop(lang).toDouble / cnt} far from global 0.5")
+    }
+    // τ=0.5 sits between: tail groups keep MORE than proportional
+    val (tailLang, tailCnt) = full.minBy(_._2)
+    val temp = keptBy(0.5, total / 2)
+    assert(temp(tailLang) >= prop.getOrElse(tailLang, 0L),
+      s"tail $tailLang: τ=0.5 kept ${temp(tailLang)} < τ=1 kept ${prop.get(tailLang)}")
+    // deterministic rerun
+    assert(keptBy(0.5, total / 2) == temp)
+    intercept[IllegalArgumentException](
+      Sampling.sampleByTemperature(d, Seq("lang"), Seq("doc_id"), 10L, 1.5))
+  }
+
   test("exact group quota: exactly min(count, target) per group, hash-ranked") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "lang")
@@ -1012,6 +1046,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x).toMap
     assert(r(1L).getAs[Long]("n_lines") == 1L && r(1L).getAs[Long]("max_line_len") > 500L)
     assert(r(2L).getAs[Long]("n_lines") == 30L && r(2L).getAs[Long]("max_line_len") < 20L)
+  }
+
+  test("maintenanceScan counts uppercase markers at word boundaries only") {
+    val code = Seq(
+      (1L, "// TODO one\n// TODO two\nreal code\n# FIXME now"),
+      (2L, "todo lowercase and TODOS plural and XXXL size"), // none count
+      (3L, "XXX HACK"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "content")
+    val r = TextAnalysis.maintenanceScan(code, "id", "content").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_todo") == 2L && r(1L).getAs[Long]("n_fixme") == 1L)
+    assert(r(1L).getAs[Long]("n_markers") == 3L && r(1L).getAs[Long]("n_lines") == 4L)
+    assert(r(1L).getAs[Double]("markers_per_100_lines") == 75.0)
+    assert(r(2L).getAs[Long]("n_markers") == 0L)
+    assert(r(3L).getAs[Long]("n_xxx") == 1L && r(3L).getAs[Long]("n_hack") == 1L)
+    assert(r(4L).getAs[Long]("n_markers") == 0L && r(4L).getAs[Long]("n_lines") == 1L)
   }
 
   test("licenseScan extracts SPDX tags and falls back to marker phrases") {

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.Drift
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class ValEvent(id: Long, ts: Timestamp, v: Double)
+
+/** Streaming drift monitoring: watermarked windowed histograms finalize
+  * append-mode, land exactly-once through the ledger sink, and score
+  * PSI/KS per window against a static baseline.
+  */
+class StreamingDriftSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  // window 1 (10:00-10:05): values centered low; much later straggler
+  // advances the watermark far enough to finalize it
+  private val early = Seq(
+    ValEvent(1L, ts(0), 10.0), ValEvent(2L, ts(1), 20.0), ValEvent(3L, ts(2), 15.0),
+    ValEvent(4L, ts(3), 95.0))
+  private val straggler = Seq(ValEvent(99L, ts(40), 50.0))
+
+  test("streaming windowed histogram finalizes watermark-passed windows like batch") {
+    val mem = MemoryStream[ValEvent]
+    val q = StreamingDrift.windowedHistogram(mem.toDF(), "ts", "v",
+        lo = 0.0, hi = 100.0, buckets = 10, windowDur = "5 minutes",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("drift_hist")
+      .outputMode("append").start()
+    try {
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      mem.addData(straggler: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_hist")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batchW1 = StreamingDrift.windowedHistogram(early.toDF(), "ts", "v",
+        0.0, 100.0, 10, "5 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    // window 1 is past the watermark and must be emitted exactly as the
+    // batch computation of its rows; the straggler's window is still
+    // open and must NOT have been emitted
+    assert(batchW1.subsetOf(streamed), s"streamed=$streamed batch=$batchW1")
+    assert(!streamed.exists(_._1 == ts(40)))
+  }
+
+  test("histogram shares land exactly-once and score the planted drift per window") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    val sink = root + "/hists"
+    // two windows: w1 matches the baseline shape, w2 is shifted high
+    val w1 = Seq.tabulate(20)(i => ValEvent(i.toLong, ts(i % 4), (i % 10) * 10.0))
+    val w2 = Seq.tabulate(20)(i => ValEvent(100L + i, ts(10 + i % 4), 80.0 + (i % 2) * 10))
+    def land(rows: Seq[ValEvent], id: Long): Unit =
+      StreamingDrift.processBatch(rows.toDF(), "ts", "v", 0.0, 100.0, 10,
+        "5 minutes", sink, id)
+    land(w1, 0L); land(w2, 1L); land(w1, 0L) // replay — ledger must skip
+    StreamingSink.compact(spark, sink, partCol = "window_start")
+    val hists = StreamingDrift.committedHistograms(spark, sink)
+    // exactly-once: w1's 20 rows counted once despite the re-delivery
+    assert(hists.agg(sum("n_curr")).head().getLong(0) == 40L)
+    val baseline = Drift.histogram((w1 ++ w1).toDF(), "v", 0.0, 100.0, 10)
+    val scores = StreamingDrift.driftScores(spark, hists, baseline, buckets = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(scores.size == 2)
+    val Seq(s1, s2) = scores.toSeq.sortBy(_._1).map(_._2)
+    // w1 ≡ baseline → PSI ~ 0; w2 concentrated in the top buckets → large
+    assert(math.abs(s1._1) < 1e-3, s"w1 psi ${s1._1}")
+    assert(s2._1 > 1.0 && s2._2 > 0.5, s"w2 psi/ks $s2")
+    // the per-window scorer is the batch psiKs formula: replay window 2
+    // through Drift.psiKs on the same joined grid and compare exactly
+    val w2start = scores.keySet.max
+    val joined = spark.range(10).select(col("id").as("bucket"))
+      .join(baseline.withColumnRenamed("n", "n_base"), Seq("bucket"), "left")
+      .join(hists.where(unix_timestamp(col("window_start")) === w2start)
+        .select(col("bucket"), col("n_curr")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val ref = Drift.psiKs(joined).head()
+    assert(math.abs(ref.getDouble(0) - s2._1) < 1e-12)
+    assert(math.abs(ref.getDouble(1) - s2._2) < 1e-12)
+  }
+}
