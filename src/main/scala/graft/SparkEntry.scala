@@ -1676,6 +1676,24 @@ object SparkEntry {
       |   END) || coalesce(text, '') AS content
       |FROM documents""".stripMargin
 
+  /** ONE definition for the exact-tier contamination replay, bound by
+    * BOTH d_contam_exact and d_contam_bloom: the bloom tier's contract
+    * is row-for-row equality with the exact tier, so a normalization
+    * change edited into one copied string but not the other would
+    * silently desynchronize the two oracles (the same one-side-drift
+    * hazard hashedShingleSet single-sources on the engine side).
+    */
+  private val contamExactOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS train_id,
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id AS eval_id,
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
+      |  FROM documents WHERE doc_id % 41 = 0)
+      |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_stats_tdigest" -> Seq("l_quantity", "l_extendedprice").map { c =>
       s"""SELECT '$c' AS col_name,
@@ -1768,16 +1786,20 @@ object SparkEntry {
         |WHERE c.cnt <= 70 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
         |  lower(lpad(hex(greatest(CAST(floor(70.0 * 4294967296 / c.cnt) AS BIGINT), 1)), 8, '0'))""".stripMargin,
 
-    // mirrors Sampling.sampleByTemperature: count^τ normalization,
-    // [1, count] clamp, then x_corpus_mix's md5-bucket membership —
-    // pow() on both sides (not sqrt) so the one floating-point step is
-    // the same library call shape
+    // mirrors Sampling.sampleByTemperature: pow() is quantized to the
+    // integer 10^6 grid immediately (round(10^6·w/max w), clamp ≥ 1),
+    // so the normalization and targets are integer-exact on both
+    // engines; membership then replays x_corpus_mix's md5 buckets
     "x_corpus_temp" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cnt,
+        |    greatest(CAST(round(pow(CAST(cnt AS DOUBLE), 0.5) /
+        |      (SELECT max(pow(CAST(cnt AS DOUBLE), 0.5)) FROM c) * 1000000) AS BIGINT), 1) AS wq
+        |  FROM c),
         |t AS (SELECT lang, cnt,
-        |    least(cnt, greatest(1, CAST(floor(200.0 * pow(CAST(cnt AS DOUBLE), 0.5) /
-        |      (SELECT sum(pow(CAST(cnt AS DOUBLE), 0.5)) FROM c)) AS BIGINT))) AS tgt
-        |  FROM c)
+        |    least(cnt, greatest(1, CAST(floor(200.0 * wq /
+        |      (SELECT sum(wq) FROM w)) AS BIGINT))) AS tgt
+        |  FROM w)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         |WHERE t.tgt >= t.cnt OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
@@ -2103,18 +2125,19 @@ object SparkEntry {
         |WHERE (s.mad > 0 AND abs(0.6745*(d.v - s.med)/s.mad) > 3.5)
         |   OR (s.mad = 0 AND d.v <> s.med)""".stripMargin,
 
-    // mirrors Stats.corpusDigest byte for byte: same U+0001 joins,
-    // U+0000 null sentinel, sha-256 prefix, 56-bit hex parse, bucket
-    // mod, and the sum rendered as a string so no engine's sum type or
-    // float comparator can blur it
+    // mirrors Stats.corpusDigest byte for byte: the same injective
+    // <length>:<value> field rendering ('n' for NULL), sha-256 prefix,
+    // 56-bit hex parse, bucket mod, and the sum rendered as a string
+    // so no engine's sum type or float comparator can blur it
     "c_corpus_digest" ->
       """WITH h AS (
-        |  SELECT CAST(concat('0x', substring(sha256(concat_ws(chr(1),
-        |    coalesce(CAST(doc_id AS VARCHAR), chr(0)),
-        |    coalesce(text, chr(0)),
-        |    coalesce(lang, chr(0)),
-        |    coalesce(source, chr(0)),
-        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 14)) AS BIGINT) AS hv
+        |  SELECT CAST(concat('0x', substring(sha256(
+        |    (CASE WHEN doc_id IS NULL THEN 'n' ELSE concat(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':', CAST(doc_id AS VARCHAR)) END)
+        |    || (CASE WHEN text IS NULL THEN 'n' ELSE concat(CAST(length(text) AS VARCHAR), ':', text) END)
+        |    || (CASE WHEN lang IS NULL THEN 'n' ELSE concat(CAST(length(lang) AS VARCHAR), ':', lang) END)
+        |    || (CASE WHEN source IS NULL THEN 'n' ELSE concat(CAST(length(source) AS VARCHAR), ':', source) END)
+        |    || (CASE WHEN n_chars IS NULL THEN 'n' ELSE concat(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR), ':', CAST(n_chars AS VARCHAR)) END)
+        |  ), 1, 14)) AS BIGINT) AS hv
         |  FROM documents)
         |SELECT hv % 32 AS bucket, count(*) AS n_rows,
         |  CAST(sum(hv) AS VARCHAR) AS digest_sum,
@@ -2627,31 +2650,13 @@ object SparkEntry {
     // mirrors Decontamination.exactContamination: the engine joins on
     // xxhash64 of the normalized text, the oracle on the normalized
     // STRING — identical pairs barring 64-bit collisions
-    "d_contam_exact" ->
-      """WITH t AS (
-        |  SELECT doc_id AS train_id,
-        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id AS eval_id,
-        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
-        |  FROM documents WHERE doc_id % 41 = 0)
-        |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
+    "d_contam_exact" -> contamExactOracleSql,
 
     // mirrors Decontamination.bloomContamination, whose contract is
-    // row-for-row equality with the exact tier: the oracle IS
-    // d_contam_exact's (bloom false positives must all die in the
+    // row-for-row equality with the exact tier: the oracle IS the
+    // SAME definition (bloom false positives must all die in the
     // verify join)
-    "d_contam_bloom" ->
-      """WITH t AS (
-        |  SELECT doc_id AS train_id,
-        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id AS eval_id,
-        |    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS k
-        |  FROM documents WHERE doc_id % 41 = 0)
-        |SELECT t.train_id, e.eval_id FROM t JOIN e ON t.k = e.k""".stripMargin,
+    "d_contam_bloom" -> contamExactOracleSql,
 
     // mirrors Decontamination.ngramContamination: same eval slices,
     // same 3-word shingles (d_jaccard_exact's CTE), containment of the

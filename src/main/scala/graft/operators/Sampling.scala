@@ -175,30 +175,48 @@ object Sampling {
     * rerun stability matters more than the mixture shape.
     *
     * Same 100 TB shape as [[sampleByGroup]]: one groups-sized count
-    * aggregate (the `count^tau` normalization rides it as a window
+    * aggregate (the `count^tau` normalization rides it as two windows
     * over the TINY counts frame), broadcast back, corpus never
     * shuffled.
+    *
+    * Cross-engine determinism: the one floating-point step (`pow`) is
+    * QUANTIZED immediately — each group's weight becomes the integer
+    * `round(10^6 · count^tau / max(count^tau))`, clamped ≥ 1 — and
+    * everything after is integer arithmetic: the target division's
+    * double evaluation is exact under the `totalTarget ≤ 2^33` guard
+    * (numerator ≤ 2^33·10^6 < 2^53, and a non-exact integer quotient
+    * sits ≥ 1/Σw from the next integer, above the rounding error),
+    * while the final bucket threshold shares [[sampleByGroup]]'s
+    * contract. A replaying
+    * engine diverges only if ITS `pow` differs from Java's by enough
+    * to flip the 10^6-grid rounding — a ~1-ulp disagreement on a value
+    * within 5·10^-7 of a grid midpoint, vanishingly rarer than the
+    * per-sum ulp-ordering hazard an unquantized float normalization
+    * would carry.
     */
   def sampleByTemperature(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
                           totalTarget: Long, tau: Double): DataFrame = {
     require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")
+    require(totalTarget <= (1L << 33),
+      s"totalTarget = $totalTarget past 2^33 — the exact-double integer division bound")
     require(tau >= 0.0 && tau <= 1.0, s"tau = $tau outside [0, 1]")
     require(groupCols.nonEmpty, "need at least one group column")
     val cnt = "__graft_cnt"
+    val wq = "__graft_wq"
     val tgt = "__graft_tgt"
     val gs = groupCols.indices.map(i => s"__graft_g$i")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val w = pow(col(cnt).cast("double"), tau)
     val counts = df.groupBy(groupCols.map(colExact): _*).agg(count(lit(1)).as(cnt))
       .toDF(gs :+ cnt: _*)
+      .withColumn(wq, greatest(round(w / max(w).over(all) * 1e6).cast("long"), lit(1L)))
       .withColumn(tgt, least(col(cnt), greatest(lit(1L),
-        floor(lit(totalTarget.toDouble) * w /
-          sum(w).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-          .cast("long"))))
+        floor(lit(totalTarget.toDouble) * col(wq) / sum(col(wq)).over(all)).cast("long"))))
     val cond = groupCols.zip(gs).map { case (g, r) => colExact(g) <=> col(r) }.reduce(_ && _)
     val thr = lower(lpad(hex(greatest(
       floor(col(tgt).cast("double") * 4294967296.0 / col(cnt)), lit(1L))), 8, "0"))
     df.join(broadcast(counts), cond)
       .where(col(tgt) >= col(cnt) || hashBucket(keyCols.map(colExact)) < thr)
-      .drop(gs :+ cnt :+ tgt: _*)
+      .drop(gs :+ cnt :+ wq :+ tgt: _*)
   }
 }

@@ -217,6 +217,12 @@ object Stats {
                      keyCols: Seq[String], nSigma: Double = 3.5,
                      exact: Boolean = true): DataFrame = {
     require(nSigma > 0, s"nSigma = $nSigma must be positive")
+    // same reserved-name rule as the sinks/sampling: the stat columns
+    // join back onto the corpus — an input column with one of their
+    // names would make every col() below ambiguous
+    Seq("med", "mad", "val", "modified_z").foreach(n =>
+      require(!df.columns.exists(_.equalsIgnoreCase(n)),
+        s"'$n' is reserved by robustOutliers; rename the input column first"))
     val v = colExact(valueCol).cast("double")
     def med(c: Column): Column =
       if (exact) percentile(c, lit(0.5)) else percentile_approx(c, lit(0.5), lit(10000))
@@ -242,9 +248,15 @@ object Stats {
     * identical row MULTISETS iff every bucket row matches, provable in
     * ONE scan + one tiny agg on each side, no row ever shipped.
     *
-    * Canonical rendering: columns joined by U+0001 with U+0000 for
-    * NULL (control bytes that cannot appear in parquet text columns) — byte-identical in any engine for string and integral
-    * columns (floating-point columns are refused: engines disagree on
+    * Canonical rendering is INJECTIVE: every field renders as
+    * `<length>:<value>` (NULL as the bare letter `n`, which no
+    * length-prefixed rendering can start with), so a separator-looking
+    * byte INSIDE a value cannot re-parse as a field boundary —
+    * ("ab","c") and ("a","bc") digest differently, unlike
+    * a naive join. `length()` counts code points in both Spark
+    * (UTF8String.numChars) and DuckDB, so the rendering is
+    * byte-identical in any engine for string and integral columns
+    * (floating-point columns are refused: engines disagree on
     * decimal rendering). The digest pair is deliberately redundant:
     * SUM is multiplicity-sensitive but could in principle be fooled by
     * crafted cancellation, XOR catches that but self-cancels even
@@ -266,8 +278,10 @@ object Stats {
         case _ => ()
       }
     }
-    val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(colExact(c).cast("string"), lit("\u0000"))): _*)
+    val canon = concat(cols.map { c =>
+      val s = colExact(c).cast("string")
+      when(s.isNull, lit("n")).otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
     val hex = substring(sha2(canon, 256), 1, 14)
     val hvLong = conv(hex, 16, 10).cast("long")
     val hvDec = conv(hex, 16, 10).cast("decimal(20,0)")

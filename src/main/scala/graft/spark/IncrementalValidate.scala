@@ -77,6 +77,11 @@ object IncrementalValidate {
           }
         // property COUNTS also read the full column set
         case _: MaxPropertiesK | _: MinPropertiesK => dynamic = true
+        // a row-level enum deep-equals the WHOLE row object — its
+        // verdict reads every column, digested or not (a column-scoped
+        // enum lives inside a property subschema, which this walk
+        // deliberately does not descend into)
+        case _: EnumK => dynamic = true
         case r: RequiredK => out ++= r.keys
         case d: DependenciesK =>
           out ++= d.schemaDeps.map(_._1)
@@ -103,8 +108,9 @@ object IncrementalValidate {
   private def requireCovered(schema: CompiledSchema, contentCols: Seq[String]): Unit = {
     val (props, dynamic) = visibleProps(schema)
     require(!dynamic,
-      "incremental validation requires statically enumerable schema columns; " +
-        "patternProperties/additionalProperties-schema match runtime keys the digest cannot cover")
+      "incremental validation requires verdicts that are functions of the digested columns " +
+        "alone; patternProperties / non-permissive additionalProperties / property counts / " +
+        "row-level enum read columns the digest cannot statically cover")
     val covered = contentCols.map(_.toLowerCase).toSet
     val escaped = props.filterNot(p => covered.contains(p.toLowerCase))
     require(escaped.isEmpty,

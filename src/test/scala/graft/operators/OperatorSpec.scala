@@ -96,6 +96,11 @@ class OperatorSpec extends AnyFunSuite {
     val approx = Stats.robustOutliers(df, Seq("grp"), "v", Seq("id"), exact = false)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(approx == Set((9L, "g"), (106L, "h")))
+    // reserved stat-column names refused loudly (case-insensitive,
+    // like every other operator that joins helper columns back)
+    intercept[IllegalArgumentException] {
+      Stats.robustOutliers(df.withColumn("MAD", lit(1)), Seq("grp"), "v", Seq("id"))
+    }
   }
 
   test("corpusDigest: order/partitioning-invariant, multiset-sensitive, refuses floats") {
@@ -120,6 +125,15 @@ class OperatorSpec extends AnyFunSuite {
     // NULL vs empty string are distinct canonical renderings
     assert(digest(base.withColumn("s",
       when(col("id") === 1, "").otherwise(col("s")))) != d0)
+    // the rendering is INJECTIVE: shifting bytes across a field
+    // boundary must change the digest (a naive separator join would
+    // collide on ("ab","") vs ("a","b") when a value contains the
+    // separator byte)
+    def two(a: String, b: String) =
+      Stats.corpusDigest(Seq((a, b)).toDF("x", "y"), Seq("x", "y"), buckets = 1)
+        .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(two("ab", "c") != two("a", "bc"))
+    assert(two("1:x", "y") != two("1", ":xy"))
     intercept[IllegalArgumentException] {
       Stats.corpusDigest(base.withColumn("f", lit(1.5)), Seq("id", "f"))
     }

@@ -96,7 +96,11 @@ class IncrementalValidateSpec extends AnyFunSuite {
     for (dyn <- Seq(
       """{"patternProperties":{"^t":{"minLength":1}}}""",
       """{"additionalProperties":false}""",
-      """{"maxProperties":10}""")) {
+      """{"maxProperties":10}""",
+      // a ROW-level enum deep-equals the whole row (every column);
+      // property-level enums (like `schema`'s lang) stay allowed
+      """{"enum":[{"text":"hello world","lang":"en"}]}""",
+      """{"allOf":[{"enum":[1]}]}""")) {
       intercept[IllegalArgumentException] {
         IncrementalValidate.buildLedger(corpus, contentCols, Validate.compileSchema(dyn))
       }
