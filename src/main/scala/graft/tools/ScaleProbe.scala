@@ -34,7 +34,11 @@ object ScaleProbe {
   // cap is what keeps the kept-bucket pair expansion linear here (a
   // fraction cap measured wall ×4.1 at data ×3 on this very study)
   private val family = Seq("d_jaccard_exact", "d_dup_clusters",
-    "d_winnow_pairs", "x_dedup_keep", "x_curation_full")
+    "d_winnow_pairs", "x_dedup_keep", "x_curation_full",
+    // the incremental pairing tier (new-side postings against the
+    // combined index) and the recall audit (runs the banded AND exact
+    // pipelines) both carry pair-expansion risk — probed since round 4
+    "d_incr_dedup", "d_minhash_recall")
 
   private def tagged(docs: DataFrame, k: Int, stride: Long): DataFrame =
     docs.select(
