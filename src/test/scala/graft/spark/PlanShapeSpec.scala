@@ -50,6 +50,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe filter must sit under the verify join, not above it\n$p")
   }
 
+  test("robustOutliers broadcasts group stats back — the corpus never sort-merge-joins") {
+    val sized = src.withColumn("len", length(col("content")).cast("long"))
+    val p = plan(Stats.robustOutliers(sized, Seq("lang"), "len", Seq("repo", "path")))
+    // three corpus references (median agg input, deviation pass, flag
+    // pass) each join the TINY per-group stats frame by broadcast; a
+    // SortMergeJoin here would shuffle the 10^12-row corpus on lang
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("incremental validation plans the novel-content anti-join on the digest") {
+    val schema = Validate.compileSchema(
+      """{"properties":{"content":{"maxLength":10000},"lang":{"minLength":1}}}""")
+    val ledger = IncrementalValidate.buildLedger(
+      src.where(col("path").endsWith("0.scala")), Seq("content", "lang"), schema)
+    val (viols, _) = IncrementalValidate.incrementalViolations(
+      src, Seq("content", "lang"), Seq("repo", "path"), schema, ledger)
+    val p = plan(viols)
+    // only digests ABSENT from the ledger reach the validator (anti-
+    // join), and verdicts reattach by an equi-join on the digest —
+    // at 10^12 rows these two joins ARE the operator's cost model
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("bucketed referential join plans with NO exchange and NO sort on either side") {
     val fact = src.select("repo", "path", "commit")
     val dim = SourceTable.knownCommits(src)
