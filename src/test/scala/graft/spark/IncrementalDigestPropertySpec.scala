@@ -1,0 +1,104 @@
+package graft.spark
+
+import graft.operators.Stats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Properties for the round-4 continuous-operation operators:
+  *
+  *  - `corpusDigest` CHARACTERIZES row-multiset equality: two frames
+  *    digest identically iff they hold the same rows with the same
+  *    multiplicities — stressed with strings full of separator
+  *    look-alikes (`:`, digits, control bytes) because the injective
+  *    length-prefixed rendering is exactly what a counterexample
+  *    would break.
+  *  - incremental validation ≡ full revalidation for arbitrary
+  *    corpora with heavy cross-row content duplication and an
+  *    arbitrary prior-ledger split — the equivalence holds for EVERY
+  *    split, not just the even/odd fixture the driver gate replays.
+  */
+object IncrementalDigestPropertySpec extends Properties("graft.spark.incremental") {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // ---- corpusDigest ⇔ multiset equality --------------------------------
+
+  private val trickyStr: Gen[String] = Gen.oneOf(
+    Gen.const(null), Gen.const(""), Gen.const(":"), Gen.const("1:"),
+    Gen.const("n"), Gen.const(""), Gen.const("2:ab"),
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.chooseNum(0, 99).map(_.toString))
+
+  private val digestRow: Gen[(String, String)] = Gen.zip(trickyStr, trickyStr)
+
+  private def digestOf(rows: Seq[(String, String)]): Map[Long, (Long, String, Long)] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      StructType(Seq(StructField("a", StringType, nullable = true),
+        StructField("b", StringType, nullable = true))))
+    Stats.corpusDigest(df, Seq("a", "b"), buckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+  }
+
+  private def multiset(rows: Seq[(String, String)]) =
+    rows.groupBy(identity).view.mapValues(_.size).toMap
+
+  property("corpusDigest equal ⇔ row multisets equal (tricky strings, dups, nulls)") =
+    forAll(Gen.listOfN(12, digestRow), Gen.listOfN(12, digestRow), Gen.chooseNum(0, 2)) {
+      (a, b0, mode) =>
+        // mode 0: b is a shuffled copy of a (must digest equal);
+        // mode 1: independent rows (equal only if same multiset);
+        // mode 2: a with one row duplicated (must digest different)
+        val b = mode match {
+          case 0 => scala.util.Random.shuffle(a)
+          case 1 => b0
+          case _ => if (a.isEmpty) b0 else a :+ a.head
+        }
+        (digestOf(a) == digestOf(b)) == (multiset(a) == multiset(b))
+    }
+
+  // ---- incremental ≡ full validation for every split -------------------
+
+  private lazy val contentSchema = Validate.compileSchema(
+    """{"properties":{
+      |  "text":{"minLength":3,"maxLength":12},
+      |  "lang":{"enum":["en","de"]}
+      |}}""".stripMargin)
+
+  // a SMALL content pool so many rows share digests (the cached path
+  // is actually exercised), including violating and NULL contents
+  private val contentPool: Vector[(String, String)] = Vector(
+    ("ok text", "en"), ("x", "en"), ("far too long to pass here", "de"),
+    ("fine", "fr"), (null, "de"), ("also ok", "en"), ("y", "zz"))
+
+  private val corpusGen: Gen[List[(Long, (String, String))]] =
+    Gen.listOfN(40, Gen.chooseNum(0, contentPool.size - 1)).map(
+      _.zipWithIndex.map { case (c, i) => (i.toLong, contentPool(c)) })
+
+  property("incremental violations ≡ full revalidation for every ledger split") =
+    forAll(corpusGen, Gen.chooseNum(1, 5)) { (rows, mod) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, (t, l)) => Row(Long.box(id), t, l) }, 3),
+        StructType(Seq(StructField("doc_id", LongType, nullable = true),
+          StructField("text", StringType, nullable = true),
+          StructField("lang", StringType, nullable = true))))
+      val cols = Seq("text", "lang")
+      def asSet(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      val full = asSet(Validate.violations(df, contentSchema, Seq("doc_id")))
+      val prior = df.where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(mod.toLong)) === 0)
+      val ledger = IncrementalValidate.buildLedger(prior, cols, contentSchema)
+      val (viols, updated) = IncrementalValidate.incrementalViolations(
+        df, cols, Seq("doc_id"), contentSchema, ledger)
+      asSet(viols) == full &&
+        updated.count() == df.select(IncrementalValidate.contentDigest(cols)).distinct().count()
+    }
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5) // each case = several Spark jobs
+}
