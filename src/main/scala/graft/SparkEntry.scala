@@ -1306,6 +1306,23 @@ object SparkEntry {
             pmod(col("doc_id"), lit(89)), lit("00")).as("text")),
         "doc_id", "text")),
 
+    // corpus boilerplate lines: three shared header/footer lines
+    // planted on coprime doc_id buckets (df ≈ 167/100/72 at sf0.01);
+    // every document's own text is a df-1 line and must stay below the
+    // threshold — two-pass heavy-hitter recovery, line texts shuffle
+    // only for the surviving sliver
+    "c_boilerplate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.boilerplateLines(
+        table(s, dir, "documents").select(
+          concat(coalesce(col("text"), lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("\n// Licensed under the Apache License, Version 2.0")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\n# This file was auto-generated; do not edit")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit("\n/* footer: corp template */")).otherwise(lit(""))).as("text")),
+        "text", minDf = 50L, k = 20)),
+
     // maintenance-marker scan: planted TODO/FIXME/HACK/XXX comment
     // tails (lowercase "todo" in prose deliberately planted too — the
     // uppercase-convention regexes must not count it); per-doc counts
@@ -2835,6 +2852,25 @@ object SparkEntry {
     // mirrors TextAnalysis.secretScan over the same planted tokens —
     // the SAME RE2-safe rule regexes replayed verbatim (doubled quotes
     // are SQL escaping for the cred_assign quote class)
+    // mirrors TextAnalysis.boilerplateLines: same planted lines,
+    // per-doc distinct trimmed lines (GROUP BY doc_id, line = the
+    // array_distinct), same length filter / df threshold / (df desc,
+    // line asc) top-k
+    "c_boilerplate" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '// Licensed under the Apache License, Version 2.0' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '# This file was auto-generated; do not edit' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '/* footer: corp template */' ELSE '' END) AS content
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, trim(t.line) AS line
+        |  FROM src, unnest(string_split(content, chr(10))) AS t(line)
+        |  GROUP BY doc_id, trim(t.line)),
+        |c AS (
+        |  SELECT line, count(*) AS df FROM l WHERE length(line) >= 10 GROUP BY line)
+        |SELECT line, df FROM c WHERE df >= 50 ORDER BY df DESC, line LIMIT 20""".stripMargin,
+
     // mirrors TextAnalysis.maintenanceScan: same planted tails, same
     // word-boundary uppercase marker regexes (RE2 \b ≡ Java \b here),
     // newline-count + 1 lines, 6dp density

@@ -623,6 +623,50 @@ object TextAnalysis {
       .withColumn("has_secret", col("n_secret_hits") > 0L)
   }
 
+  /** Corpus-level boilerplate-line detection: lines shared by ≥
+    * `minDf` documents (license headers, generated banners, template
+    * footers) — the cross-document complement of the per-document
+    * repetition metrics, and the removal list a curation pass applies
+    * before dedup statistics (boilerplate lines dominate shingle
+    * overlap and poison near-dup thresholds).
+    *
+    * Two-pass heavy-hitter recovery, the 100 TB shape for "find the
+    * hot values, then get their text back":
+    *  1. per-document DISTINCT trimmed lines (array_distinct before
+    *     the explode — a line repeated inside one doc counts once, so
+    *     the count IS document frequency) hashed to 64 bits; ONE
+    *     narrow (hash, count) aggregation; survivors with df ≥ minDf
+    *     are a TINY frame.
+    *  2. the same scan re-probes survivors by hash (broadcast semi
+    *     shape) and aggregates the matching line TEXTS — full line
+    *     strings only ever shuffle for the surviving sliver.
+    * Deterministic top-`k` by (df desc, line asc) via
+    * TakeOrderedAndProject. Lines shorter than `minLineChars` after
+    * trimming are noise (`}`,`end`,empty) and are excluded before
+    * either pass.
+    */
+  def boilerplateLines(df: DataFrame, textCol: String,
+                       minDf: Long = 10L, k: Int = 20,
+                       minLineChars: Int = 10): DataFrame = {
+    require(minDf >= 2, s"minDf = $minDf — a boilerplate line is by definition shared")
+    require(k > 0 && minLineChars >= 1, "k and minLineChars must be positive")
+    val lines = df.select(
+        explode(array_distinct(transform(
+          split(coalesce(colExact(textCol), lit("")), "\n"), l => trim(l)))).as("line"))
+      .where(length(col("line")) >= minLineChars)
+    val hot = lines.groupBy(xxhash64(col("line")).as("__h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    lines.join(broadcast(hot), xxhash64(col("line")) === col("__h"))
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      // re-assert the threshold on the TEXT-level count: two distinct
+      // lines colliding into one 64-bit hash could pass pass 1 with a
+      // combined count while neither clears minDf alone
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("line").asc)
+      .limit(k)
+  }
+
   /** Maintenance-marker conventions, uppercase by construction —
     * lowercase "todo" in prose must NOT count, so no (?i).
     */

@@ -1065,6 +1065,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(4L).getAs[Long]("n_markers") == 0L && r(4L).getAs[Long]("n_lines") == 1L)
   }
 
+  test("boilerplateLines: df counts documents (not occurrences), trims, thresholds") {
+    val header = "// Copyright Example Corp 2026"
+    val docsB = Seq(
+      (1L, s"$header\nunique body one\n$header"),   // repeated WITHIN doc: counts once
+      (2L, s"  $header  \nunique body two"),        // trims to the same line
+      (3L, s"$header\nshort\nunique body three"),   // "short" < minLineChars
+      (4L, "no shared content here at all"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextAnalysis.boilerplateLines(docsB, "text", minDf = 3L, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq((header, 3L)), s"got ${got.toSeq}")
+    // below-threshold shared lines stay out (df 2 < 3)
+    val loose = TextAnalysis.boilerplateLines(docsB, "text", minDf = 2L, k = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(loose.contains(header) && !loose.exists(_.contains("unique body")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.boilerplateLines(docsB, "text", minDf = 1L))
+  }
+
   test("licenseScan extracts SPDX tags and falls back to marker phrases") {
     val code = Seq(
       (1L, "// SPDX-License-Identifier: Apache-2.0\npackage x"),
