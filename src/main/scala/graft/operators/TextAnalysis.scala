@@ -644,6 +644,18 @@ object TextAnalysis {
     * TakeOrderedAndProject. Lines shorter than `minLineChars` after
     * trimming are noise (`}`,`end`,empty) and are excluded before
     * either pass.
+    *
+    * The survivor frame is BOUNDED at any corpus scale: pass 1 keeps
+    * only the top `max(64·k, 4096)` hashes by count (TakeOrdered —
+    * deterministic (count desc, hash asc) cut), so the broadcast is
+    * ~1 MB regardless of how many common idiom lines clear `minDf` on
+    * a real corpus (the same absolute-cap discipline as the winnowing
+    * df cap — an UNcapped survivor set grows with the corpus and
+    * breaks the driver at 10^12 rows). The final top-k is still exact
+    * unless a line outside the top-`64·k` hash counts belongs in the
+    * top-k by text frequency — which requires a 64-bit hash collision
+    * to inflate ≥ 63·k other hashes above it, astronomically unlikely
+    * and bounded further by the text-level threshold re-assert below.
     */
   def boilerplateLines(df: DataFrame, textCol: String,
                        minDf: Long = 10L, k: Int = 20,
@@ -657,6 +669,8 @@ object TextAnalysis {
     val hot = lines.groupBy(xxhash64(col("line")).as("__h"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("__h").asc)
+      .limit(math.max(64 * k, 4096))
     lines.join(broadcast(hot), xxhash64(col("line")) === col("__h"))
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       // re-assert the threshold on the TEXT-level count: two distinct

@@ -5,8 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** Growth study for the superlinear-risk operator family
-  * (d_jaccard_exact, d_dup_clusters, x_dedup_keep, x_curation_full):
+/** Growth study for the superlinear-risk operator family (the
+  * pair-expansion / iterative-clustering queries listed in `family`
+  * below — exact-Jaccard pairing, star-rounds clustering, winnowing,
+  * the dedup/curation capstones, the incremental pairing tier, and
+  * the recall audit):
   * times each at 1× and K× corpus scale and reports wall-growth ratios
   * against the data ratio — the strongest 100×-scale evidence a single
   * box can produce (VERDICT r3 #8). Writes `BENCH/SCALE.md`.

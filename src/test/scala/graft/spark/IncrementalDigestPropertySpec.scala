@@ -46,13 +46,16 @@ object IncrementalDigestPropertySpec extends Properties("graft.spark.incremental
     rows.groupBy(identity).view.mapValues(_.size).toMap
 
   property("corpusDigest equal ⇔ row multisets equal (tricky strings, dups, nulls)") =
-    forAll(Gen.listOfN(12, digestRow), Gen.listOfN(12, digestRow), Gen.chooseNum(0, 2)) {
-      (a, b0, mode) =>
+    forAll(Gen.listOfN(12, digestRow), Gen.listOfN(12, digestRow),
+      Gen.chooseNum(0, 2), Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
+      (a, b0, mode, shuffleSeed) =>
         // mode 0: b is a shuffled copy of a (must digest equal);
         // mode 1: independent rows (equal only if same multiset);
-        // mode 2: a with one row duplicated (must digest different)
+        // mode 2: a with one row duplicated (must digest different).
+        // The shuffle draws its seed from the generator so a failing
+        // case replays from ScalaCheck's reported seed.
         val b = mode match {
-          case 0 => scala.util.Random.shuffle(a)
+          case 0 => new scala.util.Random(shuffleSeed).shuffle(a)
           case 1 => b0
           case _ => if (a.isEmpty) b0 else a :+ a.head
         }
