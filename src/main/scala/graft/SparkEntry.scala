@@ -2865,7 +2865,7 @@ object SparkEntry {
         |  FROM documents),
         |l AS (
         |  SELECT doc_id, trim(t.line) AS line
-        |  FROM src, unnest(string_split(content, chr(10))) AS t(line)
+        |  FROM src, unnest(string_split_regex(content, '\r?\n')) AS t(line)
         |  GROUP BY doc_id, trim(t.line)),
         |c AS (
         |  SELECT line, count(*) AS df FROM l WHERE length(line) >= 10 GROUP BY line)

@@ -119,10 +119,17 @@ object Decontamination {
     val e = eval.select(colExact(evalId).as("eval_id"),
       contentKey(colExact(evalText)).as("__k"))
       .where(col("__k").isNotNull)
+    // persisted across the two driver actions (count sizes the filter,
+    // bloomFilter builds it) — at the beyond-broadcast eval scale this
+    // tier exists for, re-executing the distinct shuffle twice would
+    // double the eval-side cost before the training scan even starts
     val keys = e.select("__k").distinct()
-    val n = math.max(1L, keys.count())
-    val bloomBytes = graft.functions.BloomProbe.serialize(
-      keys.stat.bloomFilter("__k", n, fpp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomBytes =
+      try {
+        val n = math.max(1L, keys.count())
+        graft.functions.BloomProbe.serialize(keys.stat.bloomFilter("__k", n, fpp))
+      } finally keys.unpersist()
     val t = train.select(colExact(trainId).as("train_id"),
       contentKey(colExact(trainText)).as("__k"))
     t.where(graft.functions.BloomProbe.mightContain(bloomBytes, col("__k")))

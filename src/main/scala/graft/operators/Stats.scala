@@ -223,16 +223,23 @@ object Stats {
     Seq("med", "mad", "val", "modified_z").foreach(n =>
       require(!df.columns.exists(_.equalsIgnoreCase(n)),
         s"'$n' is reserved by robustOutliers; rename the input column first"))
-    val v = colExact(valueCol).cast("double")
+    // the shared numeric view + NaN exclusion (same convention as
+    // Drift.cleanValue): a bare cast would THROW under ANSI mode on
+    // the first junk string, and NaN sorts greatest in Spark's
+    // ordering — it would shift the percentiles AND flag itself as an
+    // "outlier" with NaN z instead of being excluded as corruption
+    val v0 = asDouble(df, valueCol)
+    val clean = df.where(v0.isNotNull && !isnan(v0))
+    val v = asDouble(clean, valueCol)
     def med(c: Column): Column =
       if (exact) percentile(c, lit(0.5)) else percentile_approx(c, lit(0.5), lit(10000))
     val gks = groupCols.map(colExact)
-    val g1 = df.groupBy(gks: _*).agg(med(v).as("med"))
-    val withMed = df.join(broadcast(g1), groupCols)
+    val g1 = clean.groupBy(gks: _*).agg(med(v).as("med"))
+    val withMed = clean.join(broadcast(g1), groupCols)
     val g2 = withMed.groupBy(gks: _*).agg(med(abs(v - col("med"))).as("mad"))
     val stats = g1.join(g2, groupCols)
     val z = lit(0.6745) * (v - col("med")) / col("mad")
-    df.join(broadcast(stats), groupCols)
+    clean.join(broadcast(stats), groupCols)
       .where((col("mad") > 0 && abs(z) > nSigma) ||
              (col("mad") === 0 && v =!= col("med")))
       .select(keyCols.map(colExact) ++ groupCols.map(colExact) ++ Seq(

@@ -651,11 +651,21 @@ object TextAnalysis {
     * ~1 MB regardless of how many common idiom lines clear `minDf` on
     * a real corpus (the same absolute-cap discipline as the winnowing
     * df cap — an UNcapped survivor set grows with the corpus and
-    * breaks the driver at 10^12 rows). The final top-k is still exact
-    * unless a line outside the top-`64·k` hash counts belongs in the
-    * top-k by text frequency — which requires a 64-bit hash collision
-    * to inflate ≥ 63·k other hashes above it, astronomically unlikely
-    * and bounded further by the text-level threshold re-assert below.
+    * breaks the driver at 10^12 rows). Exactness at the cap: a line
+    * with STRICTLY higher df than the cut's boundary count is never
+    * evicted (barring a 64-bit collision inflating ≥ 64·k other
+    * hashes above it — astronomically unlikely, and the text-level
+    * threshold re-assert below bounds even that); if more than the
+    * cap's worth of lines TIE at the boundary df, the cut keeps a
+    * deterministic hash-ordered (not lexicographic) subset of those
+    * equal-frequency ties, so only tie-breaking among
+    * interchangeable-df lines can differ from the unbounded
+    * computation.
+    *
+    * Lines split on `\r?\n` and trim, so CRLF and LF renditions of
+    * the same boilerplate count as ONE line — a corpus mixing
+    * Windows- and Unix-origin files must not split a header's df
+    * below the threshold.
     */
   def boilerplateLines(df: DataFrame, textCol: String,
                        minDf: Long = 10L, k: Int = 20,
@@ -664,7 +674,7 @@ object TextAnalysis {
     require(k > 0 && minLineChars >= 1, "k and minLineChars must be positive")
     val lines = df.select(
         explode(array_distinct(transform(
-          split(coalesce(colExact(textCol), lit("")), "\n"), l => trim(l)))).as("line"))
+          split(coalesce(colExact(textCol), lit("")), "\r?\n"), l => trim(l)))).as("line"))
       .where(length(col("line")) >= minLineChars)
     val hot = lines.groupBy(xxhash64(col("line")).as("__h"))
       .agg(count(lit(1)).as("df"))

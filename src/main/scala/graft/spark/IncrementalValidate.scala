@@ -133,7 +133,9 @@ object IncrementalValidate {
 
   def buildLedger(df: DataFrame, contentCols: Seq[String], schema: CompiledSchema): DataFrame = {
     requireCovered(schema, contentCols)
-    requireFreeNames(df, "__graft_ck")
+    // 'viols' too: ledgerOf's post-aggregation join would otherwise
+    // hit an ambiguous-reference error instead of this loud message
+    requireFreeNames(df, "__graft_ck", "viols")
     val distinctRows = df.select(contentCols.map(colExact): _*)
       .withColumn("__graft_ck", contentDigest(contentCols))
       .dropDuplicates("__graft_ck")

@@ -101,6 +101,22 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Stats.robustOutliers(df.withColumn("MAD", lit(1)), Seq("grp"), "v", Seq("id"))
     }
+    // NaN values are excluded as corruption (Drift.cleanValue's rule):
+    // they must neither shift the robust center nor be flagged
+    val withNaN = Seq(("g", 1L, 10.0), ("g", 2L, 11.0), ("g", 3L, 10.5),
+      ("g", 4L, 500.0), ("g", 5L, Double.NaN))
+      .toDF("grp", "id", "v")
+    val nanOut = Stats.robustOutliers(withNaN, Seq("grp"), "v", Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nanOut == Set(4L), s"got $nanOut")
+    // a string value column degrades junk to NULL instead of throwing
+    // under ANSI mode
+    val strCol = Seq(("g", 1L, "10"), ("g", 2L, "11"), ("g", 3L, "10.5"),
+      ("g", 4L, "junk"), ("g", 5L, "900"))
+      .toDF("grp", "id", "v")
+    val strOut = Stats.robustOutliers(strCol, Seq("grp"), "v", Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(strOut == Set(5L), s"got $strOut")
   }
 
   test("corpusDigest: order/partitioning-invariant, multiset-sensitive, refuses floats") {

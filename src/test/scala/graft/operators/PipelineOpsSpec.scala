@@ -982,7 +982,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val hit = df.where(BloomProbe.mightContain(bytes, col("k")))
       .collect().map(_.getLong(0)).toSet
     assert(keys.toSet.subsetOf(hit), "bloom filter produced a false negative")
-    assert(!hit.contains(-1L))
+    // false-POSITIVE side must have teeth: over 1000 known non-members
+    // the hit rate stays near fpp=1% (≤ 5% allows generous slack) — a
+    // degenerate all-ones filter would pass every membership assert
+    val nonMembers = (1 to 1000).map(i => 900000000L + i * 13L)
+      .filterNot(keys.contains)
+    val fp = nonMembers.map(Some(_)).toDF("k")
+      .where(BloomProbe.mightContain(bytes, col("k"))).count()
+    assert(fp <= nonMembers.size / 20, s"false-positive rate $fp/${nonMembers.size}")
     // NULL key row filtered out (probe yields NULL, WHERE drops it)
     assert(df.where(BloomProbe.mightContain(bytes, col("k")).isNull).count() == 1)
   }
@@ -1077,6 +1084,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = TextAnalysis.boilerplateLines(docsB, "text", minDf = 3L, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq((header, 3L)), s"got ${got.toSeq}")
+    // CRLF and LF renditions of the same header count as ONE line — a
+    // mixed-line-ending corpus must not split the df below threshold
+    val mixed = Seq(
+      (1L, s"$header\r\nbody crlf style one"),
+      (2L, s"$header\r\nbody crlf style two"),
+      (3L, s"$header\nbody lf style"))
+      .toDF("id", "text")
+    val crlf = TextAnalysis.boilerplateLines(mixed, "text", minDf = 3L, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(crlf.toSeq == Seq((header, 3L)), s"got ${crlf.toSeq}")
     // below-threshold shared lines stay out (df 2 < 3)
     val loose = TextAnalysis.boilerplateLines(docsB, "text", minDf = 2L, k = 5)
       .collect().map(_.getString(0)).toSet
