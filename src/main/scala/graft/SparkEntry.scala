@@ -1413,6 +1413,36 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "shard", "bin")
     }),
 
+    // drift LOCALIZATION: per-lang PSI/KS in one scan (psiKsBy over
+    // the grouped split histogram) — the planted +200 shift hits only
+    // 'de' odd docs, so de's PSI must dominate while the other groups
+    // read sampling noise
+    "c_drift_by_lang" -> ((s, dir) => {
+      val d = table(s, dir, "documents").withColumn("v",
+        when(col("lang") === "de" && pmod(col("doc_id"), lit(2)) === 1,
+          col("n_chars") + 200).otherwise(col("n_chars")))
+      graft.operators.Drift.psiKsBy(
+        graft.operators.Drift.histogramSplitBy(d,
+          pmod(col("doc_id"), lit(2)) === 0, "v", 0.0, 600.0, 12, Seq("lang")),
+        Seq("lang"))
+    }),
+
+    // equi-DEPTH drift: bucket boundaries are the BASELINE half's own
+    // interior quantiles (each baseline bucket ≈ equal mass), so the
+    // planted ×3 tail inflation concentrates visibly in the top
+    // bucket; the oracle recomputes the SAME interpolated quantiles
+    // (quantile_cont ≡ percentile), 6dp-rounded boundaries, and exact
+    // integer bucket counts — no float in the compared output
+    "c_drift_eqdepth" -> ((s, dir) => {
+      val d = table(s, dir, "documents").withColumn("v",
+        when(pmod(col("doc_id"), lit(2)) === 1 && pmod(col("doc_id"), lit(3)) === 0,
+          col("n_chars") * 3).otherwise(col("n_chars")))
+      val bounds = graft.operators.Drift.equiDepthBoundaries(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "v", buckets = 12)
+      graft.operators.Drift.histogramSplitDepth(d,
+        pmod(col("doc_id"), lit(2)) === 0, "v", bounds)
+    }),
+
     // robust per-lang length outliers: modified z-score on median/MAD
     // (exact-percentile verification tier; the approx sketch tier is
     // spec-pinned against it). Planted extremes: every 97th doc's
@@ -2125,6 +2155,50 @@ object SparkEntry {
         |SELECT CAST(window_start AS BIGINT) AS window_start,
         |  sum((p - q) * ln(p / q)) AS psi, max(abs(cdf_p - cdf_q)) AS ks
         |FROM c GROUP BY 1""".stripMargin,
+
+    // mirrors Drift.psiKsBy ∘ histogramSplitBy: same clamped buckets,
+    // same per-group eps-regularized PSI/KS windows
+    "c_drift_by_lang" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'de' AND doc_id % 2 = 1 THEN n_chars + 200 ELSE n_chars END AS v
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang, CAST(least(greatest(floor(v / 50.0), 0), 11) AS BIGINT) AS bucket,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_curr
+        |  FROM d WHERE v IS NOT NULL GROUP BY 1, 2
+        |  HAVING n_base + n_curr > 0),
+        |pq AS (SELECT lang, bucket,
+        |    (n_base + 1e-6) / (sum(n_base) OVER (PARTITION BY lang) + 1e-6) AS p,
+        |    (n_curr + 1e-6) / (sum(n_curr) OVER (PARTITION BY lang) + 1e-6) AS q
+        |  FROM h),
+        |c AS (SELECT *, sum(p) OVER (PARTITION BY lang ORDER BY bucket) AS cdf_p,
+        |    sum(q) OVER (PARTITION BY lang ORDER BY bucket) AS cdf_q FROM pq)
+        |SELECT lang, sum((p - q) * ln(p / q)) AS psi, max(abs(cdf_p - cdf_q)) AS ks
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // mirrors Drift.equiDepthBoundaries + histogramSplitDepth:
+    // quantile_cont IS the exact tier's interpolated percentile, same
+    // 6dp HALF-UP boundary rounding + dedupe, bucket = count of
+    // boundaries strictly below v, integer counts out
+    "c_drift_eqdepth" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 THEN n_chars * 3 ELSE n_chars END AS v
+        |  FROM documents),
+        |b AS (
+        |  SELECT list_sort(list_distinct(list_transform(
+        |    quantile_cont(v, list_transform(range(1, 12), i -> i / 12.0)),
+        |    x -> round(x, 6)))) AS bs
+        |  FROM d WHERE doc_id % 2 = 0 AND v IS NOT NULL),
+        |h AS (
+        |  SELECT len(list_filter(b.bs, x -> d.v > x)) AS bucket,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_curr
+        |  FROM d, b WHERE d.v IS NOT NULL GROUP BY 1
+        |  HAVING n_base + n_curr > 0)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_curr FROM h""".stripMargin,
 
     // mirrors Stats.robustOutliers: DuckDB's median()/mad() ARE the
     // exact tier's percentile-of-values / percentile-of-abs-deviations

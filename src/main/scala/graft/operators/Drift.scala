@@ -73,11 +73,78 @@ object Drift {
     */
   def histogramSplit(df: DataFrame, isBase: Column, valueCol: String,
                      lo: Double, hi: Double, buckets: Int): DataFrame =
+    histogramSplitBy(df, isBase, valueCol, lo, hi, buckets, Seq.empty)
+
+  /** [[histogramSplit]] per key group (e.g. per language / per repo
+    * bucket): ONE scan + one conditional aggregation produces every
+    * group's baseline-vs-current histogram; feed the result to
+    * [[psiKsBy]] with the same keys for one PSI/KS row per group —
+    * drift localization (WHICH slice moved) at the cost of the global
+    * check. NULL key values form their own group, as in any groupBy.
+    */
+  def histogramSplitBy(df: DataFrame, isBase: Column, valueCol: String,
+                       lo: Double, hi: Double, buckets: Int,
+                       keys: Seq[String]): DataFrame =
     df.where(cleanValue(df, valueCol))
-      .groupBy(bucketCol(Stats.asDouble(df, valueCol), lo, hi, buckets).as("bucket"))
+      .groupBy(keys.map(graft.spark.ColumnCompiler.colExact) :+
+        bucketCol(Stats.asDouble(df, valueCol), lo, hi, buckets).as("bucket"): _*)
       // NULL-valued predicates count on NEITHER side (the two-scan form
       // drops such rows from both where() filters), and buckets holding
       // only such rows are omitted like the full-outer join omits them
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
+      .where(col("n_base") + col("n_curr") > 0)
+
+  /** Equi-DEPTH bucket boundaries: the baseline's own (buckets−1)
+    * interior quantiles, so each baseline bucket holds ≈ 1/buckets of
+    * the mass. The right resolution for heavy-tailed columns, where
+    * equi-width piles ~all rows into the bottom buckets and PSI goes
+    * numb to tail movement. `exact = true` (verification tier —
+    * engines replay `quantile_cont`) computes true interpolated
+    * percentiles; `exact = false` is the 100 TB path
+    * (`percentile_approx` — mergeable Greenwald-Khanna sketches).
+    * Boundaries are rounded to 6 decimals (HALF_UP — both engines'
+    * round()) and deduplicated so the comparison grid is portable;
+    * equal quantiles (a mass point spanning several fractions)
+    * collapse to one boundary rather than producing empty buckets.
+    * Driver-side result: (buckets−1) doubles — the broadcastable
+    * artifact a drift monitor checkpoints alongside the histogram.
+    */
+  def equiDepthBoundaries(df: DataFrame, valueCol: String, buckets: Int,
+                          exact: Boolean = true): Seq[Double] = {
+    require(buckets >= 2, s"buckets = $buckets — equi-depth needs at least 2")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val v = Stats.asDouble(df, valueCol)
+    val q =
+      if (exact) percentile(v, array(probs.map(lit): _*))
+      else percentile_approx(v, array(probs.map(lit): _*), lit(10000))
+    val row = df.where(cleanValue(df, valueCol)).agg(q.as("q")).head()
+    require(!row.isNullAt(0),
+      s"equiDepthBoundaries: no non-null, non-NaN values in '$valueCol'")
+    row.getSeq[Double](0)
+      .map(b => BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .distinct
+  }
+
+  /** Bucket index under equi-depth boundaries: the count of boundaries
+    * strictly below the value (0 .. boundaries.length). A chain of
+    * codegen'd indicator sums — `boundaries` is small by construction.
+    */
+  def depthBucketCol(value: Column, boundaries: Seq[Double]): Column = {
+    require(boundaries.nonEmpty, "depthBucketCol needs at least one boundary")
+    boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(value > lit(b), 1L).otherwise(0L)
+    }
+  }
+
+  /** One-scan equi-depth split histogram: [[histogramSplitBy]]'s
+    * conditional-count shape over [[depthBucketCol]] buckets (computed
+    * against a checkpointed/baseline-derived boundary list).
+    */
+  def histogramSplitDepth(df: DataFrame, isBase: Column, valueCol: String,
+                          boundaries: Seq[Double]): DataFrame =
+    df.where(cleanValue(df, valueCol))
+      .groupBy(depthBucketCol(Stats.asDouble(df, valueCol), boundaries).as("bucket"))
       .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
         sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
       .where(col("n_base") + col("n_curr") > 0)

@@ -76,6 +76,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(st("s").getLong(1) == 2) // count still runs for the string column
   }
 
+  test("equi-depth boundaries: baseline quantiles, strict comparison, mass-point dedupe") {
+    import spark.implicits._
+    // 1..100: interior 4-quantiles at 25.75, 50.5, 75.25 (linear
+    // interpolation on (n-1)·p), 6dp-rounded
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val bs = Drift.equiDepthBoundaries(base, "v", buckets = 4)
+    assert(bs == Seq(25.75, 50.5, 75.25), s"got $bs")
+    // bucket = #boundaries strictly below: a value ON the boundary
+    // stays in the lower bucket (strict >)
+    val probe = Seq(10.0, 25.75, 25.76, 50.5, 99.0).toDF("v")
+    val got = probe.select(Drift.depthBucketCol(col("v"), bs).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 1L, 1L, 3L), s"got $got")
+    // a mass point spanning fractions collapses to ONE boundary
+    val massy = (Seq.fill(90)(5.0) ++ Seq(1.0, 9.0)).toDF("v")
+    val mb = Drift.equiDepthBoundaries(massy, "v", buckets = 4)
+    assert(mb == Seq(5.0), s"got $mb")
+    // NaN/null values are excluded; an all-invalid column refuses loudly
+    assert(Drift.equiDepthBoundaries(
+      base.withColumn("v", when(col("v") < 50, col("v"))), "v", 4).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Drift.equiDepthBoundaries(base.withColumn("v", lit(null).cast("double")), "v", 4)
+    }
+    // the split histogram over the boundaries counts sides exactly
+    val both = (1 to 100).map(i => (i.toDouble, i % 2 == 0)).toDF("v", "is_base")
+    val hist = Drift.histogramSplitDepth(both, col("is_base"), "v", bs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist.values.map(t => t._1 + t._2).sum == 100L)
+    assert(hist.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("robustOutliers: modified z on median/MAD, zero-MAD arm, approx tier agrees") {
     import spark.implicits._
     // group g: 9 values clustered at 100±2 plus one wild 500 — the
