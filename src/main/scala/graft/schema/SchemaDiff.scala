@@ -1,0 +1,155 @@
+package graft.schema
+
+import graft.json._
+
+/** Structural diff of two schema revisions — the PREDICTED blast
+  * radius of a schema change, the static companion to the engine's
+  * MEASURED one (`x_verdict_diff`: docs passing the current schema
+  * but failing the proposed). A CI gate reads this before a rollout:
+  * "maxLength at /properties/text tightened 520 → 500 — expect new
+  * violations; pattern at /properties/source loosened — quarantined
+  * rows may become recoverable."
+  *
+  * No reference counterpart (/root/reference compiles one schema at a
+  * time); this operates on the RAW schema documents (pre-compilation
+  * — the compiler fuses neighbor keywords, which would blur which
+  * keyword the author actually edited). Pure JVM: schemas are KB-scale
+  * driver artifacts; nothing here touches a cluster.
+  *
+  * Classification: per (JSON-pointer, keyword) with a direction rule
+  * where monotonicity is well-defined —
+  *  - bounds (maximum/maxLength/maxItems/maxProperties down, or
+  *    minimum/minLength/minItems/minProperties up) ⇒ `tightened`;
+  *    the opposite ⇒ `loosened` (exclusive flags count as tightening
+  *    when they turn on);
+  *  - `enum` values removed ⇒ tightened, added ⇒ loosened, both ⇒
+  *    `changed`;
+  *  - `required` keys added ⇒ tightened, removed ⇒ loosened;
+  *  - a keyword newly present ⇒ `added` (constraining keywords are
+  *    also tightening by nature; the kind stays `added` so the reader
+  *    sees novelty), gone ⇒ `removed`;
+  *  - anything else whose value changed ⇒ `changed`.
+  * Subschemas (properties/items/definitions/combinators) recurse with
+  * their JSON pointer; `$ref` values compare textually (resolution
+  * happens at compile time, not here).
+  */
+object SchemaDiff {
+
+  /** One diff row. `before`/`after` are rendered JSON (empty for
+    * absent sides).
+    */
+  final case class Change(pointer: String, keyword: String, kind: String,
+                          before: String, after: String)
+
+  private val maxish = Set("maximum", "maxLength", "maxItems", "maxProperties")
+  private val minish = Set("minimum", "minLength", "minItems", "minProperties")
+  /** Keys whose VALUE is a subschema, recursed rather than compared. */
+  private val subschemaKeys = Set("items", "additionalItems", "additionalProperties", "not")
+  /** Keys holding a map of subschemas. */
+  private val subschemaMaps = Set("properties", "patternProperties", "definitions")
+  /** Keys holding an array of subschemas. */
+  private val subschemaArrays = Set("allOf", "anyOf", "oneOf")
+
+  def compare(beforeJson: String, afterJson: String): Vector[Change] =
+    diff(Json.parse(beforeJson), Json.parse(afterJson), "")
+
+  private def esc(seg: String): String =
+    seg.replace("~", "~0").replace("/", "~1")
+
+  private def num(v: JValue): Option[BigDecimal] = v match {
+    case n: JNum => Some(BigDecimal(n.text))
+    case _ => None
+  }
+
+  private def strSet(v: JValue): Option[Set[String]] = v match {
+    case JArr(items) =>
+      val ss = items.collect { case JStr(s) => s }
+      if (ss.length == items.length) Some(ss.toSet) else None
+    case _ => None
+  }
+
+  private def direction(key: String, b: JValue, a: JValue): String = {
+    (num(b), num(a)) match {
+      case (Some(x), Some(y)) if maxish(key) =>
+        return if (y < x) "tightened" else if (y > x) "loosened" else "changed"
+      case (Some(x), Some(y)) if minish(key) =>
+        return if (y > x) "tightened" else if (y < x) "loosened" else "changed"
+      case _ => ()
+    }
+    if (key == "enum") (strSet(b), strSet(a)) match {
+      case (Some(x), Some(y)) =>
+        return if (y.subsetOf(x) && y != x) "tightened"
+        else if (x.subsetOf(y) && y != x) "loosened" else "changed"
+      case _ => return "changed" // non-string enums: no cheap ordering
+    }
+    if (key == "required") (strSet(b), strSet(a)) match {
+      case (Some(x), Some(y)) =>
+        return if (x.subsetOf(y) && y != x) "tightened"
+        else if (y.subsetOf(x) && y != x) "loosened" else "changed"
+      case _ => return "changed"
+    }
+    if (key == "exclusiveMaximum" || key == "exclusiveMinimum") (b, a) match {
+      case (JBool(x), JBool(y)) =>
+        return if (!x && y) "tightened" else if (x && !y) "loosened" else "changed"
+      case _ => ()
+    }
+    "changed"
+  }
+
+  /** Named-subschema map (properties / patternProperties /
+    * definitions): per name, added/removed renders the whole
+    * subschema; present-in-both recurses so "text tightened its
+    * maxLength" surfaces at `/properties/text/maxLength`, not as one
+    * opaque whole-subschema change.
+    */
+  private def diffMap(before: Vector[(String, JValue)], after: Vector[(String, JValue)],
+                      ptr: String): Vector[Change] = {
+    val bm = before.toMap
+    val am = after.toMap
+    val names = (before.map(_._1) ++ after.filterNot(f => bm.contains(f._1)).map(_._1)).distinct
+    names.toVector.flatMap { name =>
+      val p = s"$ptr/${esc(name)}"
+      (bm.get(name), am.get(name)) match {
+        case (None, Some(a)) => Vector(Change(p, name, "added", "", Json.render(a)))
+        case (Some(b), None) => Vector(Change(p, name, "removed", Json.render(b), ""))
+        case (Some(b), Some(a)) => diff(b, a, p)
+        case _ => Vector.empty
+      }
+    }
+  }
+
+  private def diff(before: JValue, after: JValue, ptr: String): Vector[Change] =
+    (before, after) match {
+      case (JObj(bf), JObj(af)) =>
+        val bm = bf.toMap
+        val am = af.toMap
+        val keys = (bf.map(_._1) ++ af.filterNot(f => bm.contains(f._1)).map(_._1)).distinct
+        keys.toVector.flatMap { k =>
+          val p = s"$ptr/${esc(k)}"
+          (bm.get(k), am.get(k)) match {
+            case (None, Some(a)) =>
+              Vector(Change(p, k, "added", "", Json.render(a)))
+            case (Some(b), None) =>
+              Vector(Change(p, k, "removed", Json.render(b), ""))
+            case (Some(b), Some(a)) if JValue.deepEqual(b, a) => Vector.empty
+            case (Some(b), Some(a)) if subschemaKeys(k) &&
+                b.isInstanceOf[JObj] && a.isInstanceOf[JObj] =>
+              diff(b, a, p)
+            case (Some(JObj(bsub)), Some(JObj(asub))) if subschemaMaps(k) =>
+              diffMap(bsub, asub, p) // every VALUE here is a subschema
+            case (Some(JArr(bs)), Some(JArr(as))) if subschemaArrays(k) &&
+                bs.length == as.length =>
+              bs.indices.toVector.flatMap(i => diff(bs(i), as(i), s"$p/$i"))
+            case (Some(b), Some(a)) =>
+              Vector(Change(p, k, direction(k, b, a), Json.render(b), Json.render(a)))
+          }
+        }
+      // a non-object at a recursion point (e.g. boolean
+      // additionalProperties vs a schema object): plain value change
+      // (fallthrough below)
+      case (b, a) if !JValue.deepEqual(b, a) =>
+        Vector(Change(ptr, ptr.split('/').lastOption.getOrElse(""),
+          "changed", Json.render(b), Json.render(a)))
+      case _ => Vector.empty
+    }
+}

@@ -8,16 +8,36 @@ import graft.schema.{Evaluator, SchemaCompiler}
   * as `keyword <tab> jsonPointer <tab> message`, exit 0 iff valid.
   *
   * Usage: runMain graft.tools.ValidateCli '<schema json>' '<instance json>'
+  *
+  * `--diff` mode instead STRUCTURALLY diffs two schema revisions
+  * (graft.schema.SchemaDiff — the predicted blast radius of a rollout):
+  * prints `kind <tab> pointer <tab> keyword <tab> before <tab> after`
+  * per change, `IDENTICAL` + exit 0 when none, exit 1 when the
+  * revision changes anything.
+  *
+  * Usage: runMain graft.tools.ValidateCli --diff <before> <after>
   */
 object ValidateCli {
   def main(args: Array[String]): Unit = {
+    def arg(a: String): String =
+      if (a.startsWith("@")) new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.drop(1))))
+      else a
+    if (args.headOption.contains("--diff")) {
+      if (args.length != 3) {
+        System.err.println("usage: ValidateCli --diff <before-json-or-@file> <after-json-or-@file>")
+        sys.exit(2)
+      }
+      val cs = try graft.schema.SchemaDiff.compare(arg(args(1)), arg(args(2))) catch {
+        case e: Exception => System.err.println(s"diff failed: ${e.getMessage}"); sys.exit(2)
+      }
+      cs.foreach(c => println(s"${c.kind}\t${c.pointer}\t${c.keyword}\t${c.before}\t${c.after}"))
+      if (cs.isEmpty) println("IDENTICAL")
+      sys.exit(if (cs.isEmpty) 0 else 1)
+    }
     if (args.length != 2) {
       System.err.println("usage: ValidateCli <schema-json-or-@file> <instance-json-or-@file>")
       sys.exit(2)
     }
-    def arg(a: String): String =
-      if (a.startsWith("@")) new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.drop(1))))
-      else a
     val schema = try Json.parse(arg(args(0))) catch {
       case e: Exception => System.err.println(s"bad schema JSON: ${e.getMessage}"); sys.exit(2)
     }

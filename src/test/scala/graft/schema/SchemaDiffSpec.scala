@@ -1,0 +1,75 @@
+package graft.schema
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural schema-revision diff: the predicted blast radius of a
+  * schema change, classified per (pointer, keyword).
+  */
+class SchemaDiffSpec extends AnyFunSuite {
+
+  private def changes(b: String, a: String): Map[(String, String), (String, String, String)] =
+    SchemaDiff.compare(b, a)
+      .map(c => (c.pointer, c.keyword) -> ((c.kind, c.before, c.after))).toMap
+
+  test("bound moves classify by direction; identical schemas diff empty") {
+    val before =
+      """{"properties":{
+        |  "text":{"minLength":50,"maxLength":520},
+        |  "n":{"minimum":0,"maximum":500}}}""".stripMargin
+    val after =
+      """{"properties":{
+        |  "text":{"minLength":40,"maxLength":500},
+        |  "n":{"minimum":10,"maximum":500}}}""".stripMargin
+    val c = changes(before, after)
+    assert(c(("/properties/text/maxLength", "maxLength"))._1 == "tightened")
+    assert(c(("/properties/text/minLength", "minLength"))._1 == "loosened")
+    assert(c(("/properties/n/minimum", "minimum"))._1 == "tightened")
+    assert(!c.contains(("/properties/n/maximum", "maximum"))) // unchanged
+    assert(SchemaDiff.compare(before, before).isEmpty)
+  }
+
+  test("enum and required classify by set direction; mixed edits read changed") {
+    val b = """{"required":["a","b"],"properties":{"l":{"enum":["en","de","fr"]}}}"""
+    assert(changes(b, """{"required":["a","b","c"],"properties":{"l":{"enum":["en","de","fr"]}}}""")
+      .apply(("/required", "required"))._1 == "tightened")
+    assert(changes(b, """{"required":["a"],"properties":{"l":{"enum":["en","de","fr"]}}}""")
+      .apply(("/required", "required"))._1 == "loosened")
+    assert(changes(b, """{"required":["a","b"],"properties":{"l":{"enum":["en","de"]}}}""")
+      .apply(("/properties/l/enum", "enum"))._1 == "tightened")
+    assert(changes(b, """{"required":["a","b"],"properties":{"l":{"enum":["en","zh"]}}}""")
+      .apply(("/properties/l/enum", "enum"))._1 == "changed")
+  }
+
+  test("added/removed keywords and properties carry the rendered side") {
+    val b = """{"properties":{"x":{"type":"string"}}}"""
+    val a = """{"properties":{"x":{"type":"string","pattern":"^a"},"y":{"minimum":1}}}"""
+    val c = changes(b, a)
+    assert(c(("/properties/x/pattern", "pattern")) == (("added", "", "\"^a\"")))
+    val y = c(("/properties/y", "y"))
+    assert(y._1 == "added" && y._3.contains("minimum"))
+    // reverse direction: removals render the before side
+    val r = changes(a, b)
+    assert(r(("/properties/y", "y"))._1 == "removed")
+    assert(r(("/properties/x/pattern", "pattern"))._1 == "removed")
+  }
+
+  test("nested recursion, JSON-pointer escaping, combinator index paths") {
+    val b = """{"properties":{"a/b":{"properties":{"in~ner":{"maxLength":9}}},
+              | "c":{"allOf":[{"minimum":1},{"maximum":5}]}}}""".stripMargin
+    val a = """{"properties":{"a/b":{"properties":{"in~ner":{"maxLength":7}}},
+              | "c":{"allOf":[{"minimum":2},{"maximum":5}]}}}""".stripMargin
+    val c = changes(b, a)
+    assert(c(("/properties/a~1b/properties/in~0ner/maxLength", "maxLength"))._1 == "tightened")
+    assert(c(("/properties/c/allOf/0/minimum", "minimum"))._1 == "tightened")
+  }
+
+  test("exclusive flags and shape changes") {
+    assert(changes("""{"maximum":5,"exclusiveMaximum":false}""",
+      """{"maximum":5,"exclusiveMaximum":true}""")
+      .apply(("/exclusiveMaximum", "exclusiveMaximum"))._1 == "tightened")
+    // boolean additionalProperties → schema object: a plain change row
+    val c = changes("""{"additionalProperties":false}""",
+      """{"additionalProperties":{"type":"string"}}""")
+    assert(c.keys.exists(_._1 == "/additionalProperties"))
+  }
+}
