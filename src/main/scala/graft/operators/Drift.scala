@@ -15,6 +15,20 @@ import graft.spark.ColumnCompiler.colExact
   */
 object Drift {
 
+  /** Same reserved-name rule as robustOutliers/the sinks: the split
+    * histograms and PSI/KS scoring introduce derived columns next to
+    * caller-supplied key columns — a key named `bucket`, or a hist
+    * frame already carrying `p`, would fail with an ambiguous
+    * reference (or `withColumn` would silently overwrite it and
+    * misgroup) instead of this loud message.
+    */
+  private def requireFreeNames(names: Seq[String], reserved: Seq[String],
+                               op: String): Unit =
+    reserved.foreach { n =>
+      require(!names.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' is reserved by $op; rename or alias it first")
+    }
+
   /** Clamping equi-width bucket index: values outside [lo,hi) land in
     * the edge buckets, so the histogram is total over non-null,
     * non-NaN input. A degenerate range is rejected eagerly — w = 0
@@ -84,7 +98,8 @@ object Drift {
     */
   def histogramSplitBy(df: DataFrame, isBase: Column, valueCol: String,
                        lo: Double, hi: Double, buckets: Int,
-                       keys: Seq[String]): DataFrame =
+                       keys: Seq[String]): DataFrame = {
+    requireFreeNames(keys, Seq("bucket", "n_base", "n_curr"), "histogramSplitBy")
     df.where(cleanValue(df, valueCol))
       .groupBy(keys.map(graft.spark.ColumnCompiler.colExact) :+
         bucketCol(Stats.asDouble(df, valueCol), lo, hi, buckets).as("bucket"): _*)
@@ -94,6 +109,7 @@ object Drift {
       .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
         sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
       .where(col("n_base") + col("n_curr") > 0)
+  }
 
   /** Equi-DEPTH bucket boundaries: the baseline's own (buckets−1)
     * interior quantiles, so each baseline bucket holds ≈ 1/buckets of
@@ -149,6 +165,77 @@ object Drift {
         sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
       .where(col("n_base") + col("n_curr") > 0)
 
+  /** Per-group equi-depth boundaries — [[equiDepthBoundaries]] for
+    * every `keyCol` group in ONE grouped aggregation (each group's own
+    * baseline quantiles; same exact/approx tiers, 6dp rounding,
+    * dedupe). Driver-side result: one (key → boundaries) entry per
+    * group — KB-scale for any realistic group column (groups ×
+    * (buckets−1) doubles), the checkpointable artifact a drift monitor
+    * stores next to its histograms. NULL-keyed rows are excluded (a
+    * NULL key cannot address a boundary list; [[histogramSplitDepthBy]]
+    * drops them the same way), and a group with no non-null, non-NaN
+    * values is absent rather than mapped to an empty list.
+    */
+  def equiDepthBoundariesByKey(df: DataFrame, keyCol: String, valueCol: String,
+                               buckets: Int, exact: Boolean = true): Map[String, Seq[Double]] = {
+    require(buckets >= 2, s"buckets = $buckets — equi-depth needs at least 2")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val v = Stats.asDouble(df, valueCol)
+    val q =
+      if (exact) percentile(v, array(probs.map(lit): _*))
+      else percentile_approx(v, array(probs.map(lit): _*), lit(10000))
+    val k = graft.spark.ColumnCompiler.colExact(keyCol)
+    df.where(cleanValue(df, valueCol) && k.isNotNull)
+      .groupBy(k.cast("string").as("__k")).agg(q.as("__q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)
+        .map(b => BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .distinct.toSeq)
+      .toMap
+  }
+
+  /** [[histogramSplitDepth]] per key group, against each group's OWN
+    * boundary list (from [[equiDepthBoundariesByKey]] on the baseline —
+    * the heavy-tailed columns equi-depth exists for are exactly where
+    * per-group localization matters, and one global boundary grid
+    * would smear a single group's tail shift across everyone's
+    * buckets). ONE corpus scan: the boundary map rides into the
+    * executors as a broadcast (key, boundaries) frame, the bucket is an
+    * `aggregate` fold over the joined array, and the conditional
+    * count is the same shape as [[histogramSplitBy]]. Groups absent
+    * from `boundsByKey` (and NULL keys) drop via the inner broadcast
+    * join — a group the baseline never profiled has no depth grid to
+    * bucket against.
+    */
+  def histogramSplitDepthBy(df: DataFrame, isBase: Column, valueCol: String,
+                            keyCol: String,
+                            boundsByKey: Map[String, Seq[Double]]): DataFrame = {
+    requireFreeNames(Seq(keyCol), Seq("bucket", "n_base", "n_curr"),
+      "histogramSplitDepthBy")
+    require(boundsByKey.nonEmpty, "histogramSplitDepthBy: empty boundary map — " +
+      "profile the baseline with equiDepthBoundariesByKey first")
+    boundsByKey.foreach { case (k, bs) =>
+      require(bs.nonEmpty, s"group '$k' has an empty boundary list")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bName = graft.spark.ColumnCompiler.freshName(df, "__depth_bounds")
+    val bounds = boundsByKey.toSeq.map { case (k, bs) => (k, bs) }
+      .toDF(keyCol, bName)
+    val k = graft.spark.ColumnCompiler.colExact(keyCol)
+    val joined = df.where(cleanValue(df, valueCol))
+      .withColumn(keyCol, k.cast("string"))
+      .join(broadcast(bounds), Seq(keyCol))
+    val v = Stats.asDouble(joined, valueCol)
+    joined
+      .groupBy(col(keyCol),
+        aggregate(col(bName), lit(0L),
+          (acc, b) => acc + when(v > b, 1L).otherwise(0L)).as("bucket"))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(!isBase, 1L).otherwise(0L)).as("n_curr"))
+      .where(col("n_base") + col("n_curr") > 0)
+  }
+
   /** Population Stability Index Σ(p−q)·ln(p/q) and Kolmogorov–Smirnov
     * max|CDF_p−CDF_q| over the joined histogram. `eps` regularizes
     * empty buckets. Single row out.
@@ -168,6 +255,15 @@ object Drift {
     * key group (each still ≤ `buckets` rows).
     */
   def psiKsBy(hist: DataFrame, keys: Seq[String], eps: Double = 1e-6): DataFrame = {
+    // the scoring columns are withColumn'd onto the hist frame: an
+    // existing `p` would be silently OVERWRITTEN (not ambiguous), and a
+    // key named `psi`/`ks`/`bucket` would collide in the output
+    requireFreeNames(keys, Seq("p", "q", "cdf_p", "cdf_q", "psi", "ks", "bucket"),
+      "psiKsBy")
+    requireFreeNames(hist.columns.toSeq.filterNot(c =>
+        keys.exists(_.equalsIgnoreCase(c)) ||
+          Seq("bucket", "n_base", "n_curr").exists(_.equalsIgnoreCase(c))),
+      Seq("p", "q", "cdf_p", "cdf_q"), "psiKsBy")
     val kcols = keys.map(graft.spark.ColumnCompiler.colExact)
     val tot = Window.partitionBy(kcols: _*)
     val w = Window.partitionBy(kcols: _*).orderBy("bucket")

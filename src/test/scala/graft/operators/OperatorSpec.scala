@@ -107,6 +107,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(hist.keySet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("per-group equi-depth: each key's own grid, inner-join drop, name guards") {
+    import spark.implicits._
+    // group a sits on 1..100, group b on 1001..1100: one GLOBAL grid
+    // would put every a-row in bucket 0 and every b-row in the top —
+    // per-key grids split each group evenly instead
+    val rows = (1 to 100).map(i => ("a", i.toDouble, i % 2 == 0)) ++
+      (1 to 100).map(i => ("b", 1000.0 + i, i % 2 == 0)) ++
+      Seq(("c", 5.0, false), (null.asInstanceOf[String], 7.0, true))
+    val df = rows.toDF("k", "v", "is_base")
+    val bs = Drift.equiDepthBoundariesByKey(df.where(col("is_base")), "k", "v", 4)
+    // per-group boundaries are each group's own interior quartiles
+    // (of its 50 baseline rows); NULL keys excluded, and group c —
+    // current-only, no baseline rows — is absent
+    assert(bs.keySet == Set("a", "b"), s"got ${bs.keySet}")
+    assert(bs("a").length == 3 && bs("b").length == 3)
+    assert(bs("b").head > 1000.0 && bs("a").head < 100.0)
+    val hist = Drift.histogramSplitDepthBy(df, col("is_base"), "v", "k", bs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // both groups split across all 4 buckets; c and the NULL key drop
+    // via the inner join (no grid to bucket against)
+    assert(hist.keys.map(_._1).toSet == Set("a", "b"))
+    assert(hist.keys.filter(_._1 == "a").map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    assert(hist.values.map(t => t._1 + t._2).sum == 200L)
+    // ~equal mass per baseline bucket is the whole point of equi-depth
+    hist.foreach { case ((_, _), (nBase, _)) => assert(nBase >= 10 && nBase <= 15) }
+    // reserved names refuse loudly instead of ambiguous references
+    intercept[IllegalArgumentException] {
+      Drift.histogramSplitDepthBy(df.withColumnRenamed("k", "bucket"),
+        col("is_base"), "v", "bucket", bs)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.histogramSplitBy(df, col("is_base"), "v", 0.0, 10.0, 4, Seq("bucket"))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psiKsBy(Seq(("x", 0L, 1L, 2L)).toDF("p", "bucket", "n_base", "n_curr"),
+        Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.histogramSplitDepthBy(df, col("is_base"), "v", "k", Map.empty)
+    }
+  }
+
   test("robustOutliers: modified z on median/MAD, zero-MAD arm, approx tier agrees") {
     import spark.implicits._
     // group g: 9 values clustered at 100±2 plus one wild 500 — the
