@@ -680,9 +680,12 @@ object Dedup {
     * recomputed over the filtered sets, so `winnow_jaccard` remains an
     * exact Jaccard — of the declared (df-filtered) fingerprint sets,
     * the same stopword-removal semantics similarity search uses. The
-    * filter costs two small window passes over the POSTINGS index (tiny
-    * next to the pair expansion it prevents); what was dropped is never
-    * silent — [[oversizedWinnowBuckets]] reports it.
+    * filter costs one hash-aggregated df count plus a broadcast
+    * anti-join and an id-keyed re-size join over the POSTINGS index —
+    * never a whole-partition window, so no stopword bucket ever lands
+    * on one task (tiny next to the pair expansion it prevents); what
+    * was dropped is never silent — [[oversizedWinnowBuckets]] reports
+    * it.
     *
     * Use an ABSOLUTE cap, not a corpus fraction: boilerplate occurs in
     * a roughly constant FRACTION of any corpus, so a fraction cap's
@@ -709,15 +712,29 @@ object Dedup {
     val index =
       if (maxBucket == Long.MaxValue) raw
       else {
-        // df-filter the representation, then re-size: both are window
-        // counts over the postings index (fp-partitioned, then
-        // id-partitioned), paid before — and dwarfed by — the pair
-        // expansion they bound
-        import org.apache.spark.sql.expressions.Window
-        raw.withColumn("__bc", count(lit(1)).over(Window.partitionBy("fp")))
-          .where(col("__bc") <= maxBucket)
-          .select(col("fp"), col("id"),
-            count(lit(1)).over(Window.partitionBy("id")).as("sz"))
+        // df-filter the representation, then re-size — WITHOUT a
+        // whole-partition window on either pass: a window partition
+        // materializes on ONE task, so a license-header fingerprint
+        // with 10⁹ postings would funnel through a single WindowExec
+        // buffer BEFORE the filter could drop it. Instead:
+        //  1. per-fp df via hash aggregation (map-side partial combine
+        //     — a stopword fp reduces inside every input partition);
+        //     only the OVERSIZED fps survive, a boilerplate-sized set
+        //     (≤ postings/maxBucket entries, constant-ish in practice
+        //     — the same survivor-broadcast bound boilerplateLines
+        //     documents), broadcast back as a stopword list;
+        //  2. broadcast ANTI join drops stopword postings MAP-SIDE —
+        //     the 10⁹-posting bucket never shuffles at all;
+        //  3. per-id set re-size over the filtered postings: hash agg
+        //     + equi-join back on id (per-id group size is bounded by
+        //     the doc's own fingerprint count, so no skew hazard).
+        val stop = raw.groupBy("fp").agg(count(lit(1)).as("__bc"))
+          .where(col("__bc") > maxBucket)
+          .select("fp")
+        val kept = raw.join(broadcast(stop), Seq("fp"), "left_anti")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("__sz"))
+        kept.select("fp", "id").join(sizes, Seq("id"))
+          .select(col("fp"), col("id"), col("__sz").as("sz"))
       }
     Pairs.blockedPairs(index, Seq("fp"), cap)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

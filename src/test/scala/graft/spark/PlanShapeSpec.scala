@@ -244,6 +244,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sizeFilter > aggLine, s"bucket-size filter runs after the collect:\n$p")
   }
 
+  test("winnow df-filter adds no WindowExec — raw postings never land on one window task") {
+    // the capped variant filters stopword fingerprints via hash-agg +
+    // broadcast anti-join and re-sizes via an id-keyed equi-join; the
+    // ONLY windows in either plan are blockedPairs' own bucket-size
+    // windows over the ALREADY-FILTERED (≤ maxBucket) postings. A
+    // whole-partition window over the raw postings (the r4 shape)
+    // would materialize a 10⁹-posting stopword bucket on ONE task
+    // before the filter could drop it.
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"),
+      (3L, "x y z w v u t s r q")).toDF("id", "text")
+    val uncapped = plan(Dedup.winnowPairs(docs, "id", "text", minShared = 1))
+    val capped = plan(Dedup.winnowPairs(docs, "id", "text", minShared = 1, maxBucket = 2))
+    def windows(p: String): Int = "Window".r.findAllIn(p).size
+    assert(windows(capped) == windows(uncapped),
+      s"df-filter added ${windows(capped) - windows(uncapped)} WindowExec node(s):\n$capped")
+    // the stopword drop is a broadcast anti-join, map-side
+    assert(capped.contains("BroadcastHashJoin") && capped.contains("LeftAnti"), capped)
+  }
+
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
     val p = plan(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2))
