@@ -214,9 +214,16 @@ object Bench {
     // LSH signature layout) are paid by rep 1 only, so the best
     // converges to the operator itself.
     val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+    // A/B iteration knob: SPARK_GRAFT_QUERY_ONLY=a,b runs just those
+    // queries' timing loop, prints them, and RETURNS — the banked
+    // BENCH/ files are never touched (same contract as scalingOnly)
+    val queryOnly = sys.env.get("SPARK_GRAFT_QUERY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryTimes: Seq[(String, Double, Seq[Double])] =
       if (scalingOnly) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => queryOnly.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         // a FAILED rep must not win the min — a 0.3 s transient error
         // would otherwise be published as the query's capacity number.
         // Failed reps are disclosed as NEGATED walls in the samples
@@ -235,6 +242,8 @@ object Bench {
           s"(samples ${walls.map(w => f"$w%.2f").mkString(",")})")
         (name, best, walls)
       }
+    if (queryOnly.isDefined) { spark.stop(); return } // A/B probe: no files, no scaling
+
     // warm-up: one full pass so JIT/codegen cost lands on neither level
     val (_, warmSec) = timed(fullPass(spark, spark.read.parquet(srcDir)))
     System.err.println(f"[bench] warmup fullPass: $warmSec%.1fs")

@@ -131,15 +131,11 @@ object SparkEntry {
 
   /** The session-staged 8-bit SRP signature layout over `embeddings` —
     * built once per (session, sfDir) through the Layouts manifest
-    * protocol and shared by every query that probes it
-    * (s_ann_lsh_clustered, s_ann_probe_recall, s_ann_batch).
-    *
-    * Deliberately built as an initial write PLUS an incremental append
-    * (corpus split by vec_id parity), so the append path — two
-    * manifest versions, union read, per-branch pruning — is driven
-    * through the DRIVER GATE by every layout query, not just by specs:
-    * the exhaustive-probe oracles then prove append-then-probe ≡
-    * brute force over the whole corpus.
+    * protocol, as an initial write PLUS an incremental append (corpus
+    * split by vec_id parity), and left UNCOMPACTED: two manifest
+    * versions, union read, per-branch pruning. Probed by the
+    * narrow-probe tier (s_ann_probe_recall), which keeps the
+    * append-path union read under the DRIVER GATE every round.
     */
   private def stagedSignatureLayout(s: SparkSession, dir: String): String = {
     val path = sessionScratch(s, dir, "lshsig") + "/sigs"
@@ -149,6 +145,34 @@ object SparkEntry {
         e.where(col("vec_id") % 2 === 0), "embedding", bits = 8, path, dim = 64)
       graft.operators.Similarity.appendSignatures(
         e.where(col("vec_id") % 2 === 1), "embedding", bits = 8, path, dim = 64)
+    }
+    path
+  }
+
+  /** The same write→append staging COMPACTED in place (one version dir,
+    * one read branch) — the PRODUCTION cadence: appends accumulate,
+    * compaction folds them before read amplification hurts. Probed by
+    * the EXHAUSTIVE-regime queries (s_ann_lsh_clustered, s_ann_batch),
+    * whose brute-force oracles therefore prove the full
+    * append→compact→probe cycle ≡ brute force under the driver gate —
+    * and fix the r4 regression where the exhaustive probe paid the
+    * uncompacted 2-version × 256-bucket read amplification on every
+    * bench rep (×4.5 wall). The loud require pins that compaction
+    * actually folded something, so this staging can never silently
+    * degrade into a single-version write that skips the append path.
+    */
+  private def stagedCompactedSignatureLayout(s: SparkSession, dir: String): String = {
+    val path = sessionScratch(s, dir, "lshsigc") + "/sigs"
+    if (!graft.spark.Layouts.exists(s, path)) {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.writeSignatures(
+        e.where(col("vec_id") % 2 === 0), "embedding", bits = 8, path, dim = 64)
+      graft.operators.Similarity.appendSignatures(
+        e.where(col("vec_id") % 2 === 1), "embedding", bits = 8, path, dim = 64)
+      require(graft.spark.Layouts.compact(s, path, "sig"),
+        "compacted signature staging found nothing to fold — append path skipped?")
+      require(graft.spark.Layouts.versionCount(s, path) == 1,
+        "compaction left more than one live version")
     }
     path
   }
@@ -712,18 +736,19 @@ object SparkEntry {
     }),
 
     // SRP-LSH ANN over the MATERIALIZED signature layout (corpus
-    // written PARTITIONED BY its 8-bit signature, staged once per
-    // session through the Layouts manifest protocol), probed in the
-    // exhaustive regime — all 2^8 buckets — so the read-back provably
-    // equals brute force and the r3 no_oracle row gets the
-    // bruteForceTopKSql oracle. The PRUNED narrow-probe read of the
-    // SAME layout is s_ann_probe_recall (and plan-asserted in
-    // PlanShapeSpec).
+    // written PARTITIONED BY its 8-bit signature, staged write→append→
+    // COMPACT once per session through the Layouts manifest protocol),
+    // probed in the exhaustive regime — all 2^8 buckets — so the
+    // read-back provably equals brute force: the bruteForceTopKSql
+    // oracle gates the whole append→compact→probe cycle. The PRUNED
+    // narrow-probe read of the UNCOMPACTED staging is
+    // s_ann_probe_recall (and plan-asserted in PlanShapeSpec), keeping
+    // the multi-version union-read path gated too.
     "s_ann_lsh_clustered" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      graft.operators.Similarity.signatureTopK(s, stagedSignatureLayout(s, dir),
+      graft.operators.Similarity.signatureTopK(s, stagedCompactedSignatureLayout(s, dir),
           "embedding", "vec_id", q, 10, bits = 8, probeHamming = 8)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
@@ -758,7 +783,7 @@ object SparkEntry {
     // batch is plan-asserted in PlanShapeSpec.
     "s_ann_batch" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      graft.operators.Similarity.signatureTopKBatch(s, stagedSignatureLayout(s, dir),
+      graft.operators.Similarity.signatureTopKBatch(s, stagedCompactedSignatureLayout(s, dir),
           "embedding", "vec_id",
           e.where(col("vec_id") < 3), "vec_id", "embedding",
           k = 10, bits = 8, probeHamming = 8, dim = 64)

@@ -161,4 +161,40 @@ object Layouts {
     val (fs, root) = fsOf(spark, path)
     liveVersions(fs, root).nonEmpty
   }
+
+  /** Number of live version dirs — the read amplification a probe pays
+    * (each version is one union branch / one directory listing per
+    * probed bucket). Compaction cadence is chosen against this.
+    */
+  def versionCount(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsOf(spark, path)
+    liveVersions(fs, root).length
+  }
+
+  /** Fold every live version into ONE — [[write]] of the read-back, in
+    * place. The new version dir is written while the old ones are
+    * still live (write only sweeps NON-live artifacts first), then one
+    * atomic manifest replace publishes it; a crash mid-compaction
+    * leaves the multi-version manifest intact and an orphan for the
+    * next write's sweep. The superseded versions become sweepable at
+    * the next write/append/compact — the standard one-write grace
+    * period, so a reader holding the old manifest keeps resolving.
+    *
+    * At 100 TB this is the append-cadence control: appends keep daily
+    * increments O(increment), and a compaction every N appends caps
+    * probe read amplification at N branches while rewriting the layout
+    * only 1/N as often as overwrite-per-append would. A no-op (≤ 1
+    * version) returns false without touching storage.
+    */
+  def compact(spark: SparkSession, path: String, partCol: String): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    val live = liveVersions(fs, root)
+    require(live.nonEmpty,
+      s"compact of a layout that was never written: $path has no committed manifest")
+    if (live.length <= 1) false
+    else {
+      write(read(spark, path), partCol, path)
+      true
+    }
+  }
 }

@@ -80,4 +80,36 @@ class LayoutsSpec extends AnyFunSuite {
     frame(0 until 7).write.partitionBy("part").parquet(path)
     assert(Layouts.read(spark, path).count() == 7)
   }
+
+  test("compact folds appends into one version; rows, pruning, and grace period hold") {
+    val path = tmp()
+    Layouts.write(frame(0 until 10), "part", path)
+    Layouts.append(frame(10 until 25), "part", path)
+    Layouts.append(frame(25 until 30), "part", path)
+    assert(Layouts.versionCount(spark, path) == 3)
+    val before = Layouts.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(Layouts.compact(spark, path, "part"))
+    assert(Layouts.versionCount(spark, path) == 1)
+    val after = Layouts.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(after == before && after == (0L until 30L))
+    // one-write grace period: the superseded dirs survive the compact
+    // itself (a reader holding the old manifest keeps resolving) and
+    // are swept by the NEXT write-path call
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("v-"))
+    assert(vdirs.length == 4, s"expected 3 superseded + 1 live, got ${vdirs.toSeq}")
+    Layouts.append(frame(30 until 32), "part", path)
+    val vdirs2 = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("v-"))
+    assert(vdirs2.length == 2, s"superseded versions not swept: ${vdirs2.toSeq}")
+    assert(Layouts.read(spark, path).count() == 32)
+    // compacting a single-version layout is a no-op that touches nothing
+    Layouts.compact(spark, path, "part") // folds the 2 versions again
+    assert(!Layouts.compact(spark, path, "part"))
+    assert(Layouts.versionCount(spark, path) == 1)
+    // a never-written layout refuses loudly
+    intercept[IllegalArgumentException](Layouts.compact(spark, tmp(), "part"))
+  }
 }
