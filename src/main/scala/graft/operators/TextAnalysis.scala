@@ -44,6 +44,85 @@ object TextAnalysis {
       tokenCount(colExact(textCol)).cast("long").as("n_tokens"),
       subwordCount(colExact(textCol)).cast("long").as("n_subwords"))
 
+  /** Demonstration subword vocabulary for [[bpeTokenCount]] — a small
+    * frequency-ordered merge table (common English n-grams + code-ish
+    * pieces), the shape a real BPE/WordPiece vocab file has after
+    * training. Swap in a production vocab (a broadcast list read from
+    * the tokenizer's vocab file) without touching the operator; pieces
+    * must be lowercase alnum because [[Dedup.tokens]] pre-tokenizes
+    * that way.
+    */
+  val bpeVocab: Seq[String] = Seq(
+    "ation", "ition", "ingly",
+    "tion", "ment", "able", "ence", "ance", "ight", "ough", "ness", "ware", "data",
+    "ing", "ion", "ent", "ati", "ter", "est", "ers", "pre", "pro", "con", "com",
+    "int", "sub", "str", "val", "num",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es", "or",
+    "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng", "se", "ha",
+    "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne",
+    "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur")
+
+  /** TOKENIZER-TRUE token count: greedy longest-match-first subword
+    * segmentation (the WordPiece/SentencePiece-greedy algorithm,
+    * without continuation markers) over a vocab list, so packing and
+    * chunking budgets ([[packSequences]] / [[chunkTokens]] both take a
+    * token-source Column — pass this one) are set in actual tokenizer
+    * tokens instead of whitespace proxies. Per word (the shared
+    * [[Dedup.tokens]] lowercase-alnum pre-tokenization): starting at
+    * position 1, take the LONGEST vocab piece matching at the cursor,
+    * else consume one character as an [UNK]-per-char fallback token;
+    * repeat. Implemented as ONE `aggregate` fold over the character
+    * positions nested in an `aggregate` over the words — pure per-row
+    * Catalyst expressions, zero shuffle, vocab inlined as literal
+    * In-lists (a real vocab file is KB-scale: still literal/broadcast
+    * territory at any corpus size).
+    *
+    * Words longer than `maxWordLen` (degenerate tokens: minified
+    * blobs, base64 runs) segment their first `maxWordLen` chars
+    * greedily and count 1 token per char beyond — bounding the fold
+    * while staying deterministic and externally replayable (the DuckDB
+    * oracle replays the identical segmentation with list lambdas).
+    * NULL text ≡ empty (0 tokens).
+    */
+  def bpeTokenCount(text: Column, vocab: Seq[String] = bpeVocab,
+                    maxWordLen: Int = 64): Column = {
+    require(vocab.nonEmpty, "bpeTokenCount needs a non-empty vocab")
+    require(maxWordLen >= 1, s"maxWordLen = $maxWordLen must be >= 1")
+    vocab.foreach(p => require(p.length >= 2 && p.matches("[a-z0-9]+"),
+      s"vocab piece '$p' must be >= 2 lowercase-alnum chars (single chars are " +
+        "the implicit fallback; the pre-tokenizer lowercases and strips the rest)"))
+    // ascending fold ⇒ the LONGEST length lands outermost in the
+    // when-chain ⇒ longest-match-first; a substr past the word's end
+    // is shorter than l and can never equal a length-l piece
+    val byLen = vocab.groupBy(_.length).toSeq.sortBy(_._1)
+    def matchLen(w: Column, pos: Column): Column =
+      byLen.foldLeft(lit(1)) { case (shorter, (l, pieces)) =>
+        when(w.substr(pos, lit(l)).isInCollection(pieces), lit(l)).otherwise(shorter)
+      }
+    def wordTokens(w: Column): Column =
+      aggregate(
+        sequence(lit(1), least(length(w), lit(maxWordLen))),
+        struct(lit(1).as("pos"), lit(0L).as("cnt")),
+        (acc, i) => when(i === acc.getField("pos"),
+            struct((acc.getField("pos") + matchLen(w, acc.getField("pos"))).as("pos"),
+              (acc.getField("cnt") + 1L).as("cnt")))
+          .otherwise(acc),
+        acc => acc.getField("cnt") +
+          greatest(length(w) - lit(maxWordLen), lit(0)).cast("long"))
+    Dedup.let(Dedup.tokens(coalesce(text, lit("")))) { words =>
+      aggregate(words, lit(0L), (acc, w) => acc + wordTokens(w))
+    }
+  }
+
+  /** Per-document tokenizer-true counts next to the whitespace proxy —
+    * the budget-setting artifact (BIGINT for cross-engine parity).
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String] = bpeVocab, maxWordLen: Int = 64): DataFrame =
+    df.select(colExact(idCol),
+      size(Dedup.tokens(coalesce(colExact(textCol), lit("")))).cast("long").as("n_words"),
+      bpeTokenCount(colExact(textCol), vocab, maxWordLen).cast("long").as("n_bpe_tokens"))
+
   // one tokenizer across the module family: language-ID/quality and
   // dedup shingling must agree on what a word is (Dedup.tokens)
   private def alnumTokens(text: Column): Column = Dedup.tokens(text)

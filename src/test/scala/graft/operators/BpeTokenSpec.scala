@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.SparkTestSession
+
+/** Tokenizer-true token counting: the Catalyst greedy longest-match
+  * fold must agree with an independent JVM reference implementation of
+  * the same algorithm on every input shape — prose, degenerate long
+  * words (the maxWordLen greedy+overflow arm), empty/NULL text, words
+  * made purely of UNK chars, and seeded random strings.
+  */
+class BpeTokenSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent reference: greedy longest-match-first over the vocab,
+    * 1 UNK token per unmatched char, greedy over the first maxWordLen
+    * chars + 1 token per char beyond.
+    */
+  private def refWord(w: String, vocab: Seq[String], maxWordLen: Int = 64): Long = {
+    val byLenDesc = vocab.groupBy(_.length).toSeq.sortBy(-_._1)
+    var pos = 0
+    var cnt = 0L
+    val lim = math.min(w.length, maxWordLen)
+    while (pos < lim) {
+      val l = byLenDesc.collectFirst {
+        case (len, ps) if pos + len <= w.length && ps.contains(w.substring(pos, pos + len)) => len
+      }.getOrElse(1)
+      pos += l
+      cnt += 1
+    }
+    cnt + math.max(w.length - maxWordLen, 0)
+  }
+
+  private def refText(t: String, vocab: Seq[String] = TextAnalysis.bpeVocab): Long =
+    Option(t).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .map(refWord(_, vocab)).sum
+
+  private def sparkCounts(texts: Seq[String]): Seq[Long] =
+    texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "text")
+      .select(col("i"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+
+  test("greedy segmentation matches the reference on prose, long words, and edges") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "internationalization and localization of streaming aggregation pipelines",
+      "Table TABLE tAbLe",                       // case folds before segmentation
+      "a b c xyz 12345 val42 ingestion",
+      "codegen" * 12,                            // 84 chars: greedy 64 + 20 overflow
+      "z" * 200,                                 // all-UNK long word: 64 + 136
+      "  \t\n  ",                                // separators only: 0 tokens
+      "",                                        // empty: 0
+      null,                                      // NULL ≡ empty: 0
+      "preprocessing, postprocessing; sub-word (tokenizers)!")
+    val got = sparkCounts(texts)
+    val want = texts.map(refText(_))
+    assert(got == want, s"spark $got vs reference $want")
+    assert(got(6) == 0 && got(7) == 0 && got(8) == 0)
+    // the all-UNK long word exercises the exact overflow formula
+    assert(got(5) == 64 + 136)
+  }
+
+  test("longest match wins over any shorter prefix piece") {
+    // 'ation' (5) must beat 'ati' (3) and 'at' (2); 'able' must beat 'ab'
+    assert(sparkCounts(Seq("ation")) == Seq(1L))
+    assert(sparkCounts(Seq("able")) == Seq(1L))
+    // vocab rejects pieces the pre-tokenizer could never produce
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeTokenCount(col("text"), vocab = Seq("Bad")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeTokenCount(col("text"), vocab = Seq("x")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeTokenCount(col("text"), vocab = Seq.empty))
+  }
+
+  test("seeded random corpora agree with the reference word for word") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789    .,-"
+    val texts = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    assert(sparkCounts(texts) == texts.map(refText(_)))
+  }
+
+  test("bpeTokenStats emits BIGINT word and token counts per doc") {
+    val df = Seq((1L, "the streaming table"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeTokenStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (3L, refText("the streaming table")))
+    assert(rows(2L) == (0L, 0L))
+  }
+}
