@@ -1357,6 +1357,34 @@ object SparkEntry {
             pmod(col("doc_id"), lit(89)), lit("00")).as("text")),
         "doc_id", "text")),
 
+    // v2 PII redaction with VALIDATED payment cards: per-rule synthetic
+    // plants (two Luhn-valid card forms incl. a separated 16-digit and
+    // a 15-digit amex, one Luhn-INVALID 16-digit run that must survive
+    // the card stage and fall through to the generic phone rule, an
+    // ssn, an intl +CC phone, a local phone, an ip) — progressive
+    // per-stage counts, Luhn replayed digit-for-digit by the oracle
+    "t_redact_v2" -> ((s, dir) =>
+      graft.operators.TextAnalysis.redactExtended(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              lit(" card 4111 1111 1111 1111")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 2,
+              lit(" amex 378282246310005")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 3,
+              lit(" notcard 4111111111111112")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit(" ssn 123-45-6789")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" tel +49 30 901820")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit(" local 030 1555 0199")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(lit(" ip 10.1."), pmod(col("doc_id"), lit(250)), lit(".7")))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
     // corpus boilerplate lines: three shared header/footer lines
     // planted on coprime doc_id buckets (df ≈ 167/100/72 at sf0.01);
     // every document's own text is a df-1 line and must stay below the
@@ -2849,6 +2877,69 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone
         |FROM t""".stripMargin,
+
+    // mirrors TextAnalysis.redactExtended stage for stage, all patterns
+    // taken from the same redactionRulesV2/cardCandidateRegex constants:
+    // email regex stage; card candidates unnested to rows (NOT nested
+    // lambdas — see t_token_bpe's DuckDB-1.0 caveat), Luhn replayed via
+    // an indexed list_transform over the reversed digit string (1-based
+    // parity in both engines), DISTINCT valid candidates replaced
+    // longest-first through a recursive literal-replace fold; then
+    // ssn/ipv4/intl/phone regex stages counting progressively on the
+    // text each stage sees
+    "t_redact_v2" -> {
+      val Seq(email, ssn, ipv4, intl, phone) =
+        graft.operators.TextAnalysis.redactionRulesV2
+      def stageSql(prev: String, out: String, rule: (String, String, String)): String =
+        s"""$out AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all(t, '${rule._2}')) AS BIGINT) AS n_${rule._1},
+           |    regexp_replace(t, '${rule._2}', '${rule._3}', 'g') AS t
+           |  FROM $prev)""".stripMargin
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com' ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 2 THEN ' amex 378282246310005' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 3 THEN ' notcard 4111111111111112' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' tel +49 30 901820' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' local 030 1555 0199' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' ip 10.1.' || (doc_id % 250) || '.7' ELSE '' END AS t
+         |  FROM documents),
+         |${stageSql("d0", "s1", email)},
+         |cand AS (SELECT doc_id, u.c AS c
+         |  FROM s1, unnest(regexp_extract_all(s1.t,
+         |    '${graft.operators.TextAnalysis.cardCandidateRegex}')) AS u(c)),
+         |okc AS (SELECT doc_id, c FROM (
+         |    SELECT doc_id, c, regexp_replace(c, '[^0-9]', '', 'g') AS dg FROM cand)
+         |  WHERE length(dg) BETWEEN 13 AND 19 AND
+         |    list_sum(list_transform(regexp_extract_all(reverse(dg), '\\d'),
+         |      (x, i) -> CASE WHEN i % 2 = 0 THEN
+         |          CASE WHEN CAST(x AS INT)*2 > 9 THEN CAST(x AS INT)*2 - 9
+         |               ELSE CAST(x AS INT)*2 END
+         |        ELSE CAST(x AS INT) END)) % 10 = 0),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_card FROM okc GROUP BY doc_id),
+         |oc AS (SELECT doc_id, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY length(c) DESC, c) AS k
+         |  FROM (SELECT DISTINCT doc_id, c FROM okc)),
+         |rep(doc_id, t, k) AS (
+         |  SELECT doc_id, t, 0 FROM s1
+         |  UNION ALL
+         |  SELECT r.doc_id, replace(r.t, o.c, '[CARD]'), r.k + 1
+         |  FROM rep r JOIN oc o ON o.doc_id = r.doc_id AND o.k = r.k + 1),
+         |s2 AS (SELECT doc_id, arg_max(t, k) AS t FROM rep GROUP BY doc_id),
+         |${stageSql("s2", "s3", ssn)},
+         |${stageSql("s3", "s4", ipv4)},
+         |${stageSql("s4", "s5", intl)},
+         |${stageSql("s5", "s6", phone)}
+         |SELECT s1.doc_id, s6.t AS text_redacted, s1.n_email,
+         |  coalesce(nc.n_card, 0) AS n_card, s3.n_ssn, s4.n_ipv4,
+         |  s5.n_phone_intl, s6.n_phone
+         |FROM s1
+         |JOIN s3 USING (doc_id) JOIN s4 USING (doc_id)
+         |JOIN s5 USING (doc_id) JOIN s6 USING (doc_id)
+         |LEFT JOIN nc USING (doc_id)""".stripMargin
+    },
 
     // mirrors TextAnalysis.repetitionStats exactly: same injected
     // two-line tail, same trimmed non-empty line split, same word

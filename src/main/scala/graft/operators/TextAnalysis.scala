@@ -220,6 +220,100 @@ object TextAnalysis {
     df.select(colExact(idCol) +: redacted.as("text_redacted") +: counts: _*)
   }
 
+  /** Luhn checksum over a card-shaped candidate (digits after stripping
+    * separators): 13–19 digits AND the mod-10 check — the published
+    * payment-card validation, so a random digit run has only a 1/10
+    * false-positive rate and real test numbers (4111…1111,
+    * 378282246310005) validate. One indexed `transform` over the
+    * reversed digit string + one `aggregate` sum — per-row expressions,
+    * replayable in SQL (the parity is 1-based-from-the-right in BOTH
+    * engines: Spark's `sequence` here and DuckDB's lambda index are
+    * both 1-based).
+    */
+  def luhnValid(candidate: Column): Column =
+    Dedup.let(regexp_replace(candidate, "[^0-9]", "")) { d =>
+      Dedup.let(reverse(d)) { r =>
+        length(d).between(13, 19) &&
+          pmod(aggregate(
+            transform(sequence(lit(1), length(r)),
+              i => Dedup.let(r.substr(i, lit(1)).cast("int")) { dg =>
+                when(pmod(i, lit(2)) === 0,
+                  when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+              }),
+            lit(0), (acc, x) => acc + x), lit(10)) === 0
+      }
+    }
+
+  /** Card-shaped candidate pattern: 13–19 digits with optional single
+    * space/dash separators, word-bounded. RE2-safe (non-capturing group
+    * only). A run longer than 19 digits yields NO candidate — \b cannot
+    * sit between two digits — which is the right verdict (too long to
+    * be a card).
+    */
+  val cardCandidateRegex: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** The v2 PII rule family (VERDICT r4 #8): ordered stages, each
+    * counting the matches IN THE TEXT IT SEES (progressive semantics:
+    * `n_<label>` is exactly what that stage redacted, so an invalid
+    * card that later matches the phone rule counts as phone, not card)
+    * and replacing before the next stage runs. The card stage is
+    * VALIDATED: candidates matching [[cardCandidateRegex]] redact only
+    * if [[luhnValid]] passes — a Luhn-invalid digit run is left for
+    * later stages. All patterns RE2-safe, same cross-engine contract
+    * as [[redactionRules]]; ssn/intl run before the generic phone rule,
+    * which would otherwise consume them.
+    */
+  val redactionRulesV2: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    // card stage is injected between email and ssn by redactExtended
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phone_intl", "\\+\\d{1,3}[ -]\\d{2,4}([ -]\\d{2,8}){1,4}", "[PHONE_INTL]"),
+    ("phone", "\\+?\\d[\\d -]{7,}\\d", "[PHONE]"))
+
+  /** [[redact]] extended with Luhn-VALIDATED payment-card scrubbing —
+    * the conditional replacement a pure regex rule cannot express.
+    * Pipeline per row: email regex stage, then the card stage
+    * (candidates extracted, Luhn-filtered, the DISTINCT valid ones
+    * folded through literal `replace` longest-first so a shorter
+    * candidate string can never corrupt a longer one's occurrence),
+    * then ssn/ipv4/intl/generic-phone regex stages. Zero shuffle, one
+    * scan; counts are per-stage progressive (see [[redactionRulesV2]]).
+    * Output: (id, text_redacted, n_email, n_card, n_ssn, n_ipv4,
+    * n_phone_intl, n_phone).
+    */
+  def redactExtended(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = coalesce(colExact(textCol), lit(""))
+    val Seq(email, ssn, ipv4, intl, phone) = redactionRulesV2
+    def stage(t: Column, rule: (String, String, String)): (Column, Column) =
+      (regexp_count(t, lit(rule._2)).cast("long"),
+        regexp_replace(t, rule._2, rule._3))
+    val (nEmail, t1) = stage(t0, email)
+    // card: filter candidates through Luhn, fold the distinct valid
+    // ones (longest first, then lexicographic — deterministic and
+    // substring-safe) through literal replace
+    val cardS = Dedup.let(
+      filter(regexp_extract_all(t1, lit(cardCandidateRegex), lit(0)),
+        c => luhnValid(c))) { valid =>
+      Dedup.let(array_sort(array_distinct(valid), (a, b) =>
+        when(length(a) =!= length(b), length(b) - length(a))
+          .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))) { ordered =>
+        struct(
+          size(valid).cast("long").as("n"),
+          aggregate(ordered, t1, (acc, c) => replace(acc, c, lit("[CARD]"))).as("t"))
+      }
+    }
+    val nCard = cardS.getField("n")
+    val t2 = cardS.getField("t")
+    val (nSsn, t3) = stage(t2, ssn)
+    val (nIp, t4) = stage(t3, ipv4)
+    val (nIntl, t5) = stage(t4, intl)
+    val (nPhone, t6) = stage(t5, phone)
+    df.select(colExact(idCol), t6.as("text_redacted"),
+      nEmail.as("n_email"), nCard.as("n_card"), nSsn.as("n_ssn"),
+      nIp.as("n_ipv4"), nIntl.as("n_phone_intl"), nPhone.as("n_phone"))
+  }
+
   /** Greedy sequential sequence packing for LLM batch assembly: shard
     * documents (pack windows never span shards — the single global
     * ordered window a naive cumsum needs would serialize 100 TB through

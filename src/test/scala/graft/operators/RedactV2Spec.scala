@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.SparkTestSession
+
+/** Validated PII redaction: the Luhn gate against a JVM reference on
+  * generated numbers, the conditional card replacement, the
+  * invalid-card fall-through to the generic phone rule, and the
+  * progressive per-stage count semantics.
+  */
+class RedactV2Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def refLuhn(s: String): Boolean = {
+    val d = s.filter(_.isDigit).map(_.asDigit)
+    if (d.length < 13 || d.length > 19) false
+    else d.reverse.zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y } else x
+    }.sum % 10 == 0
+  }
+
+  /** Append the digit that makes `stem` Luhn-valid. */
+  private def withCheckDigit(stem: String): String = {
+    val c = (0 to 9).find(d => refLuhn(stem + d)).get
+    stem + c
+  }
+
+  private def sparkLuhn(cands: Seq[String]): Seq[Boolean] =
+    cands.zipWithIndex.map { case (c, i) => (i, c) }.toDF("i", "c")
+      .select(col("i"), TextAnalysis.luhnValid(col("c")).as("ok"))
+      .collect().sortBy(_.getInt(0)).map(_.getBoolean(1)).toSeq
+
+  test("luhnValid agrees with the reference on real test numbers and generated ones") {
+    val rnd = new scala.util.Random(7)
+    val generated = Seq.tabulate(40) { i =>
+      val len = 13 + rnd.nextInt(6)
+      val stem = Seq.fill(len - 1)(rnd.nextInt(10)).mkString
+      if (i % 2 == 0) withCheckDigit(stem)
+      else stem + ((withCheckDigit(stem).last.asDigit + 1) % 10) // force invalid
+    }
+    val cands = Seq(
+      "4111111111111111", "4111 1111 1111 1111", "378282246310005",
+      "4111111111111112",      // bad check digit
+      "123456789012",          // 12 digits: too short
+      "12345678901234567890"   // 20 digits: too long
+    ) ++ generated
+    assert(sparkLuhn(cands) == cands.map(refLuhn))
+  }
+
+  test("card stage redacts only Luhn-valid candidates; invalid falls through to phone") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "fake 4111111111111112 here"),
+      (3L, "amex 378282246310005 ok"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.redactExtended(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "pay [CARD] now")
+    assert(got(1L).getAs[Long]("n_card") == 1 && got(1L).getAs[Long]("n_phone") == 0)
+    // Luhn-invalid: card count 0, generic phone rule consumes it instead
+    assert(got(2L).getString(1) == "fake [PHONE] here")
+    assert(got(2L).getAs[Long]("n_card") == 0 && got(2L).getAs[Long]("n_phone") == 1)
+    assert(got(3L).getString(1) == "amex [CARD] ok")
+    assert(got(4L).getString(1) == "" && got(4L).getAs[Long]("n_card") == 0)
+  }
+
+  test("ordered stages: ssn and intl are consumed before the generic phone rule") {
+    val df = Seq((1L, "ssn 123-45-6789 tel +49 30 901820 local 030 1555 0199 ip 10.0.0.1"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactExtended(df, "doc_id", "text").head()
+    assert(r.getString(1) == "ssn [SSN] tel [PHONE_INTL] local [PHONE] ip [IP]")
+    assert(r.getAs[Long]("n_ssn") == 1 && r.getAs[Long]("n_phone_intl") == 1 &&
+      r.getAs[Long]("n_phone") == 1 && r.getAs[Long]("n_ipv4") == 1)
+  }
+
+  test("distinct valid candidates replace longest-first (substring safety) and count per occurrence") {
+    // the 16-digit number CONTAINS the 13-digit one as a prefix; if the
+    // shorter replaced first it would corrupt the longer's occurrence
+    val long16 = "4111111111111111"              // valid
+    val short13 = withCheckDigit("411111111111") // valid 13-digit sharing the prefix
+    assert(refLuhn(long16) && refLuhn(short13))
+    val df = Seq((1L, s"a $long16 b $short13 c $long16 d")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactExtended(df, "doc_id", "text").head()
+    assert(r.getString(1) == "a [CARD] b [CARD] c [CARD] d", r.getString(1))
+    assert(r.getAs[Long]("n_card") == 3) // occurrences, not distinct values
+  }
+}
