@@ -717,24 +717,35 @@ object Dedup {
         // materializes on ONE task, so a license-header fingerprint
         // with 10⁹ postings would funnel through a single WindowExec
         // buffer BEFORE the filter could drop it. Instead:
-        //  1. per-fp df via hash aggregation (map-side partial combine
-        //     — a stopword fp reduces inside every input partition);
-        //     only the OVERSIZED fps survive, a boilerplate-sized set
-        //     (≤ postings/maxBucket entries, constant-ish in practice
-        //     — the same survivor-broadcast bound boilerplateLines
-        //     documents), broadcast back as a stopword list;
-        //  2. broadcast ANTI join drops stopword postings MAP-SIDE —
-        //     the 10⁹-posting bucket never shuffles at all;
-        //  3. per-id set re-size over the filtered postings: hash agg
-        //     + equi-join back on id (per-id group size is bounded by
-        //     the doc's own fingerprint count, so no skew hazard).
+        //  1. per-fp df via hash aggregation (partial_count map-side —
+        //     a stopword fp reduces inside every input partition, so
+        //     only (fp, partial) pairs shuffle, never the postings);
+        //     only the OVERSIZED fps survive — a boilerplate-sized set
+        //     (≤ postings/maxBucket entries, the same survivor-
+        //     broadcast bound boilerplateLines documents) — broadcast
+        //     back as a stopword list;
+        //  2. broadcast ANTI join drops stopword postings MAP-SIDE,
+        //     directly over the fingerprint Generate (Catalyst pushes
+        //     it below everything else): the 10⁹-posting bucket never
+        //     shuffles at all;
+        //  3. per-id set re-size WITHOUT a join back: one id-keyed
+        //     aggregation collects each doc's kept fingerprints (group
+        //     size bounded by the doc's own fingerprint count — the
+        //     array existed per row at fingerprint time, so no new
+        //     hazard class) and re-explodes with the exact size
+        //     attached. Net: the fingerprint HOFs run twice (count
+        //     pass + kept pass) and the postings shuffle once — the
+        //     join-back alternative ran them 3× (measured 18.0 s vs
+        //     12.7 s at sf0.1), and pinning a shared exchange to
+        //     dedupe the computation just adds a useless full shuffle
+        //     (the count side plans its partial agg BELOW any
+        //     exchange, so the subtrees can never reuse).
         val stop = raw.groupBy("fp").agg(count(lit(1)).as("__bc"))
           .where(col("__bc") > maxBucket)
           .select("fp")
-        val kept = raw.join(broadcast(stop), Seq("fp"), "left_anti")
-        val sizes = kept.groupBy("id").agg(count(lit(1)).as("__sz"))
-        kept.select("fp", "id").join(sizes, Seq("id"))
-          .select(col("fp"), col("id"), col("__sz").as("sz"))
+        raw.join(broadcast(stop), Seq("fp"), "left_anti")
+          .groupBy("id").agg(collect_list(col("fp")).as("__fps"))
+          .select(explode(col("__fps")).as("fp"), col("id"), size(col("__fps")).as("sz"))
       }
     Pairs.blockedPairs(index, Seq("fp"), cap)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

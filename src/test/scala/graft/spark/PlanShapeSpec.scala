@@ -259,8 +259,16 @@ class PlanShapeSpec extends AnyFunSuite {
     def windows(p: String): Int = "Window".r.findAllIn(p).size
     assert(windows(capped) == windows(uncapped),
       s"df-filter added ${windows(capped) - windows(uncapped)} WindowExec node(s):\n$capped")
-    // the stopword drop is a broadcast anti-join, map-side
+    // the stopword drop is a broadcast anti-join sitting BELOW the
+    // id-keyed re-size aggregation (root prints first, so the join
+    // line must be deeper): stopword postings are dropped map-side
+    // before anything shuffles or collects
     assert(capped.contains("BroadcastHashJoin") && capped.contains("LeftAnti"), capped)
+    val lines = capped.linesIterator.toList
+    val antiLine = lines.indexWhere(l => l.contains("LeftAnti"))
+    val resizeLine = lines.indexWhere(l => l.contains("collect_list(fp"))
+    assert(antiLine > resizeLine && resizeLine >= 0,
+      s"stopword anti-join does not precede the re-size aggregation:\n$capped")
   }
 
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
