@@ -1492,6 +1492,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "shard", "bin")
     }),
 
+    // packing driven by TOKENIZER-TRUE counts — the composition the
+    // BPE counter exists for: the same greedy segmentation feeds
+    // packSequences' per-shard prefix-sum bins, so the 256-token
+    // budget is consumed in real tokens, not whitespace proxies
+    "t_pack_bpe" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(
+        table(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id",
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")),
+        budget = 256, shards = 8)
+        .select("doc_id", "n_tokens", "shard", "bin")),
+
     // drift LOCALIZATION: per-lang PSI/KS in one scan (psiKsBy over
     // the grouped split histogram) — the planted +200 shift hits only
     // 'de' odd docs, so de's PSI must dominate while the other groups
@@ -1716,6 +1727,43 @@ object SparkEntry {
   private def sqlBound(b: Double): String =
     BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .underlying.stripTrailingZeros.toPlainString
+
+  /** The shared greedy-BPE-segmentation CTE chain (t/wd/seg/wc/agg)
+    * over `textExpr`, generated from the SAME bpeVocab constant the
+    * engine compiles — ONE source of truth for every oracle that
+    * consumes tokenizer-true counts (t_token_bpe, t_pack_bpe). Emits
+    * the body AFTER a caller-provided `WITH RECURSIVE `; `agg` holds
+    * (doc_id, n_bpe) for docs with ≥ 1 word — left-join and coalesce 0.
+    */
+  private def bpeSegmentationCtes(textExpr: String): String = {
+    val matchCases = graft.operators.TextAnalysis.bpeVocab
+      .groupBy(_.length).toSeq.sortBy(-_._1)
+      .map { case (l, ps) =>
+        s"CASE WHEN substr(w, pos, $l) IN (${ps.sorted.map(p => s"'$p'").mkString(", ")}) THEN $l END"
+      }.mkString(",\n      ")
+    s"""t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(
+       |      $textExpr,
+       |      '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id, row_number() OVER () AS wid, u.w AS w,
+       |    least(length(u.w), 64) AS lim, greatest(length(u.w) - 64, 0) AS extra
+       |  FROM t, unnest(t.ws) AS u(w)),
+       |seg(wid, w, lim, pos, cnt) AS (
+       |  SELECT wid, w, lim, 1, 0 FROM wd
+       |  UNION ALL
+       |  SELECT wid, w, lim,
+       |    pos + coalesce(
+       |      $matchCases,
+       |      1),
+       |    cnt + 1
+       |  FROM seg WHERE pos <= lim),
+       |wc AS (SELECT wid, max(cnt) AS n FROM seg GROUP BY wid),
+       |agg AS (
+       |  SELECT wd.doc_id, sum(wc.n + wd.extra) AS n_bpe
+       |  FROM wd JOIN wc USING (wid) GROUP BY wd.doc_id)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Similarity.exactNearDupPairs]]
     * on the bounded vec_id < 300 slice — shared by `d_embed_exact` and
@@ -2737,48 +2785,39 @@ object SparkEntry {
 
     // replays TextAnalysis.bpeTokenCount's greedy longest-match
     // segmentation EXACTLY, from the same vocab constant (one source of
-    // truth — the IN-lists below are generated from bpeVocab), as a
-    // RECURSIVE CTE: words unnest to rows, each recursion step advances
-    // every live cursor by its longest matching piece (else 1 UNK
-    // char), max(cnt) per word is the finished count, words past
-    // maxWordLen=64 add 1 token/char. Deliberately NOT list_reduce:
-    // DuckDB 1.0's list_reduce mis-evaluates per-row folds when a
-    // vector mixes list lengths (measured: 'row' segments as 3 in a
-    // mixed batch, 2 standalone — same expression), and also
-    // mis-captures outer lambda variables two nesting levels deep;
-    // the recursive replay is plain scalar SQL with neither hazard
-    "t_token_bpe" -> {
-      val matchCases = graft.operators.TextAnalysis.bpeVocab
-        .groupBy(_.length).toSeq.sortBy(-_._1)
-        .map { case (l, ps) =>
-          s"CASE WHEN substr(w, pos, $l) IN (${ps.sorted.map(p => s"'$p'").mkString(", ")}) THEN $l END"
-        }.mkString(",\n      ") // continuation lines carry no margin char — stripMargin leaves them as-is
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(
-         |      CASE WHEN doc_id % 17 = 0 THEN text || ' ' || repeat('codegen', 12) ELSE text END,
-         |      '')), '[^a-z0-9]+'), x -> x <> '') AS ws
-         |  FROM documents),
-         |wd AS (
-         |  SELECT doc_id, row_number() OVER () AS wid, u.w AS w,
-         |    least(length(u.w), 64) AS lim, greatest(length(u.w) - 64, 0) AS extra
-         |  FROM t, unnest(t.ws) AS u(w)),
-         |seg(wid, w, lim, pos, cnt) AS (
-         |  SELECT wid, w, lim, 1, 0 FROM wd
-         |  UNION ALL
-         |  SELECT wid, w, lim,
-         |    pos + coalesce(
-         |      $matchCases,
-         |      1),
-         |    cnt + 1
-         |  FROM seg WHERE pos <= lim),
-         |wc AS (SELECT wid, max(cnt) AS n FROM seg GROUP BY wid),
-         |agg AS (
-         |  SELECT wd.doc_id, sum(wc.n + wd.extra) AS n_bpe
-         |  FROM wd JOIN wc USING (wid) GROUP BY wd.doc_id)
+    // truth — bpeSegmentationCtes generates the IN-lists from
+    // bpeVocab), as a RECURSIVE CTE: words unnest to rows, each
+    // recursion step advances every live cursor by its longest
+    // matching piece (else 1 UNK char), max(cnt) per word is the
+    // finished count, words past maxWordLen=64 add 1 token/char.
+    // Deliberately NOT list_reduce: DuckDB 1.0's list_reduce
+    // mis-evaluates per-row folds when a vector mixes list lengths
+    // (measured: 'row' segments as 3 in a mixed batch, 2 standalone —
+    // same expression), and also mis-captures outer lambda variables
+    // two nesting levels deep; the recursive replay is plain scalar
+    // SQL with neither hazard
+    "t_token_bpe" ->
+      s"""WITH RECURSIVE ${bpeSegmentationCtes(
+        "CASE WHEN doc_id % 17 = 0 THEN text || ' ' || repeat('codegen', 12) ELSE text END")}
          |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
          |  CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
-    },
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the composition the tokenizer-true counter exists for: the
+    // packing budget consumed in REAL tokens — same greedy-segmentation
+    // CTEs, then the identical per-shard prefix-sum bin rule as t_pack
+    // at budget 256
+    "t_pack_bpe" ->
+      s"""WITH RECURSIVE ${bpeSegmentationCtes("text")},
+         |pk AS (
+         |  SELECT t.doc_id, CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_tokens,
+         |    CAST(((t.doc_id % 8) + 8) % 8 AS INT) AS shard
+         |  FROM t LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(FLOOR(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+         |       / 256.0) AS BIGINT) AS bin
+         |FROM pk""".stripMargin,
 
     "t_quality" ->
       s"""$qualityFeatureCte
