@@ -802,11 +802,17 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cos_sim"), 3).as("cos_sim"))
     }),
 
-    // BATCHED IVF probe over a write+append clustered layout — the IVF
-    // twin of s_ann_batch (per-query probe-cluster explosion, distinct
-    // probed clusters as a literal partition filter, broadcast
+    // BATCHED IVF probe over a write→append→COMPACT clustered layout —
+    // the IVF twin of s_ann_batch (per-query probe-cluster explosion,
+    // distinct probed clusters as a literal partition filter, broadcast
     // equi-join, salted per-query top-k). nprobe = every cluster, so
     // the result provably equals the same per-query brute-force replay
+    // — which makes this the append→compact→probe gate for the SECOND
+    // layout family too (the quantizer is the layout, so compaction
+    // here is exactly the periodic re-fold an IVF maintenance cadence
+    // runs; the multi-version union-read path keeps its own gate via
+    // the uncompacted signature staging in s_ann_probe_recall — both
+    // families share Layouts.read)
     "s_ann_ivf_batch" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8,
@@ -817,6 +823,8 @@ object SparkEntry {
           e.where(col("vec_id") % 2 === 0), "embedding", cents, path)
         graft.operators.Similarity.appendClustered(
           e.where(col("vec_id") % 2 === 1), "embedding", cents, path)
+        require(graft.spark.Layouts.compact(s, path, "cluster_id"),
+          "compacted IVF staging found nothing to fold — append path skipped?")
       }
       graft.operators.Similarity.clusteredTopKBatch(s, path, "embedding", "vec_id",
           e.where(col("vec_id") < 3), "vec_id", "embedding",
@@ -1555,6 +1563,26 @@ object SparkEntry {
         pmod(col("doc_id"), lit(2)) === 0, "v", "lang", bounds)
     }),
 
+    // ...and the scored form: one PSI/KS row per lang over the same
+    // per-group equi-depth buckets (psiKsBy composed over
+    // histogramSplitDepthBy) — fr's PSI must dominate under its own
+    // baseline grid. Bucket membership is decided by the injected
+    // integer-exact histogram; psi/ks are derived floats computed from
+    // identical integer inputs in both engines (the same contract
+    // c_drift_by_lang/c_drift_psi have held since r3)
+    "c_drift_eqdepth_psi" -> ((s, dir) => {
+      val d = table(s, dir, "documents").withColumn("v",
+        when(col("lang") === "fr" && pmod(col("doc_id"), lit(2)) === 1,
+          col("n_chars") * 3).otherwise(col("n_chars")))
+      val bounds = graft.operators.Drift.equiDepthBoundariesByKey(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "lang", "v", buckets = 8)
+      eqDepthBoundsByLang.set(bounds)
+      graft.operators.Drift.psiKsBy(
+        graft.operators.Drift.histogramSplitDepthBy(d,
+          pmod(col("doc_id"), lit(2)) === 0, "v", "lang", bounds),
+        Seq("lang"))
+    }),
+
     // robust per-lang length outliers: modified z-score on median/MAD
     // (exact-percentile verification tier; the approx sketch tier is
     // spec-pinned against it). Planted extremes: every 97th doc's
@@ -1727,6 +1755,33 @@ object SparkEntry {
   private def sqlBound(b: Double): String =
     BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .underlying.stripTrailingZeros.toPlainString
+
+  /** The shared per-lang equi-depth histogram CTEs (d: the fr-odd ×3
+    * fixture; b: each lang's SPARK-COMPUTED boundary list as literal
+    * VALUES rows; h: the strictly-below integer bucket counts) — one
+    * source of truth for c_drift_eqdepth_by_lang and its PSI/KS form.
+    * None until the queries have captured the boundaries.
+    */
+  private def eqDepthByLangHistSql: Option[String] =
+    Option(eqDepthBoundsByLang.get).map { m =>
+      val rows = m.toSeq.sortBy(_._1).map { case (lang, b) =>
+        s"('$lang', ${b.map(sqlBound).mkString("[", ", ", "]")})"
+      }.mkString(",\n        ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'fr' AND doc_id % 2 = 1 THEN n_chars * 3 ELSE n_chars END AS v
+         |  FROM documents),
+         |b(lang, bs) AS (VALUES
+         |        $rows),
+         |h AS (
+         |  SELECT d.lang,
+         |    CAST(len(list_filter(b.bs, x -> d.v > x)) AS BIGINT) AS bucket,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+         |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_curr
+         |  FROM d JOIN b ON d.lang = b.lang
+         |  WHERE d.v IS NOT NULL GROUP BY 1, 2
+         |  HAVING n_base + n_curr > 0)""".stripMargin
+    }
 
   /** The shared greedy-BPE-segmentation CTE chain (t/wd/seg/wc/agg)
     * over `textExpr`, generated from the SAME bpeVocab constant the
@@ -2387,29 +2442,30 @@ object SparkEntry {
     // Spark-computed boundary list injected as a VALUES row — same
     // no-recomputed-floats contract as c_drift_eqdepth; the inner join
     // on lang is the engine's inner broadcast join
-    "c_drift_eqdepth_by_lang" -> {
-      val bs = Option(eqDepthBoundsByLang.get)
-      bs.fold("SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS bucket, " +
-          "CAST(NULL AS BIGINT) AS n_base, CAST(NULL AS BIGINT) AS n_curr WHERE false " +
-          "-- eqDepthBoundsByLang cache unpopulated: run the query first") { m =>
-        val rows = m.toSeq.sortBy(_._1).map { case (lang, b) =>
-          s"('$lang', ${b.map(sqlBound).mkString("[", ", ", "]")})"
-        }.mkString(",\n        ")
-        s"""WITH d AS (
-           |  SELECT doc_id, lang,
-           |    CASE WHEN lang = 'fr' AND doc_id % 2 = 1 THEN n_chars * 3 ELSE n_chars END AS v
-           |  FROM documents),
-           |b(lang, bs) AS (VALUES
-           |        $rows)
-           |SELECT d.lang,
-           |  CAST(len(list_filter(b.bs, x -> d.v > x)) AS BIGINT) AS bucket,
-           |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
-           |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_curr
-           |FROM d JOIN b ON d.lang = b.lang
-           |WHERE d.v IS NOT NULL GROUP BY 1, 2
-           |HAVING n_base + n_curr > 0""".stripMargin
-      }
-    },
+    "c_drift_eqdepth_by_lang" -> eqDepthByLangHistSql.fold(
+      "SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS bucket, " +
+        "CAST(NULL AS BIGINT) AS n_base, CAST(NULL AS BIGINT) AS n_curr WHERE false " +
+        "-- eqDepthBoundsByLang cache unpopulated: run the query first")(ctes =>
+      s"""$ctes
+         |SELECT lang, bucket, n_base, n_curr FROM h""".stripMargin),
+
+    // the scored form: same injected-boundary integer histogram, then
+    // the identical per-group eps-regularized PSI/KS windows as
+    // c_drift_by_lang — only the bucket GRID differs (each lang's own
+    // baseline quantiles)
+    "c_drift_eqdepth_psi" -> eqDepthByLangHistSql.fold(
+      "SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS DOUBLE) AS psi, " +
+        "CAST(NULL AS DOUBLE) AS ks WHERE false " +
+        "-- eqDepthBoundsByLang cache unpopulated: run the query first")(ctes =>
+      s"""$ctes,
+         |pq AS (SELECT lang, bucket,
+         |    (n_base + 1e-6) / (sum(n_base) OVER (PARTITION BY lang) + 1e-6) AS p,
+         |    (n_curr + 1e-6) / (sum(n_curr) OVER (PARTITION BY lang) + 1e-6) AS q
+         |  FROM h),
+         |c AS (SELECT *, sum(p) OVER (PARTITION BY lang ORDER BY bucket) AS cdf_p,
+         |    sum(q) OVER (PARTITION BY lang ORDER BY bucket) AS cdf_q FROM pq)
+         |SELECT lang, sum((p - q) * ln(p / q)) AS psi, max(abs(cdf_p - cdf_q)) AS ks
+         |FROM c GROUP BY 1""".stripMargin),
 
     // mirrors Stats.robustOutliers: DuckDB's median()/mad() ARE the
     // exact tier's percentile-of-values / percentile-of-abs-deviations
