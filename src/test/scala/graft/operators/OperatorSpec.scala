@@ -148,6 +148,20 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Drift.histogramSplitDepthBy(df, col("is_base"), "v", "k", Map.empty)
     }
+    // the 10^12-row sketch tier (percentile_approx picks actual
+    // values, no interpolation) lands within one grid step of the
+    // exact interpolated boundaries on this integer fixture — the
+    // approx grid is a VALID equi-depth grid, just not bit-identical
+    // (which is why the GATED queries run the exact tier and inject
+    // ITS boundaries as oracle literals)
+    val approx = Drift.equiDepthBoundariesByKey(df.where(col("is_base")), "k", "v", 4,
+      exact = false)
+    assert(approx.keySet == bs.keySet)
+    approx.foreach { case (k, abs2) =>
+      assert(abs2.length == bs(k).length &&
+        abs2.zip(bs(k)).forall { case (a, e) => math.abs(a - e) <= 1.0 },
+        s"approx tier off-grid for '$k': $abs2 vs ${bs(k)}")
+    }
   }
 
   test("robustOutliers: modified z on median/MAD, zero-MAD arm, approx tier agrees") {

@@ -212,6 +212,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("keyed equi-depth split scans once with the boundary map broadcast back") {
+    // the (key, boundaries) frame must ride a BroadcastHashJoin — a
+    // shuffle join would move the corpus for a KB-scale grid — and the
+    // corpus is read exactly once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bounds = Drift.equiDepthBoundariesByKey(
+      docs.where(col("doc_id") % 2 === 0), "lang", "n_chars", 4)
+    val p = plan(Drift.histogramSplitDepthBy(docs,
+      col("doc_id") % 2 === 0, "n_chars", "lang", bounds))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH candidate pairing computes signatures once — no self-join") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w")).toDF("id", "text")
     val p = plan(Dedup.candidatePairs(Dedup.lshBands(docs, "id", "text", bands = 4, rowsPerBand = 2)))
