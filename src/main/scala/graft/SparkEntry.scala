@@ -1393,6 +1393,26 @@ object SparkEntry {
               .otherwise(lit(""))).as("text")),
         "doc_id", "text")),
 
+    // IBAN financial-account scrub: mod-97-validated conditional
+    // redaction (the second validated-PII family next to Luhn cards) —
+    // planted GB spaced + DE compact + FR letter-mixing valid forms,
+    // plus a check-digit-broken GB that must be REPORTED as a
+    // candidate but left untouched
+    "t_iban_scan" -> ((s, dir) =>
+      graft.operators.TextAnalysis.ibanScan(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              lit(" pay to GB82 WEST 1234 5698 7654 32 today")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 2,
+              lit(" acct DE89370400440532013000 ok")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 3,
+              lit(" bad GB82 WEST 1234 5698 7654 33 nope")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit(" fr FR1420041010050500013M02606 end")).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text")),
+
     // corpus boilerplate lines: three shared header/footer lines
     // planted on coprime doc_id buckets (df ≈ 167/100/72 at sf0.01);
     // every document's own text is a df-1 line and must stay below the
@@ -3034,6 +3054,58 @@ object SparkEntry {
          |JOIN s3 USING (doc_id) JOIN s4 USING (doc_id)
          |JOIN s5 USING (doc_id) JOIN s6 USING (doc_id)
          |LEFT JOIN nc USING (doc_id)""".stripMargin
+    },
+
+    // mirrors TextAnalysis.ibanScan: same candidate regex, the mod-97
+    // residue replayed as a recursive CTE advancing one character per
+    // step ((acc·10+d)%97 for digits, (acc·100+v)%97 for letters — the
+    // identical streaming reduction, so no bignum on either engine),
+    // structure-failed candidates never enter the recursion (invalid
+    // by absence), and the valid-candidate redaction is the same
+    // longest-first recursive literal-replace fold as t_redact_v2
+    "t_iban_scan" -> {
+      val re = graft.operators.TextAnalysis.ibanCandidateRegex
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' pay to GB82 WEST 1234 5698 7654 32 today' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 2 THEN ' acct DE89370400440532013000 ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 3 THEN ' bad GB82 WEST 1234 5698 7654 33 nope' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' fr FR1420041010050500013M02606 end' ELSE '' END AS t
+         |  FROM documents),
+         |cand AS (
+         |  SELECT doc_id, row_number() OVER () AS cid, u.c AS c
+         |  FROM d0, unnest(regexp_extract_all(d0.t, '$re')) AS u(c)),
+         |ok0 AS (
+         |  SELECT doc_id, cid, c, substr(s, 5) || substr(s, 1, 4) AS r
+         |  FROM (SELECT doc_id, cid, c, upper(replace(c, ' ', '')) AS s FROM cand)
+         |  WHERE regexp_matches(s, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$$')),
+         |seg(cid, r, pos, acc) AS (
+         |  SELECT cid, r, 1, 0 FROM ok0
+         |  UNION ALL
+         |  SELECT cid, r, pos + 1,
+         |    CASE WHEN substr(r, pos, 1) BETWEEN '0' AND '9'
+         |      THEN (acc * 10 + (ascii(substr(r, pos, 1)) - 48)) % 97
+         |      ELSE (acc * 100 + (ascii(substr(r, pos, 1)) - 55)) % 97 END
+         |  FROM seg WHERE pos <= length(r)),
+         |res AS (SELECT cid, arg_max(acc, pos) AS residue FROM seg GROUP BY cid),
+         |valid AS (
+         |  SELECT ok0.doc_id, ok0.c FROM ok0 JOIN res USING (cid) WHERE res.residue = 1),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY doc_id),
+         |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM valid GROUP BY doc_id),
+         |oc AS (SELECT doc_id, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY length(c) DESC, c) AS k
+         |  FROM (SELECT DISTINCT doc_id, c FROM valid)),
+         |rep(doc_id, t, k) AS (
+         |  SELECT doc_id, t, 0 FROM d0
+         |  UNION ALL
+         |  SELECT r.doc_id, replace(r.t, o.c, '[IBAN]'), r.k + 1
+         |  FROM rep r JOIN oc o ON o.doc_id = r.doc_id AND o.k = r.k + 1),
+         |fin AS (SELECT doc_id, arg_max(t, k) AS t FROM rep GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(nc.n, 0) AS n_iban_candidates,
+         |  coalesce(nv.n, 0) AS n_iban, fin.t AS text_redacted
+         |FROM d0 LEFT JOIN nc USING (doc_id) LEFT JOIN nv USING (doc_id)
+         |JOIN fin USING (doc_id)""".stripMargin
     },
 
     // mirrors TextAnalysis.repetitionStats exactly: same injected

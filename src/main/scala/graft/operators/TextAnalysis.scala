@@ -252,6 +252,72 @@ object TextAnalysis {
     */
   val cardCandidateRegex: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
 
+  /** ISO 13616 IBAN checksum: structure (2 letters, 2 check digits,
+    * 11–30 alnum after separator stripping), then the mod-97-10 check —
+    * first four chars moved to the end, letters expanded to two digits
+    * (A=10…Z=35), and the big decimal reduced INCREMENTALLY, one char
+    * per fold step (`acc·10+d mod 97` / `acc·100+v mod 97` — the
+    * standard streaming form, so no bignum is ever materialized); valid
+    * iff the residue is 1. A random structurally-valid string passes
+    * with probability 1/97. Same per-row `aggregate` shape as
+    * [[luhnValid]], replayable in SQL (the oracle runs the identical
+    * residue recursion as a recursive CTE).
+    */
+  def ibanValid(candidate: Column): Column =
+    Dedup.let(upper(regexp_replace(candidate, " ", ""))) { s =>
+      Dedup.let(concat(s.substr(lit(5), length(s) - 4), s.substr(lit(1), lit(4)))) { r =>
+        s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$") &&
+          aggregate(
+            transform(sequence(lit(1), length(r)), i => r.substr(i, lit(1))),
+            lit(0L),
+            (acc, ch) => when(ch.between("0", "9"),
+                pmod(acc * 10 + (ascii(ch) - 48), lit(97L)))
+              .otherwise(pmod(acc * 100 + (ascii(ch) - 55), lit(97L)))) === 1L
+      }
+    }
+
+  /** IBAN candidate pattern: the canonical space-grouped print form
+    * (CCnn then 4-char groups, possibly a short tail) OR the compact
+    * form — both word-bounded, RE2-safe. Candidates only gate RECALL;
+    * [[ibanValid]] decides, exactly like the card stage.
+    */
+  val ibanCandidateRegex: String =
+    "\\b[A-Z]{2}\\d{2}(?: [A-Z0-9]{4}){2,7}(?: [A-Z0-9]{1,4})?\\b|\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** Replace every occurrence of each DISTINCT candidate with `repl`,
+    * longest candidate first (then lexicographic) — deterministic, and
+    * a shorter candidate string can never corrupt a longer one's
+    * occurrence mid-fold. Shared by the card and IBAN stages.
+    */
+  private def replaceAllLongestFirst(t: Column, candidates: Column, repl: String): Column =
+    Dedup.let(array_sort(array_distinct(candidates), (a, b) =>
+      when(length(a) =!= length(b), length(b) - length(a))
+        .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))) { ordered =>
+      aggregate(ordered, t, (acc, c) => replace(acc, c, lit(repl)))
+    }
+
+  /** Financial-account scrub: IBAN candidates extracted, mod-97
+    * validated, valid ones redacted — (id, n_iban_candidates, n_iban,
+    * text_redacted). The same conditional-replacement shape as
+    * [[redactExtended]]'s card stage (zero shuffle, one scan); a
+    * structurally-IBAN-shaped string that fails the checksum is
+    * reported in `n_iban_candidates` but left untouched — the
+    * auditable distinction between "looks like" and "is".
+    */
+  def ibanScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(colExact(textCol), lit(""))
+    val out = Dedup.let(regexp_extract_all(t, lit(ibanCandidateRegex), lit(0))) { cands =>
+      Dedup.let(filter(cands, c => ibanValid(c))) { valid =>
+        struct(
+          size(cands).cast("long").as("n_cand"),
+          size(valid).cast("long").as("n_valid"),
+          replaceAllLongestFirst(t, valid, "[IBAN]").as("t"))
+      }
+    }
+    df.select(colExact(idCol), out.getField("n_cand").as("n_iban_candidates"),
+      out.getField("n_valid").as("n_iban"), out.getField("t").as("text_redacted"))
+  }
+
   /** The v2 PII rule family (VERDICT r4 #8): ordered stages, each
     * counting the matches IN THE TEXT IT SEES (progressive semantics:
     * `n_<label>` is exactly what that stage redacted, so an invalid
@@ -295,13 +361,9 @@ object TextAnalysis {
     val cardS = Dedup.let(
       filter(regexp_extract_all(t1, lit(cardCandidateRegex), lit(0)),
         c => luhnValid(c))) { valid =>
-      Dedup.let(array_sort(array_distinct(valid), (a, b) =>
-        when(length(a) =!= length(b), length(b) - length(a))
-          .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))) { ordered =>
-        struct(
-          size(valid).cast("long").as("n"),
-          aggregate(ordered, t1, (acc, c) => replace(acc, c, lit("[CARD]"))).as("t"))
-      }
+      struct(
+        size(valid).cast("long").as("n"),
+        replaceAllLongestFirst(t1, valid, "[CARD]").as("t"))
     }
     val nCard = cardS.getField("n")
     val t2 = cardS.getField("t")

@@ -76,6 +76,50 @@ class RedactV2Spec extends AnyFunSuite {
       r.getAs[Long]("n_phone") == 1 && r.getAs[Long]("n_ipv4") == 1)
   }
 
+  private def refIban(s0: String): Boolean = {
+    val s = s0.replace(" ", "").toUpperCase
+    if (!s.matches("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}")) false
+    else {
+      val r = s.substring(4) + s.substring(0, 4)
+      var acc = 0L
+      r.foreach { ch =>
+        acc = if (ch.isDigit) (acc * 10 + (ch - '0')) % 97
+        else (acc * 100 + (ch - 'A' + 10)) % 97
+      }
+      acc == 1
+    }
+  }
+
+  test("ibanValid agrees with the mod-97 reference on published vectors and mutations") {
+    val published = Seq("GB82 WEST 1234 5698 7654 32", "DE89370400440532013000",
+      "FR1420041010050500013M02606", "NL91ABNA0417164300")
+    assert(published.forall(refIban), "reference rejects a published IBAN")
+    // every single-digit mutation of a valid IBAN's tail must fail
+    val mutations = (0 to 9).map(d => s"NL91ABNA041716430$d") ++
+      Seq("GB82 WEST 1234 5698 7654 33", "XX00", "GB82WEST", "gb82 west 1234 5698 7654 32")
+    val cands = published ++ mutations
+    val got = cands.zipWithIndex.map { case (c, i) => (i, c) }.toDF("i", "c")
+      .select(col("i"), TextAnalysis.ibanValid(col("c")).as("ok"))
+      .collect().sortBy(_.getInt(0)).map(_.getBoolean(1)).toSeq
+    assert(got == cands.map(refIban), s"spark $got vs ref ${cands.map(refIban)}")
+    // lowercase input validates after the scan's upper() normalization
+    assert(refIban("gb82 west 1234 5698 7654 32"))
+  }
+
+  test("ibanScan reports invalid candidates but redacts only validated ones") {
+    val df = Seq(
+      (1L, "pay GB82 WEST 1234 5698 7654 32 now"),
+      (2L, "bad GB82 WEST 1234 5698 7654 33 here"),
+      (3L, "acct DE89370400440532013000 and DE89370400440532013000 twice"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.ibanScan(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((1L, 1L, "pay [IBAN] now")))
+    assert(got(2L) == ((1L, 0L, "bad GB82 WEST 1234 5698 7654 33 here")))
+    assert(got(3L) == ((2L, 2L, "acct [IBAN] and [IBAN] twice")))
+    assert(got(4L) == ((0L, 0L, "")))
+  }
+
   test("distinct valid candidates replace longest-first (substring safety) and count per occurrence") {
     // the 16-digit number CONTAINS the 13-digit one as a prefix; if the
     // shorter replaced first it would corrupt the longer's occurrence
