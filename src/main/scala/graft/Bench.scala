@@ -219,6 +219,11 @@ object Bench {
     // BENCH/ files are never touched (same contract as scalingOnly)
     val queryOnly = sys.env.get("SPARK_GRAFT_QUERY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    queryOnly.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, // a typo'd name would time zero queries and exit green
+        s"SPARK_GRAFT_QUERY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val queryTimes: Seq[(String, Double, Seq[Double])] =
       if (scalingOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)

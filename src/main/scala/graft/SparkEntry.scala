@@ -141,6 +141,24 @@ object SparkEntry {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Multi-step staging completion marker (for stagings a single
+    * `_SUCCESS` cannot witness — e.g. write→append→compact layout
+    * builds, where `Layouts.exists` is already true after the first
+    * step): the marker is written ONLY after the last step, so a
+    * staging whose append/compact failed mid-session (Verify/Bench
+    * catch per-query) is rebuilt by the next caller instead of being
+    * silently probed half-staged. Lives at the scratch root, outside
+    * the layout dir the rebuild's write() sweeps.
+    */
+  private def stageComplete(s: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, "_STAGED")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+  private def markStageComplete(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, "_STAGED")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
+
   /** The session-staged 8-bit SRP signature layout over `embeddings` —
     * built once per (session, sfDir) through the Layouts manifest
     * protocol, as an initial write PLUS an incremental append (corpus
@@ -150,13 +168,15 @@ object SparkEntry {
     * append-path union read under the DRIVER GATE every round.
     */
   private def stagedSignatureLayout(s: SparkSession, dir: String): String = {
-    val path = sessionScratch(s, dir, "lshsig") + "/sigs"
-    if (!graft.spark.Layouts.exists(s, path)) {
+    val root = sessionScratch(s, dir, "lshsig")
+    val path = root + "/sigs"
+    if (!stageComplete(s, root)) {
       val e = table(s, dir, "embeddings")
       graft.operators.Similarity.writeSignatures(
         e.where(col("vec_id") % 2 === 0), "embedding", bits = 8, path, dim = 64)
       graft.operators.Similarity.appendSignatures(
         e.where(col("vec_id") % 2 === 1), "embedding", bits = 8, path, dim = 64)
+      markStageComplete(s, root)
     }
     path
   }
@@ -174,8 +194,9 @@ object SparkEntry {
     * degrade into a single-version write that skips the append path.
     */
   private def stagedCompactedSignatureLayout(s: SparkSession, dir: String): String = {
-    val path = sessionScratch(s, dir, "lshsigc") + "/sigs"
-    if (!graft.spark.Layouts.exists(s, path)) {
+    val root = sessionScratch(s, dir, "lshsigc")
+    val path = root + "/sigs"
+    if (!stageComplete(s, root)) {
       val e = table(s, dir, "embeddings")
       graft.operators.Similarity.writeSignatures(
         e.where(col("vec_id") % 2 === 0), "embedding", bits = 8, path, dim = 64)
@@ -185,6 +206,7 @@ object SparkEntry {
         "compacted signature staging found nothing to fold — append path skipped?")
       require(graft.spark.Layouts.versionCount(s, path) == 1,
         "compaction left more than one live version")
+      markStageComplete(s, root)
     }
     path
   }
@@ -817,14 +839,16 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
       val cents = graft.operators.Similarity.trainCentroids(e, "embedding", k = 8,
         sampleN = 2000)
-      val path = sessionScratch(s, dir, "ivfclu") + "/clustered"
-      if (!graft.spark.Layouts.exists(s, path)) {
+      val root = sessionScratch(s, dir, "ivfclu")
+      val path = root + "/clustered"
+      if (!stageComplete(s, root)) {
         graft.operators.Similarity.writeClustered(
           e.where(col("vec_id") % 2 === 0), "embedding", cents, path)
         graft.operators.Similarity.appendClustered(
           e.where(col("vec_id") % 2 === 1), "embedding", cents, path)
         require(graft.spark.Layouts.compact(s, path, "cluster_id"),
           "compacted IVF staging found nothing to fold — append path skipped?")
+        markStageComplete(s, root)
       }
       graft.operators.Similarity.clusteredTopKBatch(s, path, "embedding", "vec_id",
           e.where(col("vec_id") < 3), "vec_id", "embedding",
@@ -1785,7 +1809,10 @@ object SparkEntry {
   private def eqDepthByLangHistSql: Option[String] =
     Option(eqDepthBoundsByLang.get).map { m =>
       val rows = m.toSeq.sortBy(_._1).map { case (lang, b) =>
-        s"('$lang', ${b.map(sqlBound).mkString("[", ", ", "]")})"
+        // keys splice into single-quoted SQL literals: '' -escape them
+        // (equiDepthBoundariesByKey is generic over the key column — a
+        // dirty tag like fr'ca must not break the rendered oracle)
+        s"('${lang.replace("'", "''")}', ${b.map(sqlBound).mkString("[", ", ", "]")})"
       }.mkString(",\n        ")
       s"""WITH d AS (
          |  SELECT doc_id, lang,
@@ -3040,7 +3067,7 @@ object SparkEntry {
          |rep(doc_id, t, k) AS (
          |  SELECT doc_id, t, 0 FROM s1
          |  UNION ALL
-         |  SELECT r.doc_id, replace(r.t, o.c, '[CARD]'), r.k + 1
+         |  SELECT r.doc_id, regexp_replace(r.t, '\\b' || o.c || '\\b', '[CARD]', 'g'), r.k + 1
          |  FROM rep r JOIN oc o ON o.doc_id = r.doc_id AND o.k = r.k + 1),
          |s2 AS (SELECT doc_id, arg_max(t, k) AS t FROM rep GROUP BY doc_id),
          |${stageSql("s2", "s3", ssn)},
@@ -3099,7 +3126,7 @@ object SparkEntry {
          |rep(doc_id, t, k) AS (
          |  SELECT doc_id, t, 0 FROM d0
          |  UNION ALL
-         |  SELECT r.doc_id, replace(r.t, o.c, '[IBAN]'), r.k + 1
+         |  SELECT r.doc_id, regexp_replace(r.t, '\\b' || o.c || '\\b', '[IBAN]', 'g'), r.k + 1
          |  FROM rep r JOIN oc o ON o.doc_id = r.doc_id AND o.k = r.k + 1),
          |fin AS (SELECT doc_id, arg_max(t, k) AS t FROM rep GROUP BY doc_id)
          |SELECT d0.doc_id, coalesce(nc.n, 0) AS n_iban_candidates,

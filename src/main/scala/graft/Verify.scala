@@ -21,9 +21,28 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY (comma-separated names): builder-side fast loop
     // for iterating on single queries — the driver never sets it, so
-    // the gate always dumps the full surface
+    // the gate always dumps the full surface. Unknown names refuse
+    // loudly (a typo'd filter would otherwise dump nothing and look
+    // green); NOTE a filtered dump into a previously-FULL outDir
+    // leaves other queries' stale parquet behind — use a fresh outDir
+    // per filter (enforced below).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      // refuse a filtered dump over an outDir holding OTHER queries'
+      // dumps: the mixed-generation artifact would replay stale
+      // parquet as if current (oracle_sql.json is subset-only, so the
+      // local check would silently validate 1/N and report green)
+      val existing = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
+        .filter(SparkEntry.queries.keySet).toSet
+      val extra = existing -- f
+      require(extra.isEmpty,
+        s"outDir $outDir already holds dumps outside the filter (${extra.take(5).mkString(", ")}…) — " +
+          "use a fresh outDir for filtered runs")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))

@@ -680,12 +680,12 @@ object Dedup {
     * recomputed over the filtered sets, so `winnow_jaccard` remains an
     * exact Jaccard — of the declared (df-filtered) fingerprint sets,
     * the same stopword-removal semantics similarity search uses. The
-    * filter costs one hash-aggregated df count plus a broadcast
-    * anti-join and an id-keyed re-size join over the POSTINGS index —
-    * never a whole-partition window, so no stopword bucket ever lands
-    * on one task (tiny next to the pair expansion it prevents); what
-    * was dropped is never silent — [[oversizedWinnowBuckets]] reports
-    * it.
+    * filter costs one hash-aggregated df count plus an (AQE-chosen,
+    * usually broadcast) anti-join and an id-keyed re-size aggregation
+    * over the POSTINGS index — never a whole-partition window, so no
+    * stopword bucket ever lands on one task (tiny next to the pair
+    * expansion it prevents); what was dropped is never silent —
+    * [[oversizedWinnowBuckets]] reports it.
     *
     * Use an ABSOLUTE cap, not a corpus fraction: boilerplate occurs in
     * a roughly constant FRACTION of any corpus, so a fraction cap's
@@ -724,10 +724,18 @@ object Dedup {
         //     (≤ postings/maxBucket entries, the same survivor-
         //     broadcast bound boilerplateLines documents) — broadcast
         //     back as a stopword list;
-        //  2. broadcast ANTI join drops stopword postings MAP-SIDE,
-        //     directly over the fingerprint Generate (Catalyst pushes
-        //     it below everything else): the 10⁹-posting bucket never
-        //     shuffles at all;
+        //  2. an ANTI join drops stopword postings, directly over the
+        //     fingerprint Generate (Catalyst pushes it below
+        //     everything else). Deliberately NO broadcast() hint: in
+        //     the intended regime (boilerplate-scale stopword set) AQE
+        //     picks a broadcast join at runtime and the 10⁹-posting
+        //     bucket is dropped MAP-SIDE without shuffling — but a
+        //     mis-set maxBucket on a high-df corpus can make the
+        //     survivor set corpus-scale, and a FORCED broadcast there
+        //     would collect it to the driver and OOM; unhinted, that
+        //     regime degrades to a sort-merge anti join whose hot
+        //     partitions AQE skew-splits (slow, bounded, never a
+        //     driver hazard);
         //  3. per-id set re-size WITHOUT a join back: one id-keyed
         //     aggregation collects each doc's kept fingerprints (group
         //     size bounded by the doc's own fingerprint count — the
@@ -743,7 +751,7 @@ object Dedup {
         val stop = raw.groupBy("fp").agg(count(lit(1)).as("__bc"))
           .where(col("__bc") > maxBucket)
           .select("fp")
-        raw.join(broadcast(stop), Seq("fp"), "left_anti")
+        raw.join(stop, Seq("fp"), "left_anti")
           .groupBy("id").agg(collect_list(col("fp")).as("__fps"))
           .select(explode(col("__fps")).as("fp"), col("id"), size(col("__fps")).as("sz"))
       }

@@ -284,16 +284,30 @@ object TextAnalysis {
   val ibanCandidateRegex: String =
     "\\b[A-Z]{2}\\d{2}(?: [A-Z0-9]{4}){2,7}(?: [A-Z0-9]{1,4})?\\b|\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
 
-  /** Replace every occurrence of each DISTINCT candidate with `repl`,
-    * longest candidate first (then lexicographic) — deterministic, and
-    * a shorter candidate string can never corrupt a longer one's
-    * occurrence mid-fold. Shared by the card and IBAN stages.
+  /** Replace every WORD-BOUNDED occurrence of each DISTINCT candidate
+    * with `repl`, longest candidate first (then lexicographic).
+    * Boundary-aware on purpose: a plain literal replace would also
+    * rewrite the candidate's digits INSIDE a longer run the candidate
+    * scan never matched (e.g. a 16-digit valid card embedded in a
+    * 20-digit order id — no \b can sit between two digits, so the run
+    * produced no candidate), silently corrupting non-candidate text
+    * and decoupling the counts from the redaction sites. With \b
+    * anchors, replaced sites ≡ validated matches: any word-bounded
+    * occurrence of a candidate string is itself a match of the same
+    * candidate regex. Longest-first ordering keeps a shorter
+    * candidate from rewriting the bounded interior groups of a longer
+    * spaced form before the longer one is consumed. Candidates come
+    * from character classes with NO regex metacharacters
+    * ([0-9 -] / [A-Z0-9 ]), so splicing them into a pattern is safe
+    * by construction; \b is RE2-safe, so the oracle replays the same
+    * anchored replacement. Shared by the card and IBAN stages.
     */
   private def replaceAllLongestFirst(t: Column, candidates: Column, repl: String): Column =
     Dedup.let(array_sort(array_distinct(candidates), (a, b) =>
       when(length(a) =!= length(b), length(b) - length(a))
         .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))) { ordered =>
-      aggregate(ordered, t, (acc, c) => replace(acc, c, lit(repl)))
+      aggregate(ordered, t, (acc, c) =>
+        regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(repl)))
     }
 
   /** Financial-account scrub: IBAN candidates extracted, mod-97

@@ -120,15 +120,38 @@ class RedactV2Spec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, "")))
   }
 
-  test("distinct valid candidates replace longest-first (substring safety) and count per occurrence") {
-    // the 16-digit number CONTAINS the 13-digit one as a prefix; if the
-    // shorter replaced first it would corrupt the longer's occurrence
-    val long16 = "4111111111111111"              // valid
-    val short13 = withCheckDigit("411111111111") // valid 13-digit sharing the prefix
-    assert(refLuhn(long16) && refLuhn(short13))
-    val df = Seq((1L, s"a $long16 b $short13 c $long16 d")).toDF("doc_id", "text")
+  test("replacement is word-bounded: a valid card inside a longer non-candidate run survives the card stage") {
+    // the 20-digit run yields NO candidate (\b cannot sit between two
+    // digits), so the embedded valid 16-digit prefix must NOT be
+    // redacted there — a literal replace-all would corrupt it and leave
+    // a '9999' remnant; the run then falls through to the phone rule
+    val df = Seq((1L, "ref 41111111111111119999 ok card 4111111111111111"))
+      .toDF("doc_id", "text")
     val r = TextAnalysis.redactExtended(df, "doc_id", "text").head()
-    assert(r.getString(1) == "a [CARD] b [CARD] c [CARD] d", r.getString(1))
-    assert(r.getAs[Long]("n_card") == 3) // occurrences, not distinct values
+    assert(r.getString(1) == "ref [PHONE] ok card [CARD]", r.getString(1))
+    assert(r.getAs[Long]("n_card") == 1 && r.getAs[Long]("n_phone") == 1)
+  }
+
+  test("distinct valid candidates replace longest-first (true overlap) and count per occurrence") {
+    // construct a REAL overlap: a Luhn-valid 15-digit s15 whose spaced
+    // form is a word-bounded substring of a Luhn-valid 19-digit
+    // spaced form p4+s15 — if the shorter replaced first, it would
+    // rewrite the longer one's bounded interior groups and strand a
+    // 'p4 [CARD]' remnant the longer pattern can no longer match
+    val s15 = withCheckDigit("41111111111111")
+    val p4 = (1000 to 9999).find(p => refLuhn(p.toString + s15)).get.toString
+    def spaced(digits: String): String = digits.grouped(4).mkString(" ")
+    val long19 = spaced(p4 + s15)  // "pppp dddd dddd dddd ddd"
+    val short15 = spaced(s15)      // = long19 minus its first group
+    assert(refLuhn(long19) && refLuhn(short15))
+    assert(long19.endsWith(short15), s"$long19 / $short15") // genuine bounded overlap
+    val df = Seq((1L, s"a $long19 b $short15 c"), (2L, s"x $short15 y $short15 z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactExtended(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "a [CARD] b [CARD] c", got(1L).getString(1))
+    assert(got(1L).getAs[Long]("n_card") == 2)
+    assert(got(2L).getString(1) == "x [CARD] y [CARD] z")
+    assert(got(2L).getAs[Long]("n_card") == 2) // occurrences, not distinct values
   }
 }

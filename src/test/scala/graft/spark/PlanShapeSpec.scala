@@ -260,9 +260,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("winnow df-filter adds no WindowExec — raw postings never land on one window task") {
     // the capped variant filters stopword fingerprints via hash-agg +
-    // broadcast anti-join and re-sizes via an id-keyed equi-join; the
-    // ONLY windows in either plan are blockedPairs' own bucket-size
-    // windows over the ALREADY-FILTERED (≤ maxBucket) postings. A
+    // anti-join and re-sizes via an id-keyed aggregation; the ONLY
+    // windows in either plan are blockedPairs' own bucket-size windows
+    // over the ALREADY-FILTERED (≤ maxBucket) postings. A
     // whole-partition window over the raw postings (the r4 shape)
     // would materialize a 10⁹-posting stopword bucket on ONE task
     // before the filter could drop it.
@@ -273,16 +273,26 @@ class PlanShapeSpec extends AnyFunSuite {
     def windows(p: String): Int = "Window".r.findAllIn(p).size
     assert(windows(capped) == windows(uncapped),
       s"df-filter added ${windows(capped) - windows(uncapped)} WindowExec node(s):\n$capped")
-    // the stopword drop is a broadcast anti-join sitting BELOW the
-    // id-keyed re-size aggregation (root prints first, so the join
-    // line must be deeper): stopword postings are dropped map-side
-    // before anything shuffles or collects
-    assert(capped.contains("BroadcastHashJoin") && capped.contains("LeftAnti"), capped)
-    val lines = capped.linesIterator.toList
+    // with a REAL oversized bucket (a run shared by 4 docs at
+    // maxBucket=2), the EXECUTED adaptive plan drops stopwords via an
+    // anti-join that AQE converts to broadcast (the stop side is
+    // boilerplate-small at runtime — deliberately unhinted, so a
+    // pathological survivor set would degrade to a skew-split SMJ
+    // instead of a forced driver-side broadcast collect), sitting
+    // BELOW the id-keyed re-size aggregation (root prints first, so
+    // the join line must be deeper)
+    val hot = Seq((1L, "shared run of text aaa bbb one"), (2L, "shared run of text ccc ddd two"),
+      (3L, "shared run of text eee fff three"), (4L, "shared run of text ggg hhh four"))
+      .toDF("id", "text")
+    val hotDf = Dedup.winnowPairs(hot, "id", "text", minShared = 1, maxBucket = 2)
+    hotDf.collect()
+    val executed = hotDf.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftAnti"), executed)
+    val lines = executed.linesIterator.toList
     val antiLine = lines.indexWhere(l => l.contains("LeftAnti"))
     val resizeLine = lines.indexWhere(l => l.contains("collect_list(fp"))
     assert(antiLine > resizeLine && resizeLine >= 0,
-      s"stopword anti-join does not precede the re-size aggregation:\n$capped")
+      s"stopword anti-join does not precede the re-size aggregation:\n$executed")
   }
 
   test("minhash banding keeps signature generation map-side (no shuffle before bucket agg)") {
